@@ -1,0 +1,73 @@
+import numpy as np
+
+from tsl_sdr_tpu.ops import polyphase, q14
+import oracles
+
+
+def _run_stream(plan, x, exact=True):
+    state = polyphase.init_resampler_state(plan, prefix=x[: plan.carry_len])
+    pos = plan.carry_len
+    outs = []
+    while pos + plan.block_in <= x.shape[0]:
+        state, out = polyphase.resample_step(
+            plan, state, x[pos : pos + plan.block_in], exact=exact
+        )
+        outs.append(np.asarray(out))
+        pos += plan.block_in
+    return np.concatenate(outs)
+
+
+def _case(rng, i, d, nr_taps, n=20000, block_out=64):
+    coeff = q14.quantize_q14(rng.normal(size=nr_taps) * 0.2)
+    x = rng.integers(-16000, 16000, size=n, dtype=np.int64).astype(np.int16)
+    plan = polyphase.make_resampler_plan(coeff, i, d, block_out_target=block_out)
+    got = _run_stream(plan, x)
+    want = oracles.polyphase_oracle(x, coeff, i, d)
+    m = min(len(got), len(want))
+    assert m > 100
+    np.testing.assert_array_equal(got[:m], want[:m], err_msg=f"I={i} D={d}")
+
+
+def test_upsample_16_25():
+    _case(np.random.default_rng(20), 16, 25, 161)
+
+
+def test_downsample_25_16():
+    _case(np.random.default_rng(21), 25, 16, 161)
+
+
+def test_interp_3_2():
+    _case(np.random.default_rng(22), 3, 2, 41)
+
+
+def test_unity_1_1():
+    _case(np.random.default_rng(23), 1, 1, 33)
+
+
+def test_big_ratio_48_5():
+    _case(np.random.default_rng(24), 48, 5, 97, block_out=96)
+
+
+def test_block_invariance():
+    rng = np.random.default_rng(25)
+    coeff = q14.quantize_q14(rng.normal(size=63) * 0.2)
+    x = rng.integers(-16000, 16000, size=30000, dtype=np.int64).astype(np.int16)
+    pa = polyphase.make_resampler_plan(coeff, 16, 25, block_out_target=16)
+    pb = polyphase.make_resampler_plan(coeff, 16, 25, block_out_target=512)
+    a = _run_stream(pa, x)
+    b = _run_stream(pb, x)
+    m = min(len(a), len(b))
+    np.testing.assert_array_equal(a[:m], b[:m])
+
+
+def test_fast_tier_tracks_exact():
+    rng = np.random.default_rng(26)
+    coeff = q14.quantize_q14(rng.normal(size=63) * 0.2)
+    x = rng.integers(-16000, 16000, size=30000, dtype=np.int64).astype(np.int16)
+    plan = polyphase.make_resampler_plan(coeff, 16, 25)
+    a = _run_stream(plan, x, exact=True).astype(np.float64)
+    # fast tier uses unity-scale float taps: output already in sample units
+    b = _run_stream(plan, x, exact=False).astype(np.float64)
+    rms_sig = np.sqrt(np.mean(a**2)) + 1e-9
+    rms_err = np.sqrt(np.mean((a - b) ** 2))
+    assert rms_err / rms_sig < 1e-3

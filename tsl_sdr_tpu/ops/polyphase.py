@@ -1,0 +1,145 @@
+"""Polyphase rational resampler: f_out = (I / D) * f_in on real int16 PCM.
+
+Reference behavior (``filter/polyphase_fir.c``): taps are regrouped into I
+phase filters (``coeff[i] -> phase[i % I][i / I]``, each phase zero-padded to
+a multiple of 4 coefficients, ``polyphase_fir.c:70-83``); per output the
+phase advances by D (mod I) and ``(phase + D) / I`` input samples are
+consumed (``:205-224``); each output is ``round_q28_q14(dot(x[off:off+P],
+phase_taps))`` (``filter/utils.c:89-112``).
+
+TPU redesign — the key identity: the phase sequence is **affine in the output
+index**. With initial phase p0::
+
+    phase[k]  = (p0 + k*D) mod I
+    offset[k] = (p0 + k*D) div I        (input offset of output k)
+
+so by choosing the block's output count K with I | K*D, every block consumes
+exactly N_in = K*D/I input samples and ends at phase p0 again. phases/offsets
+become *build-time constants*: the kernel is one static gather + one batched
+dot. No scan, no data-dependent control flow — the serial C state machine
+compiles to a single dense contraction.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tsl_sdr_tpu.ops import q14
+
+
+class ResamplerPlan(NamedTuple):
+    taps_sel_i16: np.ndarray  # [K, P] int16 — phase taps gathered per output
+    taps_sel_f32: np.ndarray  # [K, P] float32
+    offsets: np.ndarray       # [K] int32 — window start per output
+    interpolation: int
+    decimation: int
+    block_in: int             # N_in input samples consumed per step
+    block_out: int            # K outputs produced per step
+    carry_len: int
+    phase0: int
+
+
+class ResamplerState(NamedTuple):
+    carry: jnp.ndarray  # [carry_len] int16
+
+
+def build_phase_filters(fir_coeff, interpolate: int) -> np.ndarray:
+    """[I, P] int16 phase decomposition with the reference's zero padding."""
+    coeff = np.asarray(fir_coeff, dtype=np.int16)
+    nr = coeff.shape[0]
+    pc = (nr + interpolate - 1) // interpolate
+    pc = (pc + 3) & ~3  # round up to a multiple of 4 (polyphase_fir.c:73)
+    phases = np.zeros((interpolate, pc), dtype=np.int16)
+    i = np.arange(nr)
+    phases[i % interpolate, i // interpolate] = coeff
+    return phases
+
+
+def make_resampler_plan(
+    fir_coeff_q14,
+    interpolate: int,
+    decimate: int,
+    block_out_target: int = 1024,
+    phase0: int = 0,
+) -> ResamplerPlan:
+    """Build the static plan. ``fir_coeff_q14``: int16 Q.14 taps (use
+    :func:`tsl_sdr_tpu.ops.q14.quantize_q14` on float coefficients)."""
+    phases = build_phase_filters(fir_coeff_q14, interpolate)
+    p = phases.shape[1]
+
+    base = interpolate // math.gcd(interpolate, decimate)
+    k_out = base * max(1, -(-block_out_target // base))
+    n_in = k_out * decimate // interpolate
+
+    k = np.arange(k_out, dtype=np.int64)
+    phase_seq = (phase0 + k * decimate) % interpolate
+    offsets = (phase0 + k * decimate) // interpolate
+    carry_len = int(max(0, offsets[-1] + p - n_in))
+
+    taps_sel = phases[phase_seq]  # [K, P]
+    return ResamplerPlan(
+        taps_sel_i16=taps_sel,
+        taps_sel_f32=taps_sel.astype(np.float32) / q14.Q14_ONE,
+        offsets=offsets.astype(np.int32),
+        interpolation=int(interpolate),
+        decimation=int(decimate),
+        block_in=int(n_in),
+        block_out=int(k_out),
+        carry_len=carry_len,
+        phase0=int(phase0),
+    )
+
+
+def init_resampler_state(plan: ResamplerPlan, prefix=None) -> ResamplerState:
+    """Prime the carry with the first ``carry_len`` stream samples (or zeros).
+
+    Priming with the stream head aligns output 0 with the reference's first
+    output (window at input offset 0)."""
+    if prefix is None:
+        carry = jnp.zeros((plan.carry_len,), dtype=jnp.int16)
+    else:
+        prefix = jnp.asarray(prefix, dtype=jnp.int16)
+        assert prefix.shape == (plan.carry_len,)
+        carry = prefix
+    return ResamplerState(carry=carry)
+
+
+@functools.partial(jax.jit, static_argnames=("exact",))
+def _resample_kernel(carry, block, taps_sel, idx, *, exact: bool):
+    total = jnp.concatenate([carry, block], axis=0)
+    win = total[idx]  # [K, P] int16
+    if exact:
+        acc = jnp.einsum(
+            "kp,kp->k",
+            win.astype(jnp.int32),
+            taps_sel.astype(jnp.int32),
+            preferred_element_type=jnp.int32,
+        )
+        out = q14.round_q28_q14(acc)
+    else:
+        out = jnp.einsum(
+            "kp,kp->k",
+            win.astype(jnp.float32),
+            taps_sel,
+            preferred_element_type=jnp.float32,
+        )
+    new_carry = total[block.shape[0]:]
+    return new_carry, out
+
+
+def resample_step(plan: ResamplerPlan, state: ResamplerState, block, *, exact=True):
+    """block: [N_in] int16 -> (state, out[K]) (int16 exact / float32 fast)."""
+    block = jnp.asarray(block, dtype=jnp.int16)
+    assert block.shape == (plan.block_in,), (block.shape, plan.block_in)
+    idx = plan.offsets[:, None] + np.arange(plan.taps_sel_i16.shape[1])[None, :]
+    taps = jnp.asarray(plan.taps_sel_i16 if exact else plan.taps_sel_f32)
+    new_carry, out = _resample_kernel(
+        state.carry, block, taps, jnp.asarray(idx), exact=exact
+    )
+    return ResamplerState(carry=new_carry), out
