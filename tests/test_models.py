@@ -1,0 +1,131 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tsl_sdr_tpu.models.channelizer import MultifmChain
+from tsl_sdr_tpu.models.resampler import ResamplerChain
+from tsl_sdr_tpu.ops import q14
+from tsl_sdr_tpu.utils.config import (
+    MultifmConfig,
+    RationalResamplerConfig,
+    load_config,
+)
+from tsl_sdr_tpu.utils.filter_design import (
+    design_rational_resampler_filter,
+    firdes_low_pass,
+)
+from tsl_sdr_tpu.utils import iq as iqio
+import oracles
+
+REF_ETC = "/root/reference/etc"
+
+
+def _nbfm_iq(fs, offset, tone, dev, n, amp=8000, seed=0):
+    t = np.arange(n) / fs
+    phase = 2 * np.pi * offset * t + (dev / tone) * np.sin(2 * np.pi * tone * t)
+    iq = np.stack([np.cos(phase), np.sin(phase)], -1) * amp
+    rng = np.random.default_rng(seed)
+    return (iq + rng.normal(scale=100, size=iq.shape)).astype(np.int16)
+
+
+def test_multifm_chain_recovers_tone():
+    fs, d, offset, tone, dev = 500_000, 20, 60_000, 1_000.0, 4_000.0
+    x = _nbfm_iq(fs, offset, tone, dev, fs // 4)
+    lpf = firdes_low_pass(1.0, fs, 12_500, 6_000)
+    chain = MultifmChain(lpf, [offset, -40_000], fs, d, exact=True)
+    pcm = chain.process_array(x, block_size=20_000)
+    assert pcm.shape[0] == 2
+    audio = pcm[0].astype(np.float64)
+    spec = np.abs(np.fft.rfft(audio - audio.mean()))
+    peak = np.fft.rfftfreq(len(audio), d=d / fs)[spec.argmax()]
+    assert abs(peak - tone) < 10, peak
+    # the second channel points at noise: FM of noise is loud but has no
+    # coherent tone — the 1 kHz bin must not dominate its spectrum
+    other = pcm[1].astype(np.float64)
+    spec1 = np.abs(np.fft.rfft(other - other.mean()))
+    freqs = np.fft.rfftfreq(len(other), d=d / fs)
+    tone_bin = np.argmin(np.abs(freqs - tone))
+    assert spec1[tone_bin] < 0.5 * spec1.max()
+
+
+def test_multifm_exact_matches_oracle_pipeline():
+    """Whole-chain exact tier == direct_fir oracle + fm oracle (<=1 LSB)."""
+    from tsl_sdr_tpu.ops import fm as fm_ops
+
+    fs, d, offset = 100_000, 10, 12_000
+    x = _nbfm_iq(fs, offset, 500.0, 2_000.0, 30_000, seed=3)
+    lpf = firdes_low_pass(1.0, fs, 6_000, 4_000)
+    chain = MultifmChain(lpf, [offset], fs, d, exact=True)
+    pcm = chain.process_array(x, block_size=5_000)[0]
+
+    ch = oracles.direct_fir_oracle(
+        x, chain.plan.taps_i16[0], d, rot_incr=chain.plan.rot_incr_i32[0]
+    )
+    want, _ = fm_ops.fm_demod_np(ch[: pcm.shape[0]][None])
+    diff = np.abs(pcm.astype(np.int32) - want[0].astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+
+
+def test_multifm_fast_tier_runs():
+    fs, d, offset = 200_000, 8, 25_000
+    x = _nbfm_iq(fs, offset, 800.0, 3_000.0, 60_000)
+    lpf = firdes_low_pass(1.0, fs, 10_000, 5_000)
+    chain = MultifmChain(lpf, [offset], fs, d, exact=False)
+    pcm = chain.process_array(x, block_size=16_000)[0].astype(np.float64)
+    spec = np.abs(np.fft.rfft(pcm - pcm.mean()))
+    peak = np.fft.rfftfreq(len(pcm), d=d / fs)[spec.argmax()]
+    assert abs(peak - 800.0) < 10
+
+
+def test_resampler_chain_matches_oracle():
+    rng = np.random.default_rng(50)
+    coeffs = design_rational_resampler_filter(16, 25, 0.4)
+    x = rng.integers(-12000, 12000, size=60_000, dtype=np.int64).astype(np.int16)
+    chain = ResamplerChain(coeffs, 16, 25, block_out=256, exact=True)
+    got = chain.process_array(x)
+    want = oracles.polyphase_oracle(x, q14.quantize_q14(coeffs), 16, 25)
+    m = min(len(got), len(want))
+    np.testing.assert_array_equal(got[:m], want[:m])
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ETC), reason="reference etc/ absent")
+def test_reference_configs_load():
+    cfg = MultifmConfig.load(
+        f"{REF_ETC}/multifm.json", f"{REF_ETC}/flex_25khz_lpf.json"
+    )
+    assert cfg.sample_rate_hz == 1_000_000
+    assert cfg.decimation_factor == 40
+    assert len(cfg.channels) == 8
+    assert len(cfg.lpf_taps) == 128
+    assert cfg.channel_offsets_hz[0] == 929_838_000 - 929_500_000
+
+    rs = RationalResamplerConfig.load(f"{REF_ETC}/resampler_filter.json")
+    assert (rs.interpolate, rs.decimate) == (16, 25)
+    assert len(rs.lpf_coeffs) == 821
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ETC), reason="reference etc/ absent")
+def test_filter_design_replicates_gnuradio_output():
+    ref = np.asarray(
+        load_config(f"{REF_ETC}/resampler_filter.json")["lpfCoeffs"]
+    )
+    mine = design_rational_resampler_filter(16, 25, 0.4)
+    assert mine.shape == ref.shape
+    np.testing.assert_allclose(mine, ref, atol=1e-6)
+
+
+def test_iq_formats(tmp_path):
+    raw = np.arange(256, dtype=np.uint8)
+    p = tmp_path / "x.bin"
+    raw.tofile(p)
+    cs8 = iqio.read_iq_file(p, "cs8")
+    assert cs8[64, 0] == -128  # 0x80 as int8
+    cu8 = iqio.read_iq_file(p, "cu8")
+    # reference quirk: bytes >= 0x80 go through int8 first (file_if.c:140-146)
+    assert cu8[0, 0] == -127 and cu8[64, 0] == -128 - 127
+    cu8u = iqio.read_iq_file(p, "cu8_unbiased")
+    assert cu8u[64, 0] == 128 - 127
+    rtl = iqio.rtl_u8_to_q14(raw)
+    assert rtl[0] == -127 << 7 and rtl[255] == 128 << 7

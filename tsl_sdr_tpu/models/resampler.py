@@ -1,0 +1,97 @@
+"""Rational resampler chain: polyphase FIR + optional DC blocker.
+
+The model behind the standalone resampler tool and the decoders' front-end
+(reference ``resampler/resampler.c:204-263``, ``decoder/decoder.c:581-656``):
+int16 PCM in at f_in, polyphase-resample by I/D, optionally DC-block, int16
+PCM out at f_in * I / D.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tsl_sdr_tpu.ops import dc_blocker, polyphase, q14
+
+
+class ResamplerChainState(NamedTuple):
+    resampler: polyphase.ResamplerState
+    dc: dc_blocker.DcBlockerState
+
+
+class ResamplerChain:
+    def __init__(
+        self,
+        lpf_coeffs,
+        interpolate: int,
+        decimate: int,
+        *,
+        dc_block_pole: float | None = None,
+        block_out: int = 1024,
+        exact: bool = True,
+    ):
+        """``lpf_coeffs``: float taps (quantized to Q.14 like
+        ``resampler/resampler.c:145-151``)."""
+        coeffs_q14 = q14.quantize_q14(lpf_coeffs)
+        self.plan = polyphase.make_resampler_plan(
+            coeffs_q14, interpolate, decimate, block_out_target=block_out
+        )
+        self.exact = exact
+        self.dc_pole = dc_block_pole
+        self.dc_coeff = (
+            dc_blocker.make_pole_coeff(dc_block_pole) if dc_block_pole else None
+        )
+
+    def init_state(self, prefix=None) -> ResamplerChainState:
+        return ResamplerChainState(
+            resampler=polyphase.init_resampler_state(self.plan, prefix=prefix),
+            dc=dc_blocker.init_dc_blocker_state(),
+        )
+
+    def step(self, state: ResamplerChainState, block):
+        """(state, pcm[block_in] int16) -> (state, pcm[block_out] int16)."""
+        rs_state, out = polyphase.resample_step(
+            self.plan, state.resampler, block, exact=self.exact
+        )
+        if self.dc_coeff is not None:
+            if self.exact:
+                dc_state, out = dc_blocker.dc_blocker_step_exact(
+                    state.dc, out, self.dc_coeff
+                )
+            else:
+                dc_state, out = dc_blocker.dc_blocker_step_fast(
+                    state.dc, out.astype(jnp.int16), self.dc_coeff
+                )
+        else:
+            dc_state = state.dc
+        return ResamplerChainState(resampler=rs_state, dc=dc_state), out
+
+    def process_array(self, pcm) -> np.ndarray:
+        """Resample a whole in-memory PCM stream; returns int16 (exact tier)
+        or float32 (fast tier)."""
+        pcm = np.asarray(pcm, dtype=np.int16)
+        c_len = self.plan.carry_len
+        n_in = self.plan.block_in
+        n_blocks = (pcm.shape[0] - c_len) // n_in
+        if n_blocks < 1:
+            raise ValueError("stream shorter than one block")
+        state = self.init_state(prefix=pcm[:c_len])
+        blocks = jnp.asarray(
+            pcm[c_len : c_len + n_blocks * n_in].reshape(n_blocks, n_in)
+        )
+        _, out = self.scan_fn(state, blocks)
+        return np.asarray(out).reshape(-1)
+
+    @functools.cached_property
+    def scan_fn(self):
+        step = self.step
+
+        @jax.jit
+        def run(state, blocks):
+            return jax.lax.scan(step, state, blocks)
+
+        return run

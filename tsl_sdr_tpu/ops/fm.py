@@ -38,7 +38,21 @@ def fm_demod_step(state: FmDemodState, block):
 
     Leading batch dims (e.g. channels) broadcast; history is per-batch.
     """
-    a = jnp.asarray(block).astype(jnp.int32)
+    block = jnp.asarray(block)
+    if jnp.issubdtype(block.dtype, jnp.floating):
+        # fast tier: IQ arrives as float32 in sample units; the conj product
+        # and angle stay float (only the angle matters to the discriminator)
+        a = block.astype(jnp.float32)
+        prev_f = jnp.concatenate(
+            [state.last.astype(jnp.float32)[..., None, :], a[..., :-1, :]], axis=-2
+        )
+        s_re = a[..., 0] * prev_f[..., 0] + a[..., 1] * prev_f[..., 1]
+        s_im = a[..., 1] * prev_f[..., 0] - a[..., 0] * prev_f[..., 1]
+        phi = fast_atan2(s_im, s_re)
+        scaled = (phi / _PI_F32) * jnp.float32(q14.Q14_ONE)
+        pcm = jnp.trunc(scaled).astype(jnp.int16)
+        return FmDemodState(last=jnp.round(a[..., -1, :]).astype(jnp.int32)), pcm
+    a = block.astype(jnp.int32)
     prev = jnp.concatenate([state.last[..., None, :], a[..., :-1, :]], axis=-2)
     # s = a * conj(prev):
     s_re = a[..., 0] * prev[..., 0] + a[..., 1] * prev[..., 1]

@@ -1,0 +1,147 @@
+"""Config system speaking the reference's JSON vocabulary.
+
+The reference merges any number of JSON config files on the command line and
+reads typed keys (``multifm/multifm.c:105-116``, ``multifm/receiver.c:128-244``).
+We mirror that: :func:`load_config` deep-merges files left-to-right, and the
+typed dataclasses below map the exact key names (``sampleRateHz``,
+``centerFreqHz``, ``decimationFactor``, ``lpfTaps``, ``channels[].outFifo``,
+``channels[].chanCenterFreq``, ``channels[].dBGain``, device blocks) so the
+shipped ``etc/*.json`` files load unmodified.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+
+def _deep_merge(base: dict, extra: dict) -> dict:
+    out = dict(base)
+    for k, v in extra.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_config(*paths) -> dict:
+    """Load and deep-merge one or more JSON config files (later files win)."""
+    merged: dict = {}
+    for p in paths:
+        with open(p) as f:
+            merged = _deep_merge(merged, json.load(f))
+    return merged
+
+
+@dataclass
+class ChannelConfig:
+    out_fifo: str
+    chan_center_freq: int
+    db_gain: float | None = None
+    signal_debug_file: str | None = None
+
+    @property
+    def linear_gain(self) -> float:
+        """Reference converts dB with the power formula and applies it as a
+        tap multiplier (``multifm/receiver.c:218-221``)."""
+        if self.db_gain is None:
+            return 1.0
+        return math.pow(10.0, self.db_gain / 10.0)
+
+
+@dataclass
+class DeviceConfig:
+    type: str  # rtlsdr | airspy | usrp | file
+    params: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class MultifmConfig:
+    device: DeviceConfig
+    sample_rate_hz: int
+    center_freq_hz: int
+    decimation_factor: int
+    lpf_taps: list[float]
+    channels: list[ChannelConfig]
+    nr_samp_bufs: int = 128
+
+    @classmethod
+    def from_dict(cls, cfg: dict) -> "MultifmConfig":
+        dev = dict(cfg.get("device", {}))
+        dev_type = dev.pop("type", "file")
+        channels = [
+            ChannelConfig(
+                out_fifo=ch["outFifo"],
+                chan_center_freq=int(ch["chanCenterFreq"]),
+                db_gain=ch.get("dBGain"),
+                signal_debug_file=ch.get("signalDebugFile"),
+            )
+            for ch in cfg["channels"]
+        ]
+        if "lpfTaps" not in cfg:
+            raise ValueError(
+                "Need a baseband filter with at least two taps as 'lpfTaps'"
+            )
+        return cls(
+            device=DeviceConfig(type=dev_type, params=dev),
+            sample_rate_hz=int(cfg["sampleRateHz"]),
+            center_freq_hz=int(cfg["centerFreqHz"]),
+            decimation_factor=int(cfg["decimationFactor"]),
+            lpf_taps=[float(t) for t in cfg["lpfTaps"]],
+            channels=channels,
+            nr_samp_bufs=int(cfg.get("nrSampBufs", 128)),
+        )
+
+    @classmethod
+    def load(cls, *paths) -> "MultifmConfig":
+        return cls.from_dict(load_config(*paths))
+
+    @property
+    def channel_offsets_hz(self) -> list[int]:
+        return [c.chan_center_freq - self.center_freq_hz for c in self.channels]
+
+    @property
+    def channel_gains(self) -> list[float]:
+        return [c.linear_gain for c in self.channels]
+
+
+@dataclass
+class RationalResamplerConfig:
+    """The ``rationalResampler`` block emitted by the filter designer
+    (``scripts/design_interpolation_filter.py:54``) / consumed by the
+    resampler and decoder CLIs (``lpfCoeffs`` key,
+    ``resampler/resampler.c:139-151``)."""
+
+    interpolate: int
+    decimate: int
+    lpf_coeffs: list[float]
+    fractional_bw: float | None = None
+
+    @classmethod
+    def from_dict(cls, cfg: dict) -> "RationalResamplerConfig":
+        if "rationalResampler" in cfg:
+            cfg = cfg["rationalResampler"]
+        return cls(
+            interpolate=int(cfg["interpolate"]) if "interpolate" in cfg else 1,
+            decimate=int(cfg["decimate"]) if "decimate" in cfg else 1,
+            lpf_coeffs=[float(t) for t in cfg["lpfCoeffs"]],
+            fractional_bw=cfg.get("fractionalBw"),
+        )
+
+    @classmethod
+    def load(cls, *paths) -> "RationalResamplerConfig":
+        return cls.from_dict(load_config(*paths))
+
+
+def load_lpf_coeffs(path) -> list[float]:
+    """Load ``lpfCoeffs`` (decoder/resampler ``-F filter.json``) — the key the
+    stream tools read (``resampler/resampler.c:139``, ``decoder/decoder.c``)."""
+    cfg = load_config(path)
+    if "rationalResampler" in cfg:
+        cfg = cfg["rationalResampler"]
+    key = "lpfCoeffs" if "lpfCoeffs" in cfg else "lpfTaps"
+    return [float(t) for t in cfg[key]]
