@@ -1,0 +1,295 @@
+"""POCSAG pager decoder (512/1200/2400 bps) — bit-exact state machine.
+
+Replicates the reference receiver's behavior (``pager/pager_pocsag.c``):
+
+* SEARCH: three parallel baud detectors (75/32/16 samples per bit at the
+  38400 Hz input contract) each keep ``samples_per_bit`` phase-interleaved
+  32-bit shift registers hunting the sync word 0x7CD215D8 within hamming
+  distance 4 (``:82-117``); sync declares when the matching "eye" spans more
+  than half a bit period, and slicing starts mid-eye (``:100-108``).
+* BATCH_RECEIVE: one bit per ``samples_per_bit`` samples, sign slicing
+  (sample < 0 -> 1), 16 x 32-bit words packed LSB-first (``:471-506``; the
+  reference's ``bit << bit_count`` shift lands on bit_count mod 32).
+* Per word: mask the parity bit, BCH(31,21)-correct; idle 0x6983915E ends a
+  message; LSB 0 = address word (capcode/function); else 20 content bits
+  stream into parallel 7-bit-ASCII and 4-bit-BCD registers (``:320-432``).
+* Message typing: printable-score heuristic picks alpha vs numeric at
+  delivery (``:242-297``).
+* SEARCH_SYNCWORD: re-acquire sync at the locked cadence or fall back to
+  full search (``:508-537``).
+
+This is the host-tier FSM (sample-sequential, like the wire protocol itself);
+the TPU front-end (channelize/resample/demod) feeds it PCM. A vectorized
+block decoder rides on top for throughput work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tsl_sdr_tpu.models.bch import pocsag_bch
+
+SYNC_CODEWORD = 0x7CD215D8
+IDLE_CODEWORD = 0x6983915E
+BASE_RATE = 38400
+BATCH_WORDS = 16
+
+NUMERIC_CHARMAP = "0123456789XU -[]"
+
+_STATE_SEARCH = 0
+_STATE_SYNCHRONIZED = 1
+_STATE_BATCH = 2
+_STATE_SEARCH_SYNCWORD = 3
+
+
+def _popcount32(v: int) -> int:
+    return bin(v & 0xFFFFFFFF).count("1")
+
+
+def _check_sync_word(word: int) -> bool:
+    return _popcount32(word ^ SYNC_CODEWORD) <= 4
+
+
+def _is_print(c: int) -> bool:
+    return 0x20 <= c <= 0x7E
+
+
+@dataclass
+class PocsagMessage:
+    baud: int
+    capcode: int
+    function: int
+    kind: str            # "alpha" | "numeric"
+    data: bytes          # message payload as delivered
+    early_termination: bool = False
+
+    @property
+    def text(self) -> str:
+        return self.data.decode("latin-1")
+
+
+class _BaudDetect:
+    def __init__(self, samples_per_bit: int, baud: int):
+        self.spb = samples_per_bit
+        self.baud = baud
+        self.reset()
+
+    def reset(self):
+        self.eye = [0] * self.spb
+        self.cur_word = 0
+        self.nr_eye_matches = 0
+
+
+class _MessageDecode:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.alpha = bytearray()
+        self.numeric = bytearray()
+        self.word_alpha = 0
+        self.word_alpha_bits = 0
+        self.word_numeric = 0
+        self.word_numeric_bits = 0
+        self.seen_nonprint = False
+        self.score_alpha = 0
+        self.early_termination = False
+        self.msg_type = "none"   # none | unknown | alpha | numeric
+        self.cap_code = 0
+        self.function = 0
+
+
+class PocsagDecoder:
+    """Streaming POCSAG decoder; feed 38400 Hz int16 PCM via :meth:`on_pcm`."""
+
+    def __init__(self, skip_bch: bool = False):
+        self.bch = pocsag_bch()
+        self.skip_bch = skip_bch
+        self.detectors = [
+            _BaudDetect(BASE_RATE // 512, 512),
+            _BaudDetect(BASE_RATE // 1200, 1200),
+            _BaudDetect(BASE_RATE // 2400, 2400),
+        ]
+        self.decoder = _MessageDecode()
+        self.state = _STATE_SEARCH
+        self.sample_skip = 0
+        self.baud_rate = 0
+        self._batch_reset()
+        self._sync_reset()
+        self.messages: list[PocsagMessage] = []
+
+    # -- state resets ---------------------------------------------------------
+
+    def _batch_reset(self):
+        self.batch_words = [0] * BATCH_WORDS
+        self.batch_word_idx = 0
+        self.batch_word_bit = 0
+        self.batch_sample_skip = 0
+        self.batch_bit_count = 0
+
+    def _sync_reset(self):
+        self.sync_sample_skip = 0
+        self.sync_bits = 0
+        self.sync_word = 0
+
+    # -- message delivery -------------------------------------------------
+
+    def _deliver(self):
+        d = self.decoder
+        if d.msg_type == "none":
+            return
+        if len(d.alpha):
+            if d.alpha[-1] in (0x04, 0x03, 0x00, 0x17):
+                d.score_alpha = 1
+        if len(d.numeric) > 40:
+            d.score_alpha = 1
+        kind = "alpha" if d.score_alpha > 0 else "numeric"
+        data = bytes(d.alpha) if kind == "alpha" else bytes(d.numeric)
+        self.messages.append(
+            PocsagMessage(
+                baud=self.baud_rate,
+                capcode=d.cap_code,
+                function=d.function,
+                kind=kind,
+                data=data,
+                early_termination=d.early_termination,
+            )
+        )
+        d.reset()
+
+    # -- batch word processing ----------------------------------------------
+
+    def _process_batch(self) -> bool:
+        """Returns False when a multi-bit error aborts the batch."""
+        d = self.decoder
+        for z in range(BATCH_WORDS):
+            word = self.batch_words[z] & 0x7FFFFFFF
+            corrected, fail = self.bch.decode_one(word)
+            if fail:
+                if d.msg_type != "none":
+                    d.early_termination = True
+                    self._deliver()
+                return False
+
+            if corrected == IDLE_CODEWORD:
+                if d.msg_type != "none":
+                    self._deliver()
+                continue
+
+            if (corrected & 1) == 0:
+                self._deliver()
+                d.msg_type = "unknown"
+                d.function = (corrected >> 19) & 0x3
+                d.cap_code = (((corrected >> 1) & ((1 << 18) - 1)) << 3) + (
+                    (z >> 1) & 0x7
+                )
+            elif d.msg_type == "unknown":
+                val = (corrected >> 1) & 0xFFFFF
+                d.word_alpha |= val << d.word_alpha_bits
+                d.word_alpha_bits += 20
+                while d.word_alpha_bits >= 7:
+                    c = d.word_alpha & 0x7F
+                    if len(d.alpha) < 511:
+                        d.alpha.append(c)
+                    if _is_print(c) or c in (0x0A, 0x0D):
+                        if not d.seen_nonprint:
+                            d.score_alpha += 1
+                    else:
+                        d.seen_nonprint = True
+                        if c not in (0x03, 0x04, 0x17, 0x00):
+                            d.score_alpha -= 10
+                    d.word_alpha >>= 7
+                    d.word_alpha_bits -= 7
+
+                if len(d.numeric) < 511:
+                    d.word_numeric |= val << d.word_numeric_bits
+                    d.word_numeric_bits += 20
+                    while d.word_numeric_bits >= 4 and len(d.numeric) < 511:
+                        bcd = d.word_numeric & 0xF
+                        d.numeric.append(ord(NUMERIC_CHARMAP[bcd]))
+                        d.word_numeric >>= 4
+                        d.word_numeric_bits -= 4
+        return True
+
+    # -- the sample pump ------------------------------------------------------
+
+    def on_pcm(self, pcm) -> list[PocsagMessage]:
+        """Process a PCM block; returns messages completed during this block."""
+        pcm = np.asarray(pcm, dtype=np.int16)
+        bits = (pcm < 0).astype(np.uint8)
+        n = pcm.shape[0]
+        start_msg = len(self.messages)
+
+        i = 0
+        while i < n:
+            if self.state == _STATE_SEARCH:
+                while i < n:
+                    bit = int(bits[i])
+                    for det in self.detectors:
+                        reg = ((det.eye[det.cur_word] << 1) | bit) & 0xFFFFFFFF
+                        det.eye[det.cur_word] = reg
+                        if _check_sync_word(reg):
+                            det.nr_eye_matches += 1
+                        else:
+                            if det.nr_eye_matches > det.spb // 2:
+                                self.sample_skip = det.spb
+                                self.baud_rate = det.baud
+                                self._batch_reset()
+                                self.batch_sample_skip = det.nr_eye_matches // 2
+                                self.state = _STATE_SYNCHRONIZED
+                            else:
+                                det.nr_eye_matches = 0
+                        det.cur_word = (det.cur_word + 1) % det.spb
+                    i += 1
+                    if self.state == _STATE_SYNCHRONIZED:
+                        break
+            elif self.state in (_STATE_SYNCHRONIZED, _STATE_BATCH):
+                self.state = _STATE_BATCH
+                while i < n:
+                    self.batch_sample_skip += 1
+                    if self.batch_sample_skip == self.sample_skip:
+                        bit = int(bits[i])
+                        self.batch_words[self.batch_word_idx] |= (
+                            bit << (self.batch_bit_count & 31)
+                        )
+                        self.batch_word_bit += 1
+                        self.batch_bit_count += 1
+                        self.batch_sample_skip = 0
+                        if self.batch_word_bit == 32:
+                            self.batch_word_bit = 0
+                            self.batch_word_idx += 1
+                            if self.batch_word_idx == BATCH_WORDS:
+                                self._process_batch()
+                                self.state = _STATE_SEARCH_SYNCWORD
+                                self.batch_word_idx = 0
+                                self.batch_word_bit = 0
+                                self._sync_reset()
+                                i += 1
+                                break
+                    i += 1
+            elif self.state == _STATE_SEARCH_SYNCWORD:
+                while i < n:
+                    self.sync_sample_skip += 1
+                    if self.sync_sample_skip == self.sample_skip:
+                        self.sync_sample_skip = 0
+                        self.sync_word = (
+                            (self.sync_word << 1) | int(bits[i])
+                        ) & 0xFFFFFFFF
+                        self.sync_bits += 1
+                        if self.sync_bits == 32:
+                            if not _check_sync_word(self.sync_word):
+                                self.state = _STATE_SEARCH
+                                self.sample_skip = 0
+                                for det in self.detectors:
+                                    det.reset()
+                                self._deliver()
+                            else:
+                                self.state = _STATE_BATCH
+                                self._batch_reset()
+                            i += 1
+                            break
+                    i += 1
+
+        return self.messages[start_msg:]
