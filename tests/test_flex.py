@@ -1,0 +1,123 @@
+import numpy as np
+import pytest
+
+from tsl_sdr_tpu.models.flex import FlexDecoder
+from tsl_sdr_tpu.testing import flex_gen as gen
+
+MSGS = [
+    gen.FlexBurstMessage(capcode=100001, kind="alnum", content="HELLO FLEX"),
+    gen.FlexBurstMessage(capcode=20002, kind="numeric", content="555-0142"),
+    gen.FlexBurstMessage(capcode=3003, kind="siv", siv_type=2, siv_data=0x123),
+    gen.FlexBurstMessage(capcode=40004, kind="tone", content="911"),
+]
+
+
+def _check(decoded, expected):
+    assert len(decoded) == len(expected), (decoded, expected)
+    # order across phases may interleave; match by capcode
+    by_cap = {m.capcode: m for m in decoded}
+    for e in expected:
+        m = by_cap[e["capcode"]]
+        assert m.kind == e["kind"]
+        assert m.cycle == e["cycle"] and m.frame == e["frame"]
+        assert m.phase == e["phase"]
+        assert m.baud == e["baud"]
+        if e["kind"] in ("alnum", "numeric"):
+            assert m.data == e["text"], (m.data, e["text"])
+        if e["kind"] == "alnum":
+            assert m.fragment == e["fragment"]
+            assert m.seq_num == e["seq_num"]
+        if e["kind"] == "siv":
+            assert m.siv_type == e["siv_type"]
+            assert m.siv_data == e["siv_data"]
+
+
+@pytest.mark.parametrize("coding", [(1600, 2), (3200, 2), (3200, 4), (6400, 4)])
+def test_roundtrip_all_codings(coding):
+    pcm, expected = gen.generate(MSGS, baud=coding[0], fsk_levels=coding[1])
+    _check(FlexDecoder().on_pcm(pcm), expected)
+
+
+def test_long_address_and_fragment():
+    msgs = [
+        gen.FlexBurstMessage(
+            capcode=0x2000000, kind="alnum", content="LONG ADDR MSG",
+            long_address=True, seq_num=3, maildrop=True,
+        ),
+        gen.FlexBurstMessage(
+            capcode=0x2ABCDEF, kind="numeric", content="8675309",
+            long_address=True,
+        ),
+        gen.FlexBurstMessage(
+            capcode=77777, kind="alnum", content="frag", fragment=True, seq_num=1
+        ),
+    ]
+    pcm, expected = gen.generate(msgs, baud=1600, fsk_levels=2)
+    out = FlexDecoder().on_pcm(pcm)
+    _check(out, expected)
+    m0 = next(m for m in out if m.capcode == 0x2000000)
+    assert m0.maildrop and m0.seq_num == 3
+    m2 = next(m for m in out if m.capcode == 77777)
+    assert m2.fragment
+
+
+def test_streaming_blocks_equal_oneshot():
+    pcm, expected = gen.generate(MSGS, baud=3200, fsk_levels=4)
+    dec = FlexDecoder()
+    out = []
+    for i in range(0, len(pcm), 777):
+        out.extend(dec.on_pcm(pcm[i : i + 777]))
+    _check(out, expected)
+
+
+def test_bit_errors_corrected():
+    """Flip 2 bit cells per data word region; BCH must fix them."""
+    rng = np.random.default_rng(11)
+    pcm, expected = gen.generate(MSGS[:2], baud=1600, fsk_levels=2)
+    pcm = pcm.copy()
+    # block starts after lead-in(40)+sync1(144 bits)+sync2(4+16+4+16 cells)
+    block_start = (40 + 144) * 10 + 40 * 10
+    spb = 10
+    nflips = 0
+    for w in range(0, 88 * 4, 16):  # every 16th word-slot worth of bits
+        for p in rng.choice(31, size=2, replace=False):
+            # bit (w*32+p) of the interleaved stream — flip its cell
+            b0 = block_start + (w * 32 + int(p)) * spb
+            if b0 + spb < len(pcm):
+                pcm[b0 : b0 + spb] = -pcm[b0 : b0 + spb].astype(np.int32)
+                nflips += 1
+    assert nflips > 10
+    out = FlexDecoder().on_pcm(pcm)
+    _check(out, expected)
+
+
+def test_noise_only_produces_nothing():
+    rng = np.random.default_rng(12)
+    pcm = rng.integers(-9000, 9000, size=200_000, dtype=np.int64).astype(np.int16)
+    assert FlexDecoder().on_pcm(pcm) == []
+
+
+def test_through_tpu_channelizer():
+    """FLEX baseband -> NBFM at an offset in a wideband capture -> exact-tier
+    channelize+demod at 16 kHz -> decode."""
+    from tsl_sdr_tpu.models.channelizer import MultifmChain
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    decim = 32
+    fs = 16000 * decim
+    offset = 120_000
+
+    baseband, expected = gen.generate(
+        MSGS, baud=6400, fsk_levels=4, amplitude=6144, tail_bits=300
+    )
+    dev = baseband.astype(np.float64) / 16384.0 * (16000 / 2)
+    inst = 2 * np.pi * (offset + dev) / fs
+    phase = np.cumsum(np.repeat(inst, decim))
+    rng = np.random.default_rng(13)
+    iq = np.stack([np.cos(phase), np.sin(phase)], -1) * 10000
+    iq = (iq + rng.normal(scale=100, size=iq.shape)).astype(np.int16)
+
+    lpf = firdes_low_pass(1.0, fs, 8_000, 5_000)
+    chain = MultifmChain(lpf, [offset], fs, decim, exact=True)
+    pcm = chain.process_array(iq, block_size=decim * 4096)[0]
+    _check(FlexDecoder().on_pcm(pcm), expected)

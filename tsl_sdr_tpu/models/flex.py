@@ -1,0 +1,615 @@
+"""FLEX pager decoder (1600/3200/6400 bps, 2/4-FSK) — bit-exact FSM.
+
+Replicates the reference three-stage receiver (``pager/pager_flex.c``):
+
+* SYNC_1 (always 1600 bps 2FSK, 16 kHz input = 10 samples/bit): ten
+  phase-staggered 32-bit registers hunt BS1 0xAAAAAAAA; the eye width picks
+  the sample clock phase; then A word (16-bit coding id + magic), B, inverted
+  A (coding matched within hamming < 4 on the id — flex.c:264-287), then the
+  FIW (BCH + nibble checksum -> cycle/frame ids). The A/B/INV_A stages also
+  accumulate high/low sample averages that train the 4FSK slicer
+  (flex.c:347-446).
+* SYNC_2 at the target rate: comma / C / inverted comma / inverted C counted
+  per the coding's consumption table; values unvalidated (flex.c:461-525).
+* BLOCK: slice symbols (2FSK sign, 4FSK trained thresholds), round-robin
+  de-interleave into 1/2/4 phases of 88 LSB-first words (8-word interleave
+  blocks), then per phase: BIW -> addresses -> vectors -> ALN/NUM/Tone/SIV
+  messages, all words BCH(31,21)-corrected and checksummed
+  (flex.c:1089-1310).
+
+2FSK symbol 1 == sample >= 0 (opposite of POCSAG's slicing convention).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tsl_sdr_tpu.models.bch import pocsag_bch
+from tsl_sdr_tpu.testing.flex_gen import CODINGS, Coding  # shared coding table
+
+BS1 = 0xAAAAAAAA
+
+_ST_SYNC1, _ST_SYNC2, _ST_BLOCK = 0, 1, 2
+_SY_SEARCH_BS1, _SY_BS1, _SY_A, _SY_B, _SY_INV_A, _SY_FIW, _SY_SYNCED = range(7)
+_S2_COMMA, _S2_C, _S2_INV_COMMA, _S2_INV_C, _S2_SYNCED = range(5)
+
+PHASE_NAMES = "ABCD"
+
+
+def _word_checksum(word: int) -> int:
+    word &= 0x1FFFFF
+    ck = 0
+    for _ in range(6):
+        ck += word & 0xF
+        word >>= 4
+    return ck & 0xF
+
+
+_NUM_LUT = "0123456789XU -]["
+
+
+@dataclass
+class FlexMessage:
+    kind: str            # "alnum" | "numeric" | "siv"
+    baud: int
+    phase: str           # "A".."D"
+    cycle: int
+    frame: int
+    capcode: int
+    data: bytes = b""
+    fragment: bool = False
+    maildrop: bool = False
+    seq_num: int = 0
+    siv_type: int = 0
+    siv_data: int = 0
+
+    @property
+    def text(self) -> str:
+        return self.data.decode("latin-1")
+
+
+class _Phase:
+    __slots__ = ("words", "cur_bit", "cur_word", "base_word")
+
+    def __init__(self):
+        self.words = [0] * 88
+        self.cur_bit = 0
+        self.cur_word = 0
+        self.base_word = 0
+
+    def reset(self):
+        self.words = [0] * 88
+        self.cur_bit = 0
+        self.cur_word = 0
+        self.base_word = 0
+
+    def append_bit(self, bit: int):
+        w = self.base_word + self.cur_word
+        self.words[w] = (self.words[w] >> 1) | ((bit & 1) << 31)
+        self.cur_word = (self.cur_word + 1) % 8
+        if self.cur_word == 0:
+            self.cur_bit += 1
+        if self.cur_bit == 32:
+            self.base_word += 8
+            self.cur_bit = 0
+            self.cur_word = 0
+
+
+class FlexDecoder:
+    """Streaming FLEX decoder; feed 16 kHz int16 PCM via :meth:`on_pcm`."""
+
+    def __init__(self, freq_hz: int = 0):
+        self.bch = pocsag_bch()
+        self.freq_hz = freq_hz
+        self.messages: list[FlexMessage] = []
+        self._reset_sync()
+
+    # -- resets ---------------------------------------------------------------
+
+    def _reset_sync(self):
+        self.state = _ST_SYNC1
+        self.skip = 0
+        self.skip_count = 0
+        self.sample_range = 0
+        self.sample_delta = 0
+        self.frame_id = 0
+        self.cycle_id = 0
+        # sync 1
+        self.sync_state = _SY_BS1
+        self.sync_words = [0] * 10
+        self.sample_counter = 0
+        self.bit_counter = 0
+        self.a = 0
+        self.b = 0
+        self.inv_a = 0
+        self.fiw = 0
+        self.coding: Coding | None = None
+        self.rng_sum_hi = 0
+        self.rng_sum_lo = 0
+        self.rng_cnt_hi = 0
+        self.rng_cnt_lo = 0
+        # sync 2
+        self.s2_state = _S2_COMMA
+        self.s2_dots = 0
+        self.s2_c = 0
+        self.s2_inv_c = 0
+        self.s2_nr_c = 0
+        # block
+        self.phases = [_Phase() for _ in range(4)]
+        self.nr_symbols = 0
+        self.phase_ff = False
+        self.msg_buf = bytearray()
+
+    def _sync_reset_only(self):
+        self.sync_state = _SY_BS1
+        self.sync_words = [0] * 10
+        self.sample_counter = 0
+        self.bit_counter = 0
+        self.a = self.b = self.inv_a = self.fiw = 0
+        self.coding = None
+        self.rng_sum_hi = self.rng_sum_lo = 0
+        self.rng_cnt_hi = self.rng_cnt_lo = 0
+
+    # -- slicers ---------------------------------------------------------------
+
+    @staticmethod
+    def _slice_2fsk(sample: int) -> int:
+        return 1 if sample >= 0 else 0
+
+    def _slice_4fsk(self, sample: int) -> int:
+        s = sample - self.sample_delta
+        if s < 0:
+            return 0 if -s > self.sample_range // 4 else 1
+        return 2 if s > self.sample_range // 4 else 3
+
+    def _slice(self, sample: int) -> int:
+        if self.coding.fsk_levels == 2:
+            return self._slice_2fsk(sample)
+        return self._slice_4fsk(sample)
+
+    # -- SYNC 1 ---------------------------------------------------------------
+
+    def _sync_update(self, sample: int):
+        self.sample_counter = (self.sample_counter + 1) % 10
+        symbol = self._slice_2fsk(sample)
+        st = self.sync_state
+
+        if st in (_SY_SEARCH_BS1, _SY_BS1):
+            p = self.sample_counter
+            self.sync_words[p] = ((self.sync_words[p] << 1) | symbol) & 0xFFFFFFFF
+            if st == _SY_SEARCH_BS1:
+                if self.sync_words[p] == BS1:
+                    self.bit_counter = 1
+                    self.sync_state = _SY_BS1
+            else:
+                if self.sync_words[p] == BS1:
+                    self.bit_counter += 1
+                else:
+                    if self.bit_counter < 3:
+                        self.sync_state = _SY_SEARCH_BS1
+                    else:
+                        self.sync_state = _SY_A
+                        self.sample_counter = self.bit_counter // 2
+                    self.bit_counter = 0
+            return
+
+        if self.sample_counter != 0:
+            return
+
+        if st == _SY_A:
+            self.a = ((self.a << 1) | symbol) & 0xFFFFFFFF
+            self._accumulate_range(sample)
+            self.bit_counter += 1
+            if self.bit_counter == 32:
+                self.sync_state = _SY_B
+                self.bit_counter = 0
+        elif st == _SY_B:
+            self.b = ((self.b << 1) | symbol) & 0xFFFF
+            self._accumulate_range(sample)
+            self.bit_counter += 1
+            if self.bit_counter == 16:
+                self.sync_state = _SY_INV_A
+                self.bit_counter = 0
+        elif st == _SY_INV_A:
+            self.inv_a = ((self.inv_a << 1) | symbol) & 0xFFFFFFFF
+            self._accumulate_range(sample)
+            self.bit_counter += 1
+            if self.bit_counter == 32:
+                if self._check_baud():
+                    self.sync_state = _SY_FIW
+                else:
+                    self._sync_reset_only()
+                self.bit_counter = 0
+        elif st == _SY_FIW:
+            self.fiw = (self.fiw >> 1) | (symbol << 31)
+            self._accumulate_range(sample)
+            self.bit_counter += 1
+            if self.bit_counter == 32:
+                # C int division truncates toward zero
+                def _cdiv(a, b):
+                    return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1) if b else 0
+
+                hi = _cdiv(self.rng_sum_hi, self.rng_cnt_hi)
+                lo = _cdiv(self.rng_sum_lo, self.rng_cnt_lo)
+                self.sample_range = hi - lo
+                self.sample_delta = hi - self.sample_range // 2
+                self.sync_state = _SY_SYNCED
+
+    def _accumulate_range(self, sample: int):
+        if sample > 0:
+            self.rng_sum_hi += sample
+            self.rng_cnt_hi += 1
+        else:
+            self.rng_sum_lo += sample
+            self.rng_cnt_lo += 1
+
+    def _check_baud(self) -> bool:
+        coding_a = (self.a >> 16) & 0xFFFF
+        inv_coding_a = (self.inv_a >> 16) & 0xFFFF
+        for coding in CODINGS.values():
+            # the reference's second (inverted-A) clause can never match:
+            # ~seq_a promotes to a 32-bit value whose high bits survive the
+            # XOR (flex.c:277-278); we keep the effective behavior
+            if bin(coding.seq_a ^ coding_a).count("1") < 4:
+                self.coding = coding
+                return True
+            if bin((~coding.seq_a & 0xFFFFFFFF) ^ inv_coding_a).count("1") < 4:
+                self.coding = coding  # unreachable in practice; kept for parity
+                return True
+        return False
+
+    def _handle_fiw(self) -> bool:
+        fiw, fail = self.bch.decode_one(self.fiw & 0x7FFFFFFF)
+        if fail:
+            return False
+        self.cycle_id = (fiw >> 4) & 0xF
+        self.frame_id = (fiw >> 8) & 0x7F
+        return _word_checksum(fiw) == 0xF
+
+    # -- SYNC 2 ---------------------------------------------------------------
+
+    def _sync2_update(self, sample: int):
+        c = self.coding
+        if self.s2_state == _S2_COMMA:
+            self.s2_dots += 1
+            if self.s2_dots == c.sync_2_samples:
+                self.s2_state = _S2_C
+        elif self.s2_state == _S2_C:
+            sym = self._slice(sample)
+            self.s2_c = ((self.s2_c << c.sym_bits) | sym) & 0xFFFF
+            self.s2_nr_c += c.sym_bits
+            if self.s2_nr_c == 16:
+                self.s2_state = _S2_INV_COMMA
+                self.s2_dots = 0
+        elif self.s2_state == _S2_INV_COMMA:
+            self.s2_dots += 1
+            if self.s2_dots == c.sync_2_samples:
+                self.s2_state = _S2_INV_C
+                self.s2_nr_c = 0
+        elif self.s2_state == _S2_INV_C:
+            sym = self._slice(sample)
+            self.s2_inv_c = ((self.s2_inv_c << c.sym_bits) | sym) & 0xFFFF
+            self.s2_nr_c += c.sym_bits
+            if self.s2_nr_c == 16:
+                self.s2_state = _S2_SYNCED
+
+    # -- BLOCK ---------------------------------------------------------------
+
+    def _block_update(self, sample: int):
+        c = self.coding
+        symbol = self._slice(sample)
+        ph = self.phases
+        if c.nr_phases == 1:
+            ph[0].append_bit(1 if symbol == 1 else 0)
+        elif c.nr_phases == 2 and c.fsk_levels == 2:
+            target = ph[0] if not self.phase_ff else ph[2]
+            target.append_bit(1 if symbol == 1 else 0)
+            self.phase_ff = not self.phase_ff
+        elif c.nr_phases == 2:
+            ph[0].append_bit((symbol >> 1) & 1)
+            ph[2].append_bit(symbol & 1)
+        else:
+            if not self.phase_ff:
+                ph[0].append_bit((symbol >> 1) & 1)
+                ph[1].append_bit(symbol & 1)
+            else:
+                ph[2].append_bit((symbol >> 1) & 1)
+                ph[3].append_bit(symbol & 1)
+            self.phase_ff = not self.phase_ff
+
+        self.nr_symbols += 1
+        if self.nr_symbols == c.symbols_per_block:
+            if c.nr_phases == 1:
+                self._phase_process(0)
+            elif c.nr_phases == 2:
+                self._phase_process(0)
+                self._phase_process(2)
+            else:
+                for p in range(4):
+                    self._phase_process(p)
+            self._reset_sync()
+
+    # -- word-level decode ------------------------------------------------
+
+    def _phase_process(self, phase_id: int):
+        phs = self.phases[phase_id]
+        words = phs.words
+        biw, fail = self.bch.decode_one(words[0] & 0x7FFFFFFF)
+        if fail or _word_checksum(biw) != 0xF:
+            return
+        biw_vsw = (biw >> 10) & 0x3F
+        biw_eob = (biw >> 8) & 0x3
+        if biw_eob > biw_vsw:
+            return
+        addr_start = 1 + biw_eob
+
+        i = addr_start
+        while i < biw_vsw:
+            vec_offs = i + biw_vsw - addr_start
+            ok, capcode, nr_words = self._decode_address(words, i)
+            if not ok:
+                return
+            self._decode_vector(
+                phase_id, capcode, words, vec_offs, nr_words + 1
+            )
+            i += nr_words
+            i += 1
+
+    def _decode_address(self, words: list[int], i: int):
+        w0, fail = self.bch.decode_one(words[i] & 0x7FFFFFFF)
+        if fail:
+            return False, 0, 0
+        addr_first = w0 & 0x1FFFFF
+        words[i] = addr_first
+        if (0x8000 < addr_first <= 0x1E0000) or (
+            0x1F0000 < addr_first < 0x1F7FFF
+        ):
+            return True, addr_first - 32768, 0
+        w1, fail = self.bch.decode_one(words[i + 1] & 0x7FFFFFFF)
+        if fail:
+            return False, 0, 0
+        addr_second = w1 & 0x1FFFFF
+        words[i + 1] = addr_second
+        capcode = 0x1F9001 + ((0x1FFFFF - addr_second) * 32768 + addr_first - 1)
+        return True, capcode, 1
+
+    def _bch_word(self, raw: int):
+        return self.bch.decode_one(raw & 0x7FFFFFFF)
+
+    def _decode_vector(self, phase_id, capcode, base, vec_offs, nr_vec_words):
+        vec = []
+        for k in range(nr_vec_words):
+            w, fail = self._bch_word(base[vec_offs + k])
+            if fail:
+                return
+            vec.append(w)
+        self.msg_buf = bytearray()
+        vec_word = vec[0]
+        if _word_checksum(vec_word) != 0xF:
+            return
+        vec_type = (vec_word >> 4) & 0x7
+        word_start = (vec_word >> 7) & 0x7F
+        vec_long_word = vec[1] if nr_vec_words == 2 else 0xFFFFFFFF
+
+        phase = PHASE_NAMES[phase_id]
+        if vec_type == 0x2:  # tone / short message
+            self._decode_tone(phase, capcode, vec_word, vec_long_word)
+        elif vec_type == 0x3:  # standard numeric
+            word_length = ((vec_word >> 14) & 0x7) + 1
+            if nr_vec_words == 2:
+                word_length -= 1
+            self._decode_numeric(
+                phase, capcode, vec_long_word, base, word_start, word_length
+            )
+        elif vec_type == 0x5:  # alphanumeric
+            word_length = (vec_word >> 14) & 0x7F
+            if nr_vec_words == 2:
+                word_length -= 1
+            self._decode_alphanumeric(
+                phase, capcode, vec_long_word, base, word_start, word_length
+            )
+        elif vec_type == 0x1:  # special instruction vector
+            self._decode_siv(phase, capcode, vec_word)
+        # SECURE / HEX / SPECIAL_NUMERIC / NUMBERED_NUMERIC: logged-only in
+        # the reference (flex.c:1019-1024); no message emitted
+
+    def _decode_alphanumeric(self, phase, capcode, long_word, base, start, nr_words):
+        if nr_words == 0:
+            return
+        if long_word != 0xFFFFFFFF:
+            first_char_word = 0
+            status_word = long_word
+        else:
+            first_char_word = 1
+            status_word, fail = self._bch_word(base[start])
+            if fail:
+                return
+        fragment = bool(status_word & (1 << 10))
+        seq_num = (status_word >> 11) & 0x3
+        skip_word = 0
+        maildrop = False
+        if seq_num == 3:
+            skip_word = 1
+            maildrop = bool(status_word & (1 << 20))
+
+        for i in range(first_char_word, nr_words):
+            codeword, fail = self._bch_word(base[start + i])
+            if fail:
+                return
+            if skip_word:
+                codeword >>= 7
+            # NOTE: an ETX (0x03) only skips the rest of the CURRENT word in
+            # the reference (flex.c:656-668) — later words still decode
+            for _ in range(skip_word, 3):
+                ch = codeword & 0x7F
+                if ch == 0x3:
+                    break
+                self.msg_buf.append(ch)
+                if len(self.msg_buf) == 255:
+                    break
+                codeword >>= 7
+            skip_word = 0
+            if len(self.msg_buf) == 255:
+                break
+        self.messages.append(
+            FlexMessage(
+                kind="alnum",
+                baud=self.coding.baud,
+                phase=phase,
+                cycle=self.cycle_id,
+                frame=self.frame_id,
+                capcode=capcode,
+                data=bytes(self.msg_buf),
+                fragment=fragment,
+                maildrop=maildrop,
+                seq_num=seq_num,
+            )
+        )
+
+    def _decode_numeric(self, phase, capcode, long_word, base, start, nr_words):
+        nr_bits = nr_words * 21
+        if long_word != 0xFFFFFFFF:
+            cur_word = (long_word & 0x1FFFFF) >> 2
+            nr_bits += 19
+            cur_word_bits = 19
+            next_word_offs = 0
+        else:
+            cur_word, fail = self._bch_word(base[start])
+            if fail:
+                return
+            cur_word = (cur_word & 0x1FFFFF) >> 2
+            cur_word_bits = 19
+            nr_bits -= 2
+            next_word_offs = 1
+
+        next_word = 0
+        next_word_bits = 21
+        if next_word_offs < nr_words:
+            next_word, fail = self._bch_word(base[start + next_word_offs])
+            if fail:
+                return
+            next_word &= 0x1FFFFF
+
+        nr_bits &= ~0x3
+        while nr_bits != 0:
+            rem_bits = cur_word_bits & ~0x3
+            for _ in range(0, rem_bits, 4):
+                self.msg_buf.append(ord(_NUM_LUT[cur_word & 0xF]))
+                if len(self.msg_buf) == 255:
+                    break
+                cur_word >>= 4
+                cur_word_bits -= 4
+                nr_bits -= 4
+            if len(self.msg_buf) == 255:
+                break
+            if cur_word_bits != 0 and nr_bits != 0:
+                if cur_word_bits == 1:
+                    cur_word |= (next_word & 0x7) << 1
+                    next_word >>= 3
+                    next_word_bits -= 3
+                elif cur_word_bits == 2:
+                    cur_word |= (next_word & 0x3) << 2
+                    next_word >>= 2
+                    next_word_bits -= 2
+                elif cur_word_bits == 3:
+                    cur_word |= (next_word & 0x1) << 3
+                    next_word >>= 1
+                    next_word_bits -= 1
+                cur_word_bits = 4
+            elif cur_word_bits == 0 and nr_bits != 0:
+                cur_word = next_word
+                cur_word_bits = next_word_bits
+                next_word_bits = 21
+                next_word_offs += 1
+                if next_word_offs < nr_words:
+                    next_word, fail = self._bch_word(base[start + next_word_offs])
+                    if fail:
+                        return
+                    next_word &= 0x1FFFFF
+
+        self.messages.append(
+            FlexMessage(
+                kind="numeric",
+                baud=self.coding.baud,
+                phase=phase,
+                cycle=self.cycle_id,
+                frame=self.frame_id,
+                capcode=capcode,
+                data=bytes(self.msg_buf),
+            )
+        )
+
+    def _decode_tone(self, phase, capcode, first_word, second_word):
+        first_word &= 0x1FFFFF
+        ttype = (first_word >> 7) & 0x3
+        if ttype == 0x0:  # 3 or 8 digits
+            fw = first_word >> 9
+            for _ in range(3):
+                self.msg_buf.append(ord(_NUM_LUT[fw & 0xF]))
+                fw >>= 4
+            if second_word != 0xFFFFFFFF:
+                sw = second_word & 0x1FFFFF
+                for _ in range(5):
+                    self.msg_buf.append(ord(_NUM_LUT[sw & 0xF]))
+                    sw >>= 4
+            self.messages.append(
+                FlexMessage(
+                    kind="numeric",
+                    baud=self.coding.baud,
+                    phase=phase,
+                    cycle=self.cycle_id,
+                    frame=self.frame_id,
+                    capcode=capcode,
+                    data=bytes(self.msg_buf),
+                )
+            )
+        # sourced/sequenced tones are logged-only in the reference
+
+    def _decode_siv(self, phase, capcode, vec_word):
+        vec_word &= 0x7FFFFF
+        if _word_checksum(vec_word) != 0xF:
+            return
+        siv_type = (vec_word >> 7) & 0x7
+        siv_data = (vec_word >> 10) & 0x7FF
+        self.messages.append(
+            FlexMessage(
+                kind="siv",
+                baud=self.coding.baud,
+                phase=phase,
+                cycle=self.cycle_id,
+                frame=self.frame_id,
+                capcode=capcode,
+                siv_type=siv_type,
+                siv_data=siv_data,
+            )
+        )
+
+    # -- sample pump ----------------------------------------------------------
+
+    def on_pcm(self, pcm) -> list[FlexMessage]:
+        pcm = np.asarray(pcm, dtype=np.int16)
+        start = len(self.messages)
+        for s in pcm:
+            s = int(s)
+            if self.skip_count == 0:
+                self.skip_count = self.skip
+                if self.state == _ST_SYNC1:
+                    self._sync_update(s)
+                    if self.sync_state == _SY_SYNCED:
+                        if self._handle_fiw():
+                            self.state = _ST_SYNC2
+                            self.skip = self.coding.sample_skip
+                            self.skip_count = self.skip + self.coding.sample_fudge
+                        else:
+                            self._reset_sync()
+                elif self.state == _ST_SYNC2:
+                    self._sync2_update(s)
+                    if self.s2_state == _S2_SYNCED:
+                        self.state = _ST_BLOCK
+                else:
+                    self._block_update(s)
+            else:
+                self.skip_count -= 1
+        return self.messages[start:]
