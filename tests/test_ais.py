@@ -1,0 +1,134 @@
+import numpy as np
+import pytest
+
+from tsl_sdr_tpu.models.ais import (
+    AisDecoder,
+    AisDemodulator,
+    crc16_x25,
+    get_bitfield,
+    ascii_armor,
+)
+from tsl_sdr_tpu.testing import ais_gen as gen
+
+POS = gen.make_position_report(
+    367001234, nav_stat=5, rate_of_turn=-12, speed_over_ground=14.2,
+    longitude=-122.4194, latitude=37.7749, course=2718, heading=272,
+    timestamp=42,
+)
+BASE = gen.make_base_station_report(
+    3669999, year=2026, month=8, day=16, hour=9, minute=15, second=30,
+    longitude=4.47917, latitude=51.9225, epfd_type=1,
+)
+VOYAGE = gen.make_static_voyage(
+    366123456, imo=9074729, callsign="WDA1234", ship_name="EVER GIVEN",
+    ship_type=70, dims=(100, 300, 20, 30), draught=12.5,
+    destination="ROTTERDAM",
+)
+
+
+def test_crc16_x25_known_vector():
+    # CRC-16/X.25 check value for "123456789" is 0x906E
+    assert crc16_x25(b"123456789") == 0x906E
+
+
+def test_bitfield_roundtrip():
+    p = bytearray(21)
+    gen.set_bitfield(p, 13, 11, 0x5A5)
+    assert get_bitfield(bytes(p), 13, 11) == 0x5A5
+    gen.set_bitfield(p, 61, 28, 0xABCDEF1)
+    assert get_bitfield(bytes(p), 61, 28) == 0xABCDEF1
+
+
+def test_position_report_roundtrip():
+    dec = AisDecoder()
+    msgs = dec.on_pcm(gen.generate([POS]))
+    assert len(msgs) == 1 and dec.crc_rejects == 0
+    m = msgs[0]
+    assert m.mmsi == 367001234
+    assert m.nav_stat == 5
+    assert m.rate_of_turn == -12
+    assert abs(m.speed_over_ground - 14.2) < 0.05
+    assert abs(m.longitude - (-122.4194)) < 1e-5
+    assert abs(m.latitude - 37.7749) < 1e-5
+    assert m.course == 2718 and m.heading == 272 and m.timestamp == 42
+    assert m.raw == ascii_armor(POS)
+
+
+def test_base_and_voyage_roundtrip():
+    msgs = AisDecoder().on_pcm(gen.generate([BASE, VOYAGE]))
+    assert len(msgs) == 2
+    b, v = msgs
+    assert (b.year, b.month, b.day, b.hour, b.minute, b.second) == (
+        2026, 8, 16, 9, 15, 30,
+    )
+    assert b.epfd_name == "GPS"
+    assert v.imo_number == 9074729
+    assert v.callsign == "WDA1234"
+    assert v.ship_name.startswith("EVER GIVEN")
+    assert v.destination.startswith("ROTTERDAM")
+    assert abs(v.draught - 12.5) < 0.05
+
+
+def test_preamble_tolerates_two_bit_errors():
+    pcm = gen.generate([POS]).copy()
+    # corrupt one preamble bit cell (after the 48-bit lead-in): an NRZI level
+    # flip corrupts exactly two decoded bits — the detector's full tolerance
+    s = 52 * 5
+    pcm[s : s + 5] = -pcm[s : s + 5].astype(np.int32)
+    msgs = AisDecoder().on_pcm(pcm)
+    assert len(msgs) == 1 and msgs[0].mmsi == 367001234
+
+
+def test_corrupt_body_rejected_by_crc():
+    pcm = gen.generate([POS]).copy()
+    # flip one bit cell inside the data body (after lead 48 + preamble 32 bits)
+    s = (48 + 32 + 40) * 5
+    pcm[s : s + 5] = -pcm[s : s + 5].astype(np.int32)
+    dec = AisDecoder()
+    msgs = dec.on_pcm(pcm)
+    assert msgs == []
+    assert dec.crc_rejects >= 1
+
+
+def test_streaming_blocks_equal_oneshot():
+    pcm = gen.generate([POS, BASE, VOYAGE])
+    dec = AisDecoder()
+    out = []
+    for i in range(0, len(pcm), 1024):
+        out.extend(dec.on_pcm(pcm[i : i + 1024]))
+    assert [m.mmsi for m in out] == [367001234, 3669999, 366123456]
+
+
+def test_demodulator_emits_raw_packets():
+    demod = AisDemodulator()
+    pkts = demod.on_pcm(gen.generate([POS]))
+    assert pkts == [POS]
+
+
+def test_through_tpu_channelizer():
+    """AIS NRZI baseband -> NBFM at an offset -> exact channelize+demod at
+    48 kHz -> decode."""
+    from tsl_sdr_tpu.models.channelizer import MultifmChain
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    decim = 16
+    fs = 48000 * decim  # 768 ksps
+    offset = 90_000
+
+    baseband = gen.generate([POS, BASE], amplitude=6000)
+    dev = baseband.astype(np.float64) / 16384.0 * (48000 / 2)
+    inst = 2 * np.pi * (offset + dev) / fs
+    phase = np.cumsum(np.repeat(inst, decim))
+    rng = np.random.default_rng(21)
+    iq = np.stack([np.cos(phase), np.sin(phase)], -1) * 9000
+    iq = (iq + rng.normal(scale=120, size=iq.shape)).astype(np.int16)
+    # pad so process_array keeps the full burst
+    iq = np.concatenate([iq, np.zeros((decim * 8192, 2), np.int16)])
+
+    lpf = firdes_low_pass(1.0, fs, 24_000, 12_000)
+    chain = MultifmChain(lpf, [offset], fs, decim, exact=True)
+    pcm = chain.process_array(iq, block_size=decim * 4096)[0]
+
+    msgs = AisDecoder().on_pcm(pcm)
+    assert [m.mmsi for m in msgs] == [367001234, 3669999]
+    assert abs(msgs[0].latitude - 37.7749) < 1e-5

@@ -1,0 +1,167 @@
+"""AIS transmission generator (HDLC frame + NRZI baseband at 48 kHz).
+
+Builds packets in the decoder's byte/field convention (MSB-first bitfields
+over the byte array; bytes transmitted LSB-first, as the receiver stores
+incoming bits LSB-first per byte — ``ais_demod.c:181``), appends the
+CRC-16/X.25, HDLC-stuffs, frames with 0x7E flags, prepends the 24-bit
+alternating preamble, NRZI-encodes (decoded bit 1 == no level transition)
+and expands 5 samples/bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tsl_sdr_tpu.models.ais import crc16_x25, DECIMATION
+
+
+def set_bitfield(packet: bytearray, offset: int, length: int, value: int):
+    """MSB-first field packing — inverse of ais.get_bitfield."""
+    value &= (1 << length) - 1
+    for k in range(length):
+        bit = (value >> (length - 1 - k)) & 1
+        pos = offset + k
+        if bit:
+            packet[pos // 8] |= 0x80 >> (pos % 8)
+        else:
+            packet[pos // 8] &= ~(0x80 >> (pos % 8)) & 0xFF
+
+
+def set_string(packet: bytearray, offset: int, nr_chars: int, text: str):
+    for i in range(nr_chars):
+        c = ord(text[i]) if i < len(text) else ord("@")  # '@' decodes to '\0'-ish
+        v = c - 0x40 if c >= 0x40 else c
+        set_bitfield(packet, offset + 6 * i, 6, v)
+
+
+def make_position_report(
+    mmsi: int,
+    *,
+    msg_id: int = 1,
+    repeat: int = 0,
+    nav_stat: int = 0,
+    rate_of_turn: int = 0,
+    speed_over_ground: float = 0.0,
+    position_acc: int = 0,
+    longitude: float = 0.0,
+    latitude: float = 0.0,
+    course: int = 0,
+    heading: int = 0,
+    timestamp: int = 0,
+) -> bytes:
+    p = bytearray(21)  # 168 bits
+    set_bitfield(p, 0, 6, msg_id)
+    set_bitfield(p, 6, 2, repeat)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 38, 4, nav_stat)
+    set_bitfield(p, 42, 8, rate_of_turn & 0xFF)
+    set_bitfield(p, 50, 10, int(round(speed_over_ground * 10)))
+    set_bitfield(p, 60, 1, position_acc)
+    set_bitfield(p, 61, 28, int(round(longitude * 600000)) & ((1 << 28) - 1))
+    set_bitfield(p, 89, 27, int(round(latitude * 600000)) & ((1 << 27) - 1))
+    set_bitfield(p, 116, 12, course)
+    set_bitfield(p, 128, 9, heading)
+    set_bitfield(p, 137, 6, timestamp)
+    return bytes(p)
+
+
+def make_base_station_report(
+    mmsi: int, *, year=2026, month=8, day=16, hour=12, minute=34, second=56,
+    longitude=0.0, latitude=0.0, epfd_type=1,
+) -> bytes:
+    p = bytearray(21)
+    set_bitfield(p, 0, 6, 4)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 38, 14, year)
+    set_bitfield(p, 52, 4, month)
+    set_bitfield(p, 56, 5, day)
+    set_bitfield(p, 61, 5, hour)
+    set_bitfield(p, 66, 6, minute)
+    set_bitfield(p, 72, 6, second)
+    set_bitfield(p, 79, 28, int(round(longitude * 600000)) & ((1 << 28) - 1))
+    set_bitfield(p, 107, 27, int(round(latitude * 600000)) & ((1 << 27) - 1))
+    set_bitfield(p, 134, 4, epfd_type)
+    return bytes(p)
+
+
+def make_static_voyage(
+    mmsi: int, *, imo=9074729, callsign="WDA1234", ship_name="EVER GIVEN",
+    ship_type=70, dims=(100, 300, 20, 30), fix_type=1,
+    eta=(8, 20, 6, 30), draught=12.5, destination="ROTTERDAM",
+) -> bytes:
+    p = bytearray(53)  # 424 bits
+    set_bitfield(p, 0, 6, 5)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 38, 2, 0)
+    set_bitfield(p, 40, 30, imo)
+    set_string(p, 70, 7, callsign)
+    set_string(p, 112, 20, ship_name)
+    set_bitfield(p, 232, 8, ship_type)
+    set_bitfield(p, 240, 9, dims[0])
+    set_bitfield(p, 249, 9, dims[1])
+    set_bitfield(p, 258, 6, dims[2])
+    set_bitfield(p, 264, 6, dims[3])
+    set_bitfield(p, 270, 4, fix_type)
+    set_bitfield(p, 274, 4, eta[0])
+    set_bitfield(p, 278, 5, eta[1])
+    set_bitfield(p, 283, 5, eta[2])
+    set_bitfield(p, 288, 6, eta[3])
+    set_bitfield(p, 294, 8, int(round(draught * 10)))
+    set_string(p, 302, 20, destination)
+    return bytes(p)
+
+
+def packet_to_bits(packet: bytes) -> list[int]:
+    """Payload + CRC -> stuffed HDLC bit stream with preamble + flags.
+
+    Returns the NRZI-DECODED bit sequence the receiver should recover.
+    """
+    crc = crc16_x25(packet)
+    framed = bytes(packet) + bytes([crc & 0xFF, crc >> 8])
+    # data bits: LSB-first per byte (receiver stores bit k at byte bit k%8)
+    data_bits = []
+    for b in framed:
+        data_bits.extend((b >> i) & 1 for i in range(8))
+    # HDLC stuffing: insert a 0 after five consecutive 1s
+    stuffed = []
+    ones = 0
+    for bit in data_bits:
+        stuffed.append(bit)
+        if bit:
+            ones += 1
+            if ones == 5:
+                stuffed.append(0)
+                ones = 0
+        else:
+            ones = 0
+    flag = [0, 1, 1, 1, 1, 1, 1, 0]
+    preamble = [i & 1 for i in range(24)]  # 0101... (0x555555 MSB-first)
+    return preamble + flag + stuffed + flag
+
+
+def nrzi_modulate(decoded_bits, amplitude: int = 9000, lead_bits: int = 16,
+                  tail_bits: int = 16) -> np.ndarray:
+    """Decoded bit 1 == no transition (``bit = !(last ^ cur)``)."""
+    levels = []
+    level = 1
+    for _ in range(lead_bits):
+        levels.append(level)  # constant level decodes to 1s
+    for bit in decoded_bits:
+        if bit == 0:
+            level = -level
+        levels.append(level)
+    for _ in range(tail_bits):
+        level = -level  # transitions decode to 0s: keeps rx from idling in 1s
+        levels.append(level)
+    lv = np.asarray(levels, dtype=np.int16) * amplitude
+    return np.repeat(lv, DECIMATION)
+
+
+def generate(packets: list[bytes], amplitude: int = 9000,
+             gap_bits: int = 48) -> np.ndarray:
+    """Multiple packets -> one 48 kHz PCM stream."""
+    out = []
+    for p in packets:
+        out.append(nrzi_modulate(packet_to_bits(p), amplitude,
+                                 lead_bits=gap_bits, tail_bits=gap_bits))
+    return np.concatenate(out)
