@@ -1,0 +1,98 @@
+import numpy as np
+
+from tsl_sdr_tpu.ops import costas
+from tsl_sdr_tpu.ops.mueller_muller import MuellerMuller
+from tsl_sdr_tpu.testing import pocsag_gen
+
+
+class TestCostas:
+    def _bpsk(self, n, f_err, fs=48000.0, baud=1200, amp=12000, seed=0):
+        rng = np.random.default_rng(seed)
+        spb = int(fs / baud)
+        bits = rng.integers(0, 2, size=n // spb + 1)
+        sym = np.repeat(np.where(bits > 0, 1.0, -1.0), spb)[:n]
+        t = np.arange(n)
+        ph = 2 * np.pi * f_err / fs * t + 0.7
+        iq = np.stack([sym * np.cos(ph), sym * np.sin(ph)], -1) * amp
+        return iq.astype(np.int16), sym
+
+    def test_locks_onto_carrier(self):
+        """BPSK with a small carrier offset: after lock, energy concentrates
+        in the real rail."""
+        iq, sym = self._bpsk(20000, f_err=30.0)
+        params = costas.make_costas_params(0.0, alpha=0.05, beta=0.002, e_max_q14=8192)
+        state = costas.init_costas_state(params)
+        state, out = costas.costas_step(params, state, iq)
+        out = np.asarray(out, dtype=np.float64)
+        tail = out[5000:]
+        re_power = np.mean(tail[:, 0] ** 2)
+        im_power = np.mean(tail[:, 1] ** 2)
+        assert re_power > 20 * im_power, (re_power, im_power)
+
+    def test_jax_matches_numpy_oracle(self):
+        iq, _ = self._bpsk(3000, f_err=15.0, seed=1)
+        params = costas.make_costas_params(0.0, alpha=0.03, beta=0.001, e_max_q14=4096)
+        state = costas.init_costas_state(params)
+        _, got = costas.costas_step(params, state, iq)
+        want, _ = costas.costas_np(params, iq)
+        diff = np.abs(np.asarray(got, np.int32) - want.astype(np.int32))
+        # serial f32 recurrences accumulate ulp differences; stay within a
+        # few PCM LSBs and bit-identical for the vast majority
+        assert np.median(diff) == 0
+        assert diff.max() <= 160, diff.max()
+        assert (diff <= 2).mean() > 0.95
+
+    def test_state_carries_across_blocks(self):
+        iq, _ = self._bpsk(4000, f_err=20.0, seed=2)
+        params = costas.make_costas_params(0.0, alpha=0.05, beta=0.002, e_max_q14=8192)
+        s1 = costas.init_costas_state(params)
+        outs = []
+        for i in range(0, len(iq), 1000):
+            s1, o = costas.costas_step(params, s1, iq[i : i + 1000])
+            outs.append(np.asarray(o))
+        blocked = np.concatenate(outs)
+        s2 = costas.init_costas_state(params)
+        _, whole = costas.costas_step(params, s2, iq)
+        np.testing.assert_array_equal(blocked, np.asarray(whole))
+
+
+class TestMuellerMuller:
+    def test_recovers_pocsag_sync_words(self):
+        """Mirror of the reference MM test strategy
+        (pager/test/test_mueller_muller.c:92-211): 1200 bps POCSAG-style
+        stream at 25 kHz, kw=1e-4, km=4e-6; count sync words recovered in the
+        decision stream."""
+        fs, baud = 25000.0, 1200
+        spb = fs / baud
+        n_frames = 5
+        bursts = [
+            pocsag_gen.PocsagBurst(capcode=1000 + i, function=0, kind="numeric",
+                                   content="123")
+            for i in range(n_frames)
+        ]
+        bits = pocsag_gen.words_to_bits(pocsag_gen.build_words(bursts))
+        pre = np.resize(np.asarray([1, 0], np.uint8), 576)
+        all_bits = np.concatenate([pre, bits])
+        n_batches = len(bits) // 544
+        # modulate at a fractional samples-per-bit (20.833): nearest-sample
+        edges = np.round(np.arange(len(all_bits) + 1) * spb).astype(int)
+        pcm = np.zeros(edges[-1], dtype=np.int16)
+        for i, b in enumerate(all_bits):
+            pcm[edges[i] : edges[i + 1]] = -9000 if b else 9000
+        mm = MuellerMuller(kw=1e-4, km=4e-6, samples_per_bit=spb,
+                           error_min=spb - 2, error_max=spb + 2)
+        decisions = []
+        for i in range(0, len(pcm), 4096):
+            decisions.append(mm.process(pcm[i : i + 4096]))
+        dec = np.concatenate(decisions)
+        # count POCSAG sync words in the sliced decision stream
+        sync = 0
+        reg = 0
+        for d in dec:
+            reg = ((reg << 1) | (1 if d < 0 else 0)) & 0xFFFFFFFF
+            if bin(reg ^ 0x7CD215D8).count("1") <= 4:
+                sync += 1
+        # the PI loop needs acquisition time; everything after lock must be
+        # recovered (the reference's fixture test pins an exact count the
+        # same way for its own recording)
+        assert sync >= n_batches - 1, (sync, n_batches)
