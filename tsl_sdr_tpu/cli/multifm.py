@@ -1,0 +1,121 @@
+"""multifm-tpu: N-channel NBFM channelizer (reference ``multifm/multifm.c``).
+
+Usage: ``multifm-tpu config.json [more-config.json ...]`` — configs deep-merge
+left to right like the reference (``multifm.c:105-111``) and use the same
+vocabulary (device/sampleRateHz/centerFreqHz/decimationFactor/lpfTaps/
+channels). The ``file`` device streams an IQ capture through the TPU
+channelizer and writes each channel's 16-bit PCM to its ``outFifo`` path
+(FIFO or regular file). Hardware devices (rtlsdr/airspy/usrp) require a
+radio attached to the host; this build gates them behind ``--iq-file``
+(stream a raw capture using the device config's format conventions).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(prog="multifm-tpu", description=__doc__)
+    p.add_argument("configs", nargs="+", help="JSON config file(s), merged")
+    p.add_argument("--exact", action="store_true", default=False,
+                   help="bit-exact integer tier (default: fast float tier)")
+    p.add_argument("--iq-file", default=None,
+                   help="override: stream this IQ capture instead of hardware")
+    p.add_argument("--iq-format", default=None,
+                   choices=["cs16", "cs8", "cu8", "rtl_u8"],
+                   help="sample format of --iq-file")
+    p.add_argument("--block-size", type=int, default=262144)
+    p.add_argument("--realtime", action="store_true",
+                   help="pace file playback at sampleRateHz (file_if.c:160-203)")
+    return p
+
+
+def _iq_block_iter(path, fmt, block_samples):
+    from tsl_sdr_tpu.utils import iq as iqio
+    from tsl_sdr_tpu.runtime.stream import iter_file_blocks
+
+    if fmt == "cs16":
+        pending = np.zeros((0, 2), np.int16)
+        for flat in iter_file_blocks(path, dtype=np.int16):
+            flat = flat[: len(flat) // 2 * 2].reshape(-1, 2)
+            yield flat
+    else:
+        for raw in iter_file_blocks(path, dtype=np.uint8):
+            if fmt == "rtl_u8":
+                flat = iqio.rtl_u8_to_q14(raw)
+            else:
+                flat = iqio.widen_iq_bytes(raw, fmt)
+            yield flat[: len(flat) // 2 * 2].reshape(-1, 2)
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import time
+
+    from tsl_sdr_tpu.models.channelizer import MultifmChain
+    from tsl_sdr_tpu.runtime.stream import StreamCounters
+    from tsl_sdr_tpu.utils.config import MultifmConfig
+
+    cfg = MultifmConfig.load(*args.configs)
+    chain = MultifmChain.from_config(cfg, exact=args.exact)
+
+    dev_type = cfg.device.type
+    iq_path = args.iq_file
+    iq_fmt = args.iq_format
+    if dev_type == "file" and iq_path is None:
+        iq_path = cfg.device.params["filename"]
+        iq_fmt = iq_fmt or cfg.device.params.get("fileFormat", "cs16")
+    if iq_path is None:
+        print(
+            f"multifm-tpu: device type '{dev_type}' needs attached hardware; "
+            "use a 'file' device or --iq-file to stream a capture",
+            file=sys.stderr,
+        )
+        return 2
+
+    block = args.block_size - (args.block_size % cfg.decimation_factor)
+    sinks = [open(ch.out_fifo, "wb") for ch in cfg.channels]
+    counters = StreamCounters()
+
+    state = None
+    pending = np.zeros((0, 2), np.int16)
+    t0 = time.monotonic()
+    try:
+        for iq in _iq_block_iter(iq_path, iq_fmt or "cs16", block):
+            pending = np.concatenate([pending, iq])
+            if state is None:
+                c_len = chain.plan.carry_len
+                if len(pending) < c_len:
+                    continue
+                state = chain.init_state(prefix=pending[:c_len])
+                pending = pending[c_len:]
+            while len(pending) >= block:
+                blk = pending[:block]
+                pending = pending[block:]
+                state, pcm = chain.step(state, blk)
+                pcm = np.asarray(pcm)
+                counters.samples_in += block
+                counters.samples_out += pcm.shape[1]
+                for c, sink in enumerate(sinks):
+                    pcm[c].astype(np.int16).tofile(sink)
+                if args.realtime:
+                    target = counters.samples_in / cfg.sample_rate_hz
+                    lag = target - (time.monotonic() - t0)
+                    if lag > 0:
+                        time.sleep(lag)
+    except (KeyboardInterrupt, BrokenPipeError):
+        pass
+    finally:
+        for s in sinks:
+            s.close()
+        print(f"multifm-tpu: {counters.summary()}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

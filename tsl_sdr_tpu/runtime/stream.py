@@ -1,0 +1,96 @@
+"""Push-style streaming adapters around the block-form kernels."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tsl_sdr_tpu.models.resampler import ResamplerChain
+
+
+@dataclass
+class StreamCounters:
+    """Reference-style running counters (``multifm/demod.h:71-81``,
+    ``ais/ais_demod_priv.h:154``)."""
+
+    samples_in: int = 0
+    samples_out: int = 0
+    messages: int = 0
+    dropped: int = 0
+    crc_rejects: int = 0
+
+    def summary(self) -> str:
+        return (
+            f"samples_in={self.samples_in} samples_out={self.samples_out} "
+            f"messages={self.messages} dropped={self.dropped} "
+            f"crc_rejects={self.crc_rejects}"
+        )
+
+
+class PushResampler:
+    """Feed arbitrary-sized int16 chunks; emits resampled PCM as available.
+
+    Internally primes the chain's carry with the first ``carry_len`` samples
+    and then steps in fixed ``block_in`` blocks (static shapes for the TPU
+    kernel), buffering remainders.
+    """
+
+    def __init__(self, chain: ResamplerChain):
+        self.chain = chain
+        self._pending = np.zeros(0, dtype=np.int16)
+        self._state = None
+
+    def push(self, samples) -> np.ndarray:
+        self._pending = np.concatenate(
+            [self._pending, np.asarray(samples, dtype=np.int16)]
+        )
+        plan = self.chain.plan
+        if self._state is None:
+            if len(self._pending) < plan.carry_len:
+                return np.zeros(0, dtype=np.int16)
+            self._state = self.chain.init_state(
+                prefix=self._pending[: plan.carry_len]
+            )
+            self._pending = self._pending[plan.carry_len :]
+
+        outs = []
+        while len(self._pending) >= plan.block_in:
+            block = self._pending[: plan.block_in]
+            self._pending = self._pending[plan.block_in :]
+            self._state, out = self.chain.step(self._state, block)
+            outs.append(np.asarray(out))
+        if not outs:
+            return np.zeros(0, dtype=np.int16)
+        return np.concatenate(outs)
+
+    def flush(self) -> np.ndarray:
+        """Zero-pad the tail out to full blocks and emit what they yield.
+
+        The zero padding produces filter-settled samples past the true
+        stream end; decoders treat them as silence.
+        """
+        plan = self.chain.plan
+        if self._state is None:
+            # stream shorter than the prime; pad through priming too
+            need = plan.carry_len + plan.block_in - len(self._pending)
+        else:
+            need = (-len(self._pending)) % plan.block_in
+            need += plan.block_in  # one extra block to drain the carry
+        return self.push(np.zeros(need, dtype=np.int16))
+
+
+def iter_file_blocks(path, block_bytes: int = 1 << 18, dtype=np.int16):
+    """Yield dtype blocks from a file or FIFO until EOF."""
+    itemsize = np.dtype(dtype).itemsize
+    with open(path, "rb", buffering=0) as f:
+        carry = b""
+        while True:
+            data = f.read(block_bytes)
+            if not data:
+                break
+            data = carry + data
+            usable = len(data) - (len(data) % itemsize)
+            carry = data[usable:]
+            if usable:
+                yield np.frombuffer(data[:usable], dtype=dtype)

@@ -1,0 +1,134 @@
+"""JSON-lines message emitters matching the reference decoder's vocabulary.
+
+The reference prints one JSON object per decoded message with hand-rolled
+escaping (``decoder/decoder.c:131-171``): CR and LF both become ``\\n``,
+backspace/formfeed become ``<BKSP>``/``<FF>``, ETX/EOT/ETB become a space,
+other non-printables ``\\uXXXX``. Key names and structures are kept
+identical so downstream consumers of the reference's output work unchanged.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def escape_message(data: bytes) -> str:
+    out = []
+    for ch in data:
+        c = chr(ch)
+        if c == "\n" or c == "\r":
+            out.append("\\n")
+        elif c == '"':
+            out.append('\\"')
+        elif c == "\\":
+            out.append("\\\\")
+        elif c == "/":
+            out.append("\\/")
+        elif c == "\b":
+            out.append("<BKSP>")
+        elif c == "\f":
+            out.append("<FF>")
+        elif c == "\t":
+            out.append("\\t")
+        elif ch in (0x03, 0x04, 0x17):
+            out.append(" ")
+        elif 0x20 <= ch <= 0x7E:
+            out.append(c)
+        else:
+            out.append(f"\\u{ch:04x}")
+    return "".join(out)
+
+
+def _ts(now=None) -> str:
+    gmt = time.gmtime(now)
+    return (
+        f"{gmt.tm_year:04d}-{gmt.tm_mon:02d}-{gmt.tm_mday:02d} "
+        f"{gmt.tm_hour:02d}:{gmt.tm_min:02d}:{gmt.tm_sec:02d} UTC"
+    )
+
+
+def flex_message_json(m, now=None) -> str:
+    """tsl_sdr_tpu.models.flex.FlexMessage -> reference JSON line."""
+    ts = _ts(now)
+    if m.kind == "alnum":
+        return (
+            f'{{"proto":"flex","type":"alphanumeric","timestamp":"{ts}",'
+            f'"baud":{m.baud},"syncLevel":0,"frameNo":{m.frame},'
+            f'"cycleNo":{m.cycle},"phaseNo":"{m.phase}","capCode":{m.capcode},'
+            f'"fragment":{"true" if m.fragment else "false"},'
+            f'"maildrop":{"true" if m.maildrop else "false"},'
+            f'"fragSeq":{m.seq_num},"message":"{escape_message(m.data)}"}}'
+        )
+    if m.kind == "numeric":
+        return (
+            f'{{"proto":"flex","type":"numeric","timestamp":"{ts}",'
+            f'"baud":{m.baud},"syncLevel":0,"frameNo":{m.frame},'
+            f'"cycleNo":{m.cycle},"phaseNo":"{m.phase}","capCode":{m.capcode},'
+            f'"message":"{escape_message(m.data)}"}}'
+        )
+    if m.kind == "siv" and m.siv_type == 0:  # temp address activation
+        return (
+            f'{{"proto":"flex","type":"tempAddrActivation","timestamp":"{ts}",'
+            f'"baud":{m.baud},"syncLevel":0,"frameNo":{m.frame},'
+            f'"cycleNo":{m.cycle},"phaseNo":"{m.phase}","capCode":{m.capcode},'
+            f'"startFrameNo":{m.siv_data & 0x7F},'
+            f'"tempAddressId":{(m.siv_data >> 7) & 0xF}}}'
+        )
+    return ""
+
+
+def pocsag_message_json(m, now=None) -> str:
+    """tsl_sdr_tpu.models.pocsag.PocsagMessage -> reference JSON line."""
+    ts = _ts(now)
+    kind = "alphanumeric" if m.kind == "alpha" else "numeric"
+    return (
+        f'{{"proto":"pocsag","type":"{kind}","timestamp":"{ts}",'
+        f'"baud":{m.baud},"capCode":{m.capcode},"function":{m.function},'
+        f'"message":"{escape_message(m.data)}"}}'
+    )
+
+
+def ais_message_json(m, now=None) -> str:
+    """AIS report dataclasses -> reference JSON line."""
+    from tsl_sdr_tpu.models.ais import (
+        AisBaseStationReport,
+        AisPositionReport,
+        AisStaticVoyageData,
+    )
+
+    ts = _ts(now)
+    raw = escape_message(m.raw.encode("latin-1"))
+    if isinstance(m, AisPositionReport):
+        return (
+            f'{{"proto":"ais","type":"positionReport","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},"navStat":{m.nav_stat},'
+            f'"rateOfTurn":{m.rate_of_turn},'
+            f'"speedOverGround":{m.speed_over_ground:f},'
+            f'"positionAcc":{m.position_acc},'
+            f'"geoPosition":{{"lon":{m.longitude:f},"lat":{m.latitude:f}}},'
+            f'"course":{m.course},"heading":{m.heading},'
+            f'"seconds":{m.timestamp},"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisBaseStationReport):
+        return (
+            f'{{"proto":"ais","type":"baseStationReport","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},'
+            f'"baseStationDate":"{m.year:04d}-{m.month:02d}-{m.day:02d} '
+            f'{m.hour:02d}:{m.minute:02d}:{m.second:02d} UTC",'
+            f'"geoPosition":{{"lon":{m.longitude:f},"lat":{m.latitude:f}}},'
+            f'"fixType":"{m.epfd_name}","rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisStaticVoyageData):
+        return (
+            f'{{"proto":"ais","type":"staticAndVoyageData","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},"version":{m.version},'
+            f'"imoNumber":{m.imo_number},"callsign":"{m.callsign}",'
+            f'"shipName":"{m.ship_name}","shipType":{m.ship_type},'
+            f'"dimensions":{{"toBow":{m.dim_to_bow},"toStern":{m.dim_to_stern},'
+            f'"toPort":{m.dim_to_port},"toStarboard":{m.dim_to_starboard}}},'
+            f'"fixType":"{m.epfd_name}",'
+            f'"eta":"{m.eta_month:02d}-{m.eta_day:02d} '
+            f'{m.eta_hour:02d}:{m.eta_minute:02d}","draught":{m.draught:f},'
+            f'"destination":"{m.destination}","rawAscii":"{raw}"}}'
+        )
+    return ""
