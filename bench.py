@@ -1,17 +1,26 @@
 #!/usr/bin/env python3
 """Headline benchmark: wideband complex IQ Msamples/s/chip through the
 flagship channelize + FM-demod chain (8 channels, 128 taps, decimate-by-40 —
-the etc/multifm.json shape), fast tier, on the real TPU.
+the etc/multifm.json shape), production tier, on the real TPU.
 
 Baseline: a single-thread C implementation of the same per-output arithmetic
 (the reference's scalar design point), compiled and timed on this host.
+
+Timing methodology (the device sits behind an async tunnel, so naive
+block_until_ready timing is unreliable):
+* the rep loop runs ON DEVICE as a ``lax.scan`` whose carry threads the
+  streaming state through every rep — no rep can be elided or hoisted
+  (each depends on the previous state), and the PCM of every rep folds
+  into a checksum that is fetched to the host;
+* per-rep time is the difference between a long and a short run
+  ((T(hi) - T(lo)) / (hi - lo)), cancelling dispatch/transfer overhead;
+* best of several trials is reported to shed co-tenant noise.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N}
 """
 
 import json
-import os
 import subprocess
 import sys
 import time
@@ -25,6 +34,10 @@ NR_CHANNELS = 8
 NR_TAPS = 128
 DECIM = 40
 FS = 1_000_000
+BLOCK = 4_194_240          # per scan step (multiple of block quantum 320)
+N_BLOCKS = 4               # one pass = 16.8M samples
+REP_LO, REP_HI = 2, 10
+TRIALS = 3
 
 
 def cpu_baseline_msps() -> float:
@@ -47,6 +60,7 @@ def cpu_baseline_msps() -> float:
 
 def tpu_msps() -> float:
     import jax
+    import jax.numpy as jnp
     from tsl_sdr_tpu.models.channelizer import MultifmChain
     from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
 
@@ -55,30 +69,51 @@ def tpu_msps() -> float:
     offsets = rng.integers(-FS // 3, FS // 3, size=NR_CHANNELS)
     chain = MultifmChain(lpf, offsets, FS, DECIM, exact=False)
 
-    block = 1_048_576 - (1_048_576 % DECIM)
-    n_blocks = 16
-    total = chain.plan.carry_len + n_blocks * block
-    iq = rng.integers(-8000, 8000, size=(total, 2), dtype=np.int64).astype(np.int16)
-
-    import jax.numpy as jnp
-
-    state = chain.init_state(prefix=iq[: chain.plan.carry_len])
-    blocks = jnp.asarray(
-        iq[chain.plan.carry_len :].reshape(n_blocks, block, 2)
+    total = chain.carry_len + N_BLOCKS * BLOCK
+    iq = rng.integers(-8000, 8000, size=(total, 2), dtype=np.int64).astype(
+        np.int16
     )
-    blocks = jax.device_put(blocks)
+    state0 = chain.init_state(prefix=iq[: chain.carry_len])
+    blocks = jax.device_put(
+        jnp.asarray(iq[chain.carry_len :].reshape(N_BLOCKS, 2 * BLOCK))
+    )
+    samples_per_pass = N_BLOCKS * BLOCK
 
-    # warmup / compile
-    st, pcm = chain.scan_fn(state, blocks)
-    jax.block_until_ready(pcm)
+    def make(reps):
+        @jax.jit
+        def run(state, blocks):
+            def rep(carry, _):
+                st, acc = carry
+                st, pcm = jax.lax.scan(chain._step_raw, st, blocks)
+                return (st, acc + jnp.sum(pcm.astype(jnp.int32))), None
 
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        st, pcm = chain.scan_fn(state, blocks)
-    jax.block_until_ready(pcm)
-    dt = (time.perf_counter() - t0) / reps
-    return n_blocks * block / dt / 1e6
+            (st, acc), _ = jax.lax.scan(
+                rep, (state, jnp.int32(0)), None, length=reps
+            )
+            # consume all state leaves so nothing dead-codes away
+            tot = acc.astype(jnp.float32)
+            for leaf in jax.tree.leaves(st):
+                tot = tot + jnp.sum(leaf.astype(jnp.float32))
+            return tot
+
+        return run
+
+    run_lo, run_hi = make(REP_LO), make(REP_HI)
+    float(run_lo(state0, blocks))  # compile
+    float(run_hi(state0, blocks))
+
+    best = float("inf")
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        float(run_lo(state0, blocks))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run_hi(state0, blocks))
+        t_hi = time.perf_counter() - t0
+        dt = (t_hi - t_lo) / (REP_HI - REP_LO)
+        if 0 < dt < best:
+            best = dt
+    return samples_per_pass / best / 1e6
 
 
 def main():

@@ -1,0 +1,132 @@
+"""Lane-packed fast tier (ops/packed_fir + fm_from_baseband) vs float64 oracle.
+
+The packed tier is the production TPU path; it must track a plain float64
+windowed-FIR + rotate + discriminate oracle to within ~1 PCM LSB, and be
+invariant to block boundaries.
+"""
+
+import numpy as np
+
+from tsl_sdr_tpu.models.channelizer import MultifmChain
+from tsl_sdr_tpu.ops import fir, fm, packed_fir
+from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+
+def _oracle_pcm(x, lpf, offsets, fs, d):
+    """float64 reference: windowed FIR -> analytic rotate -> atan2 FM."""
+    c = len(offsets)
+    t = len(lpf)
+    k0 = (len(x) - t) // d + 1
+    idx = np.arange(k0)[:, None] * d + np.arange(t)[None, :]
+    win = np.asarray(x, np.float64)[idx]  # [K, T, 2]
+    pcm = np.zeros((c, k0), np.int16)
+    for ci in range(c):
+        taps, f_offs = fir.design_channel_taps(lpf, offsets[ci], fs)
+        ar = win[..., 0] @ taps.real + win[..., 1] @ -taps.imag * -1
+        ar = win[..., 0] @ taps.real - win[..., 1] @ taps.imag
+        ai = win[..., 1] @ taps.real + win[..., 0] @ taps.imag
+        th = f_offs * d * np.arange(k0)
+        yr = ar * np.cos(th) - ai * np.sin(th)
+        yi = ar * np.sin(th) + ai * np.cos(th)
+        pr = np.concatenate([[0.0], yr[:-1]])
+        pi_ = np.concatenate([[0.0], yi[:-1]])
+        phi = np.arctan2(yi * pr - yr * pi_, yr * pr + yi * pi_)
+        pcm[ci] = np.trunc(phi / np.pi * 16384).astype(np.int16)
+    return pcm
+
+
+def test_packed_matches_float64_oracle():
+    fs, d = 512_000, 16
+    rng = np.random.default_rng(7)
+    lpf = firdes_low_pass(1.0, fs, 18_000, 9_000)[:96]
+    offsets = [40_000, -100_000, 212_000]
+    n = 200_000
+    x = rng.integers(-9000, 9000, size=(n, 2), dtype=np.int64).astype(np.int16)
+
+    chain = MultifmChain(lpf, offsets, fs, d, exact=False)
+    got = chain.process_array(x, block_size=64_000)
+
+    want = _oracle_pcm(x, lpf, offsets, fs, d)
+    m = min(got.shape[1], want.shape[1])
+    diff = np.abs(got[:, 1:m].astype(np.int32) - want[:, 1:m].astype(np.int32))
+    diff = np.minimum(diff, 32768 - diff)  # +/-pi wrap counts as adjacent
+    assert diff.max() <= 2, diff.max()
+    assert (diff <= 1).mean() > 0.999
+
+
+def test_packed_block_boundary_invariance():
+    """Streaming in small blocks == one big block, exactly."""
+    fs, d = 128_000, 4
+    rng = np.random.default_rng(8)
+    lpf = firdes_low_pass(1.0, fs, 12_000, 8_000)[:41]
+    offsets = [8_000, -24_000]
+    chain = MultifmChain(lpf, offsets, fs, d, exact=False)
+    q = chain.block_quantum
+    n = q * 40
+    x = rng.integers(-9000, 9000, size=(n + chain.carry_len, 2), dtype=np.int64)
+    x = x.astype(np.int16)
+
+    st = chain.init_state(prefix=x[: chain.carry_len])
+    _, whole = chain.step(st, x[chain.carry_len :])
+    whole = np.asarray(whole)
+
+    st = chain.init_state(prefix=x[: chain.carry_len])
+    outs = []
+    pos = chain.carry_len
+    for i in range(8):
+        st, pcm = chain.step(st, x[pos : pos + 5 * q])
+        pos += 5 * q
+        outs.append(np.asarray(pcm))
+    blocked = np.concatenate(outs, axis=1)
+    np.testing.assert_array_equal(whole, blocked)
+
+
+def test_nco_rotate_matches_float64_phase():
+    """Integer-NCO rotation stays phase-accurate at large absolute index."""
+    rng = np.random.default_rng(9)
+    c = 4
+    k = 2048
+    k0 = 10_000_000  # deep into a stream — float32 omega*k would be garbage
+    omega = rng.uniform(-np.pi, np.pi, size=c)
+    ar = rng.normal(size=(k, c)).astype(np.float32)
+    ai = rng.normal(size=(k, c)).astype(np.float32)
+    oi32 = packed_fir.omega_turns_i32(omega)
+    yr, yi = packed_fir.nco_rotate(ar, ai, oi32, np.int32(k0))
+
+    kk = k0 + np.arange(k)[:, None]
+    # reproduce the NCO's quantized phase in float64 (the NCO quantizes
+    # omega to 2^-32 turns; that is its contract)
+    th = (kk * oi32[None, :].astype(np.int64)) % 2**32
+    th = np.where(th >= 2**31, th - 2**32, th) * (2 * np.pi / 2**32)
+    wr = ar * np.cos(th) - ai * np.sin(th)
+    wi = ar * np.sin(th) + ai * np.cos(th)
+    assert np.max(np.abs(np.asarray(yr) - wr)) < 1e-5
+    assert np.max(np.abs(np.asarray(yi) - wi)) < 1e-5
+
+
+def test_fm_from_baseband_equals_rotate_then_fm():
+    rng = np.random.default_rng(10)
+    k, c = 4096, 2
+    omega = rng.uniform(-1.0, 1.0, size=c)
+    ar = rng.normal(scale=3000, size=(k, c)).astype(np.float32)
+    ai = rng.normal(scale=3000, size=(k, c)).astype(np.float32)
+
+    pcm, _, _ = fm.fm_from_baseband(
+        ar,
+        ai,
+        np.zeros(c, np.float32),
+        np.zeros(c, np.float32),
+        omega.astype(np.float32),
+    )
+    pcm = np.asarray(pcm)
+
+    th = omega[None, :] * np.arange(k)[:, None]
+    yr = ar * np.cos(th) - ai * np.sin(th)
+    yi = ar * np.sin(th) + ai * np.cos(th)
+    pr = np.vstack([np.zeros((1, c)), yr[:-1]])
+    pi_ = np.vstack([np.zeros((1, c)), yi[:-1]])
+    phi = np.arctan2(yi * pr - yr * pi_, yr * pr + yi * pi_)
+    want = np.trunc(phi / np.pi * 16384).astype(np.int16)
+    diff = np.abs(pcm.astype(np.int32) - want.astype(np.int32))
+    diff = np.minimum(diff, 32768 - diff)
+    assert diff[1:].max() <= 1, diff[1:].max()

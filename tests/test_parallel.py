@@ -25,20 +25,21 @@ def test_sharded_matches_single_device():
     iq = rng.integers(-12000, 12000, size=(s, 2), dtype=np.int64).astype(np.int16)
 
     # single-device reference: primed chain over the same stream
-    state = chain.init_state(prefix=iq[: chain.plan.carry_len])
-    _, pcm_single = chain.step(state, iq[chain.plan.carry_len :][: (s - chain.plan.carry_len) // d * d])
+    c_len = chain.carry_len
+    q = chain.block_quantum
+    state = chain.init_state(prefix=iq[:c_len])
+    _, pcm_single = chain.step(state, iq[c_len:][: (s - c_len) // q * q])
     pcm_single = np.asarray(pcm_single)
 
     mesh = make_mesh(time=time_shards, channels=ch_shards, devices=jax.devices()[:8])
-    fn = make_sharded_multifm(chain.plan, mesh)
+    fn = make_sharded_multifm(chain.packed_plan, mesh)
     pcm_sharded = np.asarray(fn(iq))
 
-    # alignment: sharded position p == global output m at p = m + carry_len/d
-    halo_d = chain.plan.carry_len // d
-    m0 = halo_d + 2  # skip warmup + FM-history edge
-    m1 = pcm_single.shape[1] - halo_d - 2
+    # both paths index outputs globally: output k = input samples [k*d, k*d+T)
+    m0 = 2  # skip the FM-history cold-start edge
+    m1 = pcm_single.shape[1] - 2
     a = pcm_single[:, m0:m1].astype(np.int32)
-    b = pcm_sharded[:, m0 + halo_d : m1 + halo_d].astype(np.int32)
+    b = pcm_sharded[:, m0:m1].astype(np.int32)
     diff = np.abs(a - b)
     assert (diff <= 1).mean() > 0.999, (diff.max(), (diff > 1).mean())
     assert (diff == 0).mean() > 0.98

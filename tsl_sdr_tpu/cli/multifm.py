@@ -78,7 +78,9 @@ def main(argv=None):
         )
         return 2
 
-    block = args.block_size - (args.block_size % cfg.decimation_factor)
+    block = args.block_size - (args.block_size % chain.block_quantum)
+    if block <= 0:
+        block = chain.block_quantum
     sinks = [open(ch.out_fifo, "wb") for ch in cfg.channels]
     counters = StreamCounters()
 
@@ -89,7 +91,7 @@ def main(argv=None):
         for iq in _iq_block_iter(iq_path, iq_fmt or "cs16", block):
             pending = np.concatenate([pending, iq])
             if state is None:
-                c_len = chain.plan.carry_len
+                c_len = chain.carry_len
                 if len(pending) < c_len:
                     continue
                 state = chain.init_state(prefix=pending[:c_len])

@@ -1,11 +1,19 @@
 """multifm: the flagship model — N-channel NBFM channelizer.
 
 One wideband IQ stream in; per channel: complex-bandpass FIR + decimate +
-derotate (ops.fir), then FM quadrature discriminator (ops.fm); 16-bit PCM
-out. Mirrors the capability of the reference's receiver/demod-thread fan-out
+derotate, then FM quadrature discriminator; 16-bit PCM out. Mirrors the
+capability of the reference's receiver/demod-thread fan-out
 (``multifm/receiver.c:78-98`` + ``multifm/demod.c:49-121``) — but where the
 reference broadcasts each buffer to N worker threads, here all channels ride
 one batched tensor contraction, and blocks stream through a ``lax.scan``.
+
+Two tiers:
+
+* ``exact=True`` — int16/int32 arithmetic bit-matching the C pipeline
+  (:mod:`tsl_sdr_tpu.ops.fir` exact tier + LUT discriminator).
+* ``exact=False`` — the production tier: the lane-packed matmul channelizer
+  (:mod:`tsl_sdr_tpu.ops.packed_fir`) fused with the oscillator-free FM
+  discriminator (:func:`tsl_sdr_tpu.ops.fm.fm_from_baseband`).
 
 Use :class:`MultifmChain` programmatically or build one from a reference
 multifm JSON config via :meth:`MultifmChain.from_config`.
@@ -20,13 +28,23 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tsl_sdr_tpu.ops import fir, fm
+from tsl_sdr_tpu.ops import fir, fm, packed_fir
 from tsl_sdr_tpu.utils.config import MultifmConfig
 
 
 class MultifmState(NamedTuple):
+    """Exact-tier streaming state."""
+
     fir: fir.ChannelFirState
     fm: fm.FmDemodState
+
+
+class MultifmFastState(NamedTuple):
+    """Fast-tier streaming state (lane-packed pipeline)."""
+
+    carry_vals: jnp.ndarray  # [carry_vals] int16 interleaved history
+    prev_r: jnp.ndarray      # [C] float32 last baseband output (re)
+    prev_i: jnp.ndarray      # [C] float32 last baseband output (im)
 
 
 class MultifmChain:
@@ -55,9 +73,17 @@ class MultifmChain:
         self.plan = fir.make_channel_fir_plan(
             lpf_taps, offsets_hz, sample_rate, decimation, gains
         )
+        self.packed_plan = packed_fir.make_packed_fir_plan(
+            lpf_taps, offsets_hz, sample_rate, decimation, gains
+        )
         self.exact = exact
         self.sample_rate = float(sample_rate)
         self.decimation = int(decimation)
+        # per-output derotation increment reduced to (-pi, pi] in float64
+        w = self.packed_plan.omega_d.astype(np.float64)
+        self._omega_reduced = (
+            w - 2 * np.pi * np.round(w / (2 * np.pi))
+        ).astype(np.float32)
 
     @classmethod
     def from_config(cls, config: MultifmConfig, *, exact: bool = True):
@@ -78,59 +104,116 @@ class MultifmChain:
     def channel_rate(self) -> float:
         return self.sample_rate / self.decimation
 
+    @property
+    def carry_len(self) -> int:
+        """Stream-prefix length (samples) for the active tier."""
+        return self.plan.carry_len if self.exact else self.packed_plan.carry_len
+
+    @property
+    def block_quantum(self) -> int:
+        """Step block lengths must be a multiple of this many samples."""
+        return (
+            self.plan.decimation if self.exact else self.packed_plan.block_quantum
+        )
+
     # -- streaming API ------------------------------------------------------
 
-    def init_state(self, prefix=None) -> MultifmState:
-        return MultifmState(
-            fir=fir.init_channel_fir_state(self.plan, prefix=prefix),
-            fm=fm.init_fm_state(batch_shape=(self.nr_channels,)),
+    def init_state(self, prefix=None):
+        if self.exact:
+            return MultifmState(
+                fir=fir.init_channel_fir_state(self.plan, prefix=prefix),
+                fm=fm.init_fm_state(batch_shape=(self.nr_channels,)),
+            )
+        c = self.nr_channels
+        return MultifmFastState(
+            carry_vals=packed_fir.init_packed_carry(self.packed_plan, prefix),
+            prev_r=jnp.zeros((c,), jnp.float32),
+            prev_i=jnp.zeros((c,), jnp.float32),
         )
 
-    def step(self, state: MultifmState, block):
-        """(state, block[N, 2] int16) -> (state, pcm[C, N//D] int16)."""
-        fir_state, ch = fir.channel_fir_step(
-            self.plan, state.fir, block, exact=self.exact
+    def _step_raw(self, state, block):
+        """Fast-tier step keeping the lane-packed layouts end to end.
+
+        ``block``: flat interleaved int16 values ``[2N]`` (preferred) or
+        ``[N, 2]``. Returns (state, pcm [rows, opr*C] int16) — flat order
+        (k, c). This is the layout the TPU computes in; converting to [C, K]
+        is deferred to the caller (one cheap host-side transpose per capture)
+        so no per-step relayout burns HBM bandwidth.
+        """
+        carry, ar, ai = packed_fir.packed_fir_step(
+            self.packed_plan, state.carry_vals, block
         )
-        fm_state, pcm = fm.fm_demod_step(state.fm, ch)
-        return MultifmState(fir=fir_state, fm=fm_state), pcm
+        pcm, pr, pi_ = fm.fm_from_baseband(
+            ar,
+            ai,
+            state.prev_r,
+            state.prev_i,
+            self._omega_reduced,
+            nr_channels=self.nr_channels,
+        )
+        return MultifmFastState(carry_vals=carry, prev_r=pr, prev_i=pi_), pcm
+
+    def step(self, state, block):
+        """(state, block[N, 2] int16) -> (state, pcm[C, N//D] int16)."""
+        if self.exact:
+            fir_state, ch = fir.channel_fir_step(
+                self.plan, state.fir, block, exact=True
+            )
+            fm_state, pcm = fm.fm_demod_step(state.fm, ch)
+            return MultifmState(fir=fir_state, fm=fm_state), pcm
+        new_state, pcm = self._step_raw(state, block)
+        return new_state, pcm.reshape(-1, self.nr_channels).T
 
     # -- whole-array API (bench / batch jobs) -------------------------------
 
-    def process_array(self, iq, block_size: int = 65536):
+    def process_array(self, iq, block_size: int = 4_194_304):
         """Process a whole in-memory capture. Returns pcm [C, K_total] int16.
 
         The capture is blocked and run through a jitted ``lax.scan`` so the
         full stream executes on-device in one dispatch.
         """
         iq = np.asarray(iq, dtype=np.int16)
-        block_size -= block_size % self.decimation
-        c_len = self.plan.carry_len
+        q = self.block_quantum
+        block_size -= block_size % q
+        c_len = self.carry_len
         n_blocks = (iq.shape[0] - c_len) // block_size
         if n_blocks < 1:
-            raise ValueError("capture shorter than one block")
-        state = self.init_state(prefix=iq[:c_len])
+            block_size = (iq.shape[0] - c_len) // q * q
+            n_blocks = 1
+            if block_size <= 0:
+                raise ValueError("capture shorter than one block quantum")
+        state = self.init_state(prefix=iq[:c_len] if c_len else None)
         body = iq[c_len : c_len + n_blocks * block_size]
-        blocks = jnp.asarray(body.reshape(n_blocks, block_size, 2))
+        if self.exact:
+            blocks = jnp.asarray(body.reshape(n_blocks, block_size, 2))
+        else:
+            # flat interleaved values: free on the host, and keeps every
+            # device-side slice/copy in a fully lane-packed layout
+            blocks = jnp.asarray(body.reshape(n_blocks, 2 * block_size))
         state, pcm = self.scan_fn(state, blocks)
-        # pcm: [n_blocks, C, K] -> [C, n_blocks * K]
         pcm = np.asarray(pcm)
-        return np.moveaxis(pcm, 1, 0).reshape(self.nr_channels, -1)
+        if self.exact:
+            # pcm: [n_blocks, C, K] -> [C, n_blocks * K]
+            return np.moveaxis(pcm, 1, 0).reshape(self.nr_channels, -1)
+        # fast tier emits the packed [n_blocks, rows, opr*C] layout; one
+        # host-side reshape+transpose converts the whole capture at once
+        return (
+            pcm.reshape(-1, self.nr_channels).T.copy()
+        )
 
     @functools.cached_property
     def scan_fn(self):
-        """Jitted (state, blocks[n, N, 2]) -> (state, pcm[n, C, K]) scan.
+        """Jitted streaming scan over blocks.
 
-        The plan (taps, rotator increments) is baked in as compile-time
-        constants; one compilation per block shape."""
-        plan, exact = self.plan, self.exact
+        exact tier: (state, blocks[n, N, 2]) -> (state, pcm[n, C, K]);
+        fast tier: (state, blocks[n, N, 2]) -> (state, pcm[n, rows, opr*C])
+        — packed layout, flat order (k, c). The plan (taps, rotator
+        increments) is baked in as compile-time constants; one compilation
+        per block shape."""
+        step = self.step if self.exact else self._step_raw
 
         @jax.jit
         def run(state, blocks):
-            def body(st, block):
-                fir_state, ch = fir.channel_fir_step(plan, st.fir, block, exact=exact)
-                fm_state, pcm = fm.fm_demod_step(st.fm, ch)
-                return MultifmState(fir=fir_state, fm=fm_state), pcm
-
-            return jax.lax.scan(body, state, blocks)
+            return jax.lax.scan(step, state, blocks)
 
         return run

@@ -63,6 +63,81 @@ def fm_demod_step(state: FmDemodState, block):
     return FmDemodState(last=a[..., -1, :]), pcm
 
 
+def fm_from_baseband(ar, ai, prev_r, prev_i, omega_d, nr_channels=None):
+    """FM-discriminate channelized baseband WITHOUT an explicit derotator.
+
+    The reference pipeline derotates each FIR output by ``e^{j*omega_d*k}``
+    (``filter/direct_fir.c:152-172``) and then discriminates
+    ``phi = atan2(Im, Re of y[k]*conj(y[k-1]))`` (``multifm/fm_demod.c:36-83``).
+    Because the discriminator only sees phase *differences*, the rotation
+    contributes exactly ``omega_d`` per output:
+
+        arg(y[k] conj(y[k-1])) = arg(a[k] conj(a[k-1])) + omega_d   (mod 2pi)
+
+    so we fold it into a post-atan2 constant add + wrap — no cos/sin
+    oscillator, no complex rotate. This is the TPU production path used by
+    the fused channelizer; worst-case divergence from the rotate-then-atan2
+    form is a few float32 ulp of angle.
+
+    ar/ai: float32 un-derotated baseband whose *flat order* is (k, c) — either
+    ``[K, C]`` or the packed ``[rows, opr*C]`` layout straight out of
+    :func:`tsl_sdr_tpu.ops.packed_fir.packed_fir_step` (no relayout needed).
+    prev_r/prev_i: [C] float32 — previous baseband output per channel
+    omega_d: [C] float32 derotation increment (rad/output)
+    nr_channels: required when ar is not [K, C]-shaped
+    Returns (pcm int16, same shape as ar; new_prev_r; new_prev_i).
+    """
+    shape = ar.shape
+    c = nr_channels or shape[-1]
+    arf = ar.reshape(-1)
+    aif = ai.reshape(-1)
+    pr = jnp.concatenate([prev_r.astype(jnp.float32), arf[:-c]])
+    pi_ = jnp.concatenate([prev_i.astype(jnp.float32), aif[:-c]])
+
+    flat = arf.shape[0]
+    pad = (-flat) % 128
+    # reduce omega into (-pi, pi] so a single post-add wrap suffices. Callers
+    # with omega many turns out should pre-reduce in float64 (the model does,
+    # via np); this f32 pass is exact for already-reduced values.
+    if isinstance(omega_d, np.ndarray):
+        omega_d = omega_d.astype(np.float64)
+        omega_d = omega_d - 2 * np.pi * np.round(omega_d / (2 * np.pi))
+    omega_d = jnp.asarray(omega_d, dtype=jnp.float32)
+    omega_d = omega_d - 2 * _PI_F32 * jnp.round(omega_d / (2 * _PI_F32))
+    if 128 % c == 0:
+        # lane-packed fast path: reshape to [*, 128]; omega is a static
+        # 128-lane pattern (c divides 128)
+        w_row = jnp.tile(omega_d, 128 // c)
+
+        def pack(v):
+            v = jnp.concatenate([v, jnp.zeros((pad,), jnp.float32)])
+            return v.reshape(-1, 128)
+
+        yr, yi, qr, qi = pack(arf), pack(aif), pack(pr), pack(pi_)
+        w = w_row[None, :]
+    else:
+        yr, yi, qr, qi = (
+            arf.reshape(-1, c),
+            aif.reshape(-1, c),
+            pr.reshape(-1, c),
+            pi_.reshape(-1, c),
+        )
+        pad = 0
+        w = omega_d[None, :]
+
+    sre = yr * qr + yi * qi
+    sim = yi * qr - yr * qi
+    phi = jnp.arctan2(sim, sre) + w
+    phi = jnp.where(phi > _PI_F32, phi - 2 * _PI_F32, phi)
+    phi = jnp.where(phi <= -_PI_F32, phi + 2 * _PI_F32, phi)
+    # zero-power inputs (incl. the cold-start k=0 sample) emit 0, matching
+    # the reference LUT's both-zero guard (multifm/fast_atan2f.c:109-111)
+    phi = jnp.where((sre == 0) & (sim == 0), jnp.float32(0), phi)
+    pcm = jnp.trunc(phi / _PI_F32 * jnp.float32(q14.Q14_ONE)).astype(jnp.int16)
+    pcm = pcm.reshape(-1)[:flat].reshape(shape) if pad else pcm.reshape(shape)
+    return pcm, arf[-c:], aif[-c:]
+
+
 def fm_demod_np(block, last=None):
     """Bit-exact host oracle with C float/double promotion semantics."""
     a = np.asarray(block).astype(np.int32)

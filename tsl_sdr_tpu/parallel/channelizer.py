@@ -1,16 +1,29 @@
 """Sharded multifm: channelize + FM demod over a (time, channels) mesh.
 
-Fast (float32) tier. The wideband capture splits into contiguous equal
-segments on the ``time`` axis; the channel bank's taps/oscillators split on
-the ``channels`` axis. Each time shard needs a halo of
-``H = carry_len + D`` trailing input samples from its left neighbor — the
-FIR's overlap-save tail plus one extra decimated output to seed the FM
-discriminator's one-sample history — exchanged with a single
-``jax.lax.ppermute`` over ICI before the dense compute.
+Production (float32, lane-packed) tier — the multi-chip form of
+:mod:`tsl_sdr_tpu.ops.packed_fir`. The wideband capture splits into
+contiguous equal segments of packed ROWS on the ``time`` axis; the channel
+bank's tap matrices split on the ``channels`` axis (each channel shard gets
+its own pre-built column block, so no in-kernel gather is needed).
+
+Halo exchange over ICI, all via ``jax.lax.ppermute`` of int16 rows:
+
+* each shard sends its **first ``cr`` rows** to its *left* neighbor — the
+  forward window spill of the packed FIR (output row r reads rows
+  ``r..r+cr``);
+* each shard sends its **last row** to its *right* neighbor — one row of
+  look-back so the shard can locally recompute the decimated output that
+  precedes its first one, seeding the FM discriminator's one-sample history
+  without any serial dependency.
+
+The per-output derotator folds into a constant ``omega_d`` added after the
+atan2 (see :func:`tsl_sdr_tpu.ops.fm.fm_from_baseband`), so shards need no
+absolute-phase oscillator at all — time sharding is embarrassingly parallel
+up to the two neighbor exchanges.
 
 The exact (integer) tier shards over channels only: its iterated Q.14
 rotator is serial in time by construction (that drift IS the reference
-semantics), so time sharding applies to the drift-free fast tier.
+semantics, ``filter/direct_fir.c:152-172``).
 """
 
 from __future__ import annotations
@@ -27,90 +40,124 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from tsl_sdr_tpu.ops.atan2 import fast_atan2
-from tsl_sdr_tpu.ops import q14
+from tsl_sdr_tpu.ops.fm import fm_from_baseband
+from tsl_sdr_tpu.ops.packed_fir import PackedFirPlan
 from tsl_sdr_tpu.parallel.mesh import CHANNEL_AXIS, TIME_AXIS
 
 _PI_F32 = np.float32(np.pi)
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _local_channelize_fm(iq_local, taps, omega, *, decimation, halo_len):
-    """Per-shard kernel: [N,2] int16 + halo exchange -> [C_local, N//D] int16.
+def _local_packed_fm(vals_local, w_all, omega_all, *, row, opr, cr, cols):
+    """Per-shard kernel. vals_local [2N] int16 (interleaved IQ values) ->
+    pcm [C_local, N//D] int16."""
+    w = w_all[0]          # [cr+1, ROW, cols_local] (leading shard dim squeezed)
+    omega = omega_all[0]  # [C_local]
+    nr_ch = omega.shape[0]
 
-    Runs inside shard_map; iq_local is this time shard's segment.
-    """
-    n = iq_local.shape[0]
-    d = decimation
-    k_local = n // d
-    nr_taps = taps.shape[1]
-    nr_ch = taps.shape[0]
+    r_local = vals_local.shape[0] // row
+    rows_i16 = vals_local.reshape(r_local, row)
 
-    # --- halo exchange over ICI: my tail -> right neighbor ---
-    t_idx = jax.lax.axis_index(TIME_AXIS)
+    # --- halo exchange over ICI (int16, minimal bytes) ---
     n_t = jax.lax.axis_size(TIME_AXIS)
-    tail = iq_local[n - halo_len:]
-    perm = [(i, i + 1) for i in range(n_t - 1)]
-    recv = jax.lax.ppermute(tail, TIME_AXIS, perm)  # shard 0 receives zeros
+    fwd = [(i, i + 1) for i in range(n_t - 1)]
+    bwd = [(i + 1, i) for i in range(n_t - 1)]
+    # last row -> right neighbor (look-back seed); shard 0 receives zeros
+    prev_row = jax.lax.ppermute(rows_i16[-1:], TIME_AXIS, fwd)
+    # first cr rows -> left neighbor (window spill); last shard receives zeros
+    next_rows = jax.lax.ppermute(rows_i16[:cr], TIME_AXIS, bwd)
 
-    total = jnp.concatenate([recv, iq_local], axis=0).astype(jnp.float32)
+    total = jnp.concatenate([prev_row, rows_i16, next_rows]).astype(jnp.float32)
+    r_tot = r_local + 1 + cr
+    r_valid = r_local + 1
 
-    # --- channelize: strided complex conv on the MXU ---
-    lhs = total.T[None]  # [1, 2, H+N]
-    cr, ci = taps[..., 0], taps[..., 1]
-    rhs = jnp.stack(
-        [jnp.stack([cr, -ci], axis=1), jnp.stack([ci, cr], axis=1)], axis=1
-    ).reshape(2 * nr_ch, 2, nr_taps)
-    conv = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(d,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )[0]  # [2C, KL_full]
-    kl = k_local + 1  # one extra output to seed the FM history
-    acc = conv[:, :kl].reshape(nr_ch, 2, kl)
+    # --- packed FIR: one dense matmul per tap chunk + row shift ---
+    p = jnp.dot(total, w[0], preferred_element_type=jnp.float32,
+                precision=_HIGHEST)
+    for i in range(1, cr + 1):
+        q = jnp.dot(total, w[i], preferred_element_type=jnp.float32,
+                    precision=_HIGHEST)
+        p = p + jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([q, jnp.zeros((i, cols), jnp.float32)]), i, r_tot
+        )
+    p = p[:r_valid]
+    half = opr * nr_ch
 
-    # --- analytic oscillator at global output index ---
-    g0 = t_idx.astype(jnp.int32) * k_local - (halo_len // d)
-    k = (g0 + jnp.arange(kl, dtype=jnp.int32)).astype(jnp.float32)
-    theta = omega.astype(jnp.float32)[:, None] * k[None, :]
-    rot_re, rot_im = jnp.cos(theta), jnp.sin(theta)
-    ch_re = acc[:, 0] * rot_re - acc[:, 1] * rot_im
-    ch_im = acc[:, 0] * rot_im + acc[:, 1] * rot_re
-
-    # --- FM discriminator (prev sample = extra leading output) ---
-    s_re = ch_re[:, 1:] * ch_re[:, :-1] + ch_im[:, 1:] * ch_im[:, :-1]
-    s_im = ch_im[:, 1:] * ch_re[:, :-1] - ch_re[:, 1:] * ch_im[:, :-1]
-    phi = fast_atan2(s_im, s_re)
-    pcm = jnp.trunc((phi / _PI_F32) * jnp.float32(q14.Q14_ONE)).astype(jnp.int16)
-    return pcm  # [C_local, K_local]
+    # --- FM with folded derotator; the extra leading row provides history
+    # (cold prev only corrupts the look-back outputs, which are dropped) ---
+    zero = jnp.zeros((nr_ch,), jnp.float32)
+    pcm, _, _ = fm_from_baseband(
+        p[:, :half], p[:, half : 2 * half], zero, zero, omega,
+        nr_channels=nr_ch,
+    )
+    # drop the opr look-back outputs (they belong to the left shard)
+    return pcm.reshape(-1, nr_ch)[opr:].T  # [C_local, r_local*opr]
 
 
-def make_sharded_multifm(plan, mesh):
-    """Build a jitted sharded processor for a ChannelFirPlan over ``mesh``.
+def make_sharded_multifm(plan, mesh, omega_reduced=None):
+    """Build a jitted sharded processor over ``mesh`` (axes: time, channels).
 
-    Returns ``fn(iq[S, 2] int16) -> pcm[C, S//D] int16`` with S divided
-    evenly across the time axis. The first ``(carry_len + D) // D + 1``
-    outputs of the stream are zero-primed warmup.
+    ``plan``: a :class:`PackedFirPlan` (or an object exposing the same
+    fields). Returns ``fn(vals[2S] int16) -> pcm[C, S//D] int16`` taking the
+    capture as FLAT interleaved IQ values (``iq[S,2].reshape(-1)`` — free on
+    the host, and the only lane-efficient device layout), ``2*S`` divided
+    evenly into packed rows across the time axis; output index k is the
+    global decimated index (output 0 = input samples ``[0, T)``).
     """
-    d = plan.decimation
-    halo = plan.carry_len + d
-    taps = jnp.asarray(plan.taps_f32)
-    omega = jnp.asarray(plan.omega_d.astype(np.float32))
+    if not isinstance(plan, PackedFirPlan):
+        raise TypeError(
+            "make_sharded_multifm now takes a PackedFirPlan "
+            "(use MultifmChain.packed_plan)"
+        )
+    n_ch_shards = mesh.shape[CHANNEL_AXIS]
+    nr_ch = plan.nr_channels
+    if nr_ch % n_ch_shards:
+        raise ValueError(f"{nr_ch} channels not divisible by {n_ch_shards}")
+    c_local = nr_ch // n_ch_shards
 
-    local = functools.partial(_local_channelize_fm, decimation=d, halo_len=halo)
+    # per-channel-shard tap stacks: [shards, cr+1, ROW, cols_local]
+    w_full = np.stack(plan.w_chunks)  # [cr+1, ROW, 2*opr*C]
+    w_full = w_full.reshape(
+        plan.cr_rows + 1, plan.row, 2, plan.opr, n_ch_shards, c_local
+    )
+    w_sh = np.ascontiguousarray(np.moveaxis(w_full, 4, 0)).reshape(
+        n_ch_shards, plan.cr_rows + 1, plan.row, 2 * plan.opr * c_local
+    )
+    if omega_reduced is None:
+        w = plan.omega_d.astype(np.float64)
+        omega_reduced = (w - 2 * np.pi * np.round(w / (2 * np.pi))).astype(
+            np.float32
+        )
+    omega_sh = np.asarray(omega_reduced, np.float32).reshape(
+        n_ch_shards, c_local
+    )
+
+    local = functools.partial(
+        _local_packed_fm,
+        row=plan.row,
+        opr=plan.opr,
+        cr=plan.cr_rows,
+        cols=2 * plan.opr * c_local,
+    )
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            P(TIME_AXIS, None),           # iq: time-sharded, replicated over channels
-            P(CHANNEL_AXIS, None, None),  # taps: channel-sharded
-            P(CHANNEL_AXIS),              # omega
+            P(TIME_AXIS),                    # flat IQ values: time-sharded
+            P(CHANNEL_AXIS, None, None, None),  # tap stacks: channel-sharded
+            P(CHANNEL_AXIS, None),           # omega
         ),
         out_specs=P(CHANNEL_AXIS, TIME_AXIS),
     )
 
+    w_j = jnp.asarray(w_sh)
+    omega_j = jnp.asarray(omega_sh)
+
     @jax.jit
-    def process(iq):
-        return fn(iq, taps, omega)
+    def process(vals):
+        if vals.ndim == 2:  # tolerate [S, 2] input
+            vals = vals.reshape(-1)
+        return fn(vals, w_j, omega_j)
 
     return process
