@@ -34,10 +34,10 @@ NR_CHANNELS = 8
 NR_TAPS = 128
 DECIM = 40
 FS = 1_000_000
-BLOCK = 4_194_240          # per scan step (multiple of block quantum 320)
-N_BLOCKS = 4               # one pass = 16.8M samples
+BLOCK = 16_776_960         # one big block per pass (multiple of quantum 320)
+N_BLOCKS = 1
 REP_LO, REP_HI = 2, 10
-TRIALS = 3
+TRIALS = 4
 
 
 def cpu_baseline_msps() -> float:
@@ -58,7 +58,7 @@ def cpu_baseline_msps() -> float:
     return float(out.stdout.strip())
 
 
-def tpu_msps() -> float:
+def _backend_msps(backend: str) -> float:
     import jax
     import jax.numpy as jnp
     from tsl_sdr_tpu.models.channelizer import MultifmChain
@@ -67,7 +67,7 @@ def tpu_msps() -> float:
     lpf = firdes_low_pass(1.0, FS, 12_500, 9_000)[:NR_TAPS]
     rng = np.random.default_rng(0)
     offsets = rng.integers(-FS // 3, FS // 3, size=NR_CHANNELS)
-    chain = MultifmChain(lpf, offsets, FS, DECIM, exact=False)
+    chain = MultifmChain(lpf, offsets, FS, DECIM, exact=False, backend=backend)
 
     total = chain.carry_len + N_BLOCKS * BLOCK
     iq = rng.integers(-8000, 8000, size=(total, 2), dtype=np.int64).astype(
@@ -114,6 +114,17 @@ def tpu_msps() -> float:
         if 0 < dt < best:
             best = dt
     return samples_per_pass / best / 1e6
+
+
+def tpu_msps() -> float:
+    results = {}
+    for backend in ("xla", "pallas"):
+        try:
+            results[backend] = _backend_msps(backend)
+        except Exception as e:  # noqa: BLE001
+            print(f"{backend} backend failed: {e}", file=sys.stderr)
+    print(f"per-backend Msps: {results}", file=sys.stderr)
+    return max(results.values())
 
 
 def main():

@@ -1,0 +1,60 @@
+"""Fused Pallas kernel (interpret mode on CPU) vs the XLA fast tier.
+
+The two production backends must agree to ~1 PCM LSB (the kernel's in-VMEM
+polynomial atan2 has ~2e-6 rad error vs XLA's arctan2) and the Pallas tier
+must be block-boundary invariant like every other streaming op.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tsl_sdr_tpu.models.channelizer import MultifmChain
+from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+
+def _mk_chains(fs=512_000, d=16, taps=96, offsets=(40_000, -100_000)):
+    lpf = firdes_low_pass(1.0, fs, 18_000, 9_000)[:taps]
+    xla = MultifmChain(lpf, list(offsets), fs, d, exact=False)
+    pal = MultifmChain(
+        lpf, list(offsets), fs, d, exact=False, backend="pallas"
+    )
+    # small tiles so CPU interpret mode exercises multiple grid programs
+    pal._pallas.tr = 16
+    return xla, pal
+
+
+def test_pallas_matches_xla_backend():
+    xla, pal = _mk_chains()
+    rng = np.random.default_rng(11)
+    n = 60_000
+    x = rng.integers(-9000, 9000, size=(n, 2), dtype=np.int64).astype(np.int16)
+    a = xla.process_array(x, block_size=16_000)
+    b = pal.process_array(x, block_size=16_000)
+    m = min(a.shape[1], b.shape[1])
+    diff = np.abs(a[:, 1:m].astype(np.int32) - b[:, 1:m].astype(np.int32))
+    diff = np.minimum(diff, 32768 - diff)
+    assert diff.max() <= 1, diff.max()
+    assert (diff == 0).mean() > 0.99
+
+
+def test_pallas_block_boundary_invariance():
+    _, pal = _mk_chains()
+    rng = np.random.default_rng(12)
+    q = pal.block_quantum
+    n = q * 60
+    x = rng.integers(-9000, 9000, size=(n + pal.carry_len, 2), dtype=np.int64)
+    x = x.astype(np.int16)
+
+    st = pal.init_state(prefix=x[: pal.carry_len])
+    _, whole = pal.step(st, x[pal.carry_len :])
+    whole = np.asarray(whole)
+
+    st = pal.init_state(prefix=x[: pal.carry_len])
+    outs = []
+    pos = pal.carry_len
+    for _ in range(6):
+        st, pcm = pal.step(st, x[pos : pos + 10 * q])
+        pos += 10 * q
+        outs.append(np.asarray(pcm))
+    blocked = np.concatenate(outs, axis=1)
+    np.testing.assert_array_equal(whole, blocked)

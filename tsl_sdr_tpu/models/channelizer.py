@@ -69,6 +69,7 @@ class MultifmChain:
         gains=None,
         *,
         exact: bool = True,
+        backend: str = "xla",
     ):
         self.plan = fir.make_channel_fir_plan(
             lpf_taps, offsets_hz, sample_rate, decimation, gains
@@ -77,6 +78,7 @@ class MultifmChain:
             lpf_taps, offsets_hz, sample_rate, decimation, gains
         )
         self.exact = exact
+        self.backend = backend
         self.sample_rate = float(sample_rate)
         self.decimation = int(decimation)
         # per-output derotation increment reduced to (-pi, pi] in float64
@@ -84,9 +86,17 @@ class MultifmChain:
         self._omega_reduced = (
             w - 2 * np.pi * np.round(w / (2 * np.pi))
         ).astype(np.float32)
+        if backend == "pallas":
+            from tsl_sdr_tpu.ops.pallas_chain import PallasChain
+
+            self._pallas = PallasChain(self.packed_plan, self._omega_reduced)
+        elif backend != "xla":
+            raise ValueError(f"unknown backend {backend!r}")
 
     @classmethod
-    def from_config(cls, config: MultifmConfig, *, exact: bool = True):
+    def from_config(
+        cls, config: MultifmConfig, *, exact: bool = True, backend: str = "xla"
+    ):
         return cls(
             config.lpf_taps,
             config.channel_offsets_hz,
@@ -94,6 +104,7 @@ class MultifmChain:
             config.decimation_factor,
             gains=config.channel_gains,
             exact=exact,
+            backend=backend,
         )
 
     @property
@@ -124,6 +135,8 @@ class MultifmChain:
                 fir=fir.init_channel_fir_state(self.plan, prefix=prefix),
                 fm=fm.init_fm_state(batch_shape=(self.nr_channels,)),
             )
+        if self.backend == "pallas":
+            return self._pallas.init_carry(prefix)
         c = self.nr_channels
         return MultifmFastState(
             carry_vals=packed_fir.init_packed_carry(self.packed_plan, prefix),
@@ -140,6 +153,13 @@ class MultifmChain:
         is deferred to the caller (one cheap host-side transpose per capture)
         so no per-step relayout burns HBM bandwidth.
         """
+        if self.backend == "pallas":
+            if isinstance(block, np.ndarray):
+                block = block.reshape(-1)
+            block = jnp.asarray(block, jnp.int16)
+            if block.ndim == 2:
+                block = block.reshape(-1)
+            return self._pallas.step(state, block)
         carry, ar, ai = packed_fir.packed_fir_step(
             self.packed_plan, state.carry_vals, block
         )

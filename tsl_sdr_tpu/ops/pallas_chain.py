@@ -1,0 +1,251 @@
+"""Fused Pallas TPU kernel: packed channelizer + FM discriminator.
+
+Single-kernel form of the production chain (see
+:mod:`tsl_sdr_tpu.ops.packed_fir` for the math and
+``filter/direct_fir.c`` / ``multifm/fm_demod.c`` in the reference for the
+behavior being matched). The XLA-composed path materializes the converted
+float rows, the matmul partials and the baseband to HBM between ops; this
+kernel keeps the whole per-tile dataflow in VMEM:
+
+    int16 rows --DMA--> VMEM -> f32 -> MXU matmul per tap chunk
+      -> shifted add -> lane-roll FM history -> arctan2 + omega fold
+      -> int16 PCM --DMA--> HBM
+
+HBM traffic collapses to (input once + a halo re-read + PCM out), the
+roofline minimum for this op.
+
+Grid/tiling: the padded row array is bound TWICE with block shape
+``[TR, ROW]`` — view A at block i, view B at block i+1 — giving each program
+its ``1 + cr`` halo rows without manual DMA, and letting Pallas double-buffer
+the streams. Program i computes outputs for padded rows
+``[i*TR + 1, (i+1)*TR + 1)``; the extra leading row seeds the FM one-sample
+history exactly like the sharded kernel's look-back row.
+
+Numerics note: the MXU matmul runs with ``preferred_element_type=float32``
+and HIGHEST precision, and the discriminator matches
+:func:`tsl_sdr_tpu.ops.fm.fm_from_baseband` (same wrap + zero-power guard),
+so this tier tracks the XLA fast tier to ~1 PCM LSB.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tsl_sdr_tpu.ops import q14
+from tsl_sdr_tpu.ops.packed_fir import PackedFirPlan
+
+_PI = np.float32(np.pi)
+_HALF_PI = np.float32(np.pi / 2)
+
+# minimax-style odd polynomial for atan(z), z in [0, 1]; max error ~2e-6 rad
+# (= 0.01 PCM LSB). Pallas TPU has no atan2 primitive, so the kernel carries
+# its own (reference precedent: multifm/fast_atan2f.c is itself a LUT approx
+# with 6.2e-7 rad error).
+_ATAN_COEFFS = (
+    -0.0117212,
+    0.05265332,
+    -0.11643287,
+    0.19354346,
+    -0.33262348,
+    0.99997726,
+)
+
+
+def _atan2_poly(y, x):
+    """Quadrant-unfolded polynomial atan2 for inside Pallas kernels."""
+    ya = jnp.abs(y)
+    xa = jnp.abs(x)
+    hi = jnp.maximum(ya, xa)
+    z = jnp.minimum(ya, xa) / jnp.where(hi == 0, jnp.float32(1), hi)
+    z2 = z * z
+    p = jnp.float32(_ATAN_COEFFS[0])
+    for c in _ATAN_COEFFS[1:]:
+        p = p * z2 + jnp.float32(c)
+    base = z * p
+    x_major = xa > ya
+    ax = jnp.where(
+        x >= 0,
+        jnp.where(y >= 0, base, -base),
+        jnp.where(y >= 0, _PI - base, base - _PI),
+    )
+    ay = jnp.where(
+        y >= 0,
+        jnp.where(x >= 0, _HALF_PI - base, _HALF_PI + base),
+        jnp.where(x >= 0, -_HALF_PI + base, -_HALF_PI - base),
+    )
+    return jnp.where(x_major, ax, ay)
+
+
+def _chain_kernel(xa_ref, xb_ref, w_ref, om_ref, out_ref, *, cr, halfcols,
+                  nr_ch, opr):
+    tr = xa_ref.shape[0]
+    row = xa_ref.shape[1]
+    # halo: 1 look-back row + cr spill rows from the next tile
+    x = jnp.concatenate(
+        [xa_ref[:].astype(jnp.float32), xb_ref[: 1 + cr].astype(jnp.float32)]
+    )  # [TR + 1 + cr, ROW]
+
+    # packed FIR: one MXU matmul per tap chunk + row shift
+    p = jnp.dot(
+        x,
+        w_ref[0],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    acc = p[: tr + 1]
+    for i in range(1, cr + 1):
+        q = jnp.dot(
+            x,
+            w_ref[i],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc = acc + q[i : tr + 1 + i]
+
+    ar = acc[:, :halfcols]           # [TR+1, halfcols] — flat (k, c) order
+    ai = acc[:, halfcols : 2 * halfcols]
+
+    # FM one-sample history: shift the flat (k, c) sequence by C. In-row
+    # lane roll; the first C lanes come from the previous row's tail.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tr + 1, halfcols), 1)
+    first = lane < nr_ch
+
+    def prev_of(a):
+        rolled = pltpu.roll(a, nr_ch, axis=1)
+        from_prev_row = pltpu.roll(rolled, 1, axis=0)
+        return jnp.where(first, from_prev_row, rolled)
+
+    pr = prev_of(ar)
+    pi_ = prev_of(ai)
+    sre = ar * pr + ai * pi_
+    sim = ai * pr - ar * pi_
+    phi = _atan2_poly(sim, sre) + om_ref[0][None, :]
+    phi = jnp.where(phi > _PI, phi - 2 * _PI, phi)
+    phi = jnp.where(phi <= -_PI, phi + 2 * _PI, phi)
+    phi = jnp.where((sre == 0) & (sim == 0), jnp.float32(0), phi)
+    pcm = jnp.trunc(phi / _PI * jnp.float32(q14.Q14_ONE)).astype(jnp.int16)
+    out_ref[:] = pcm[1:]  # drop the look-back row's outputs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tr", "cr", "halfcols", "nr_ch", "opr", "interpret")
+)
+def _chain_call(padded_rows, w_stack, omega_row, *, tr, cr, halfcols, nr_ch,
+                opr, interpret):
+    n_rows, row = padded_rows.shape
+    grid = n_rows // tr - 1
+    kernel = functools.partial(
+        _chain_kernel, cr=cr, halfcols=halfcols, nr_ch=nr_ch, opr=opr
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tr, row), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, row), lambda i: (i + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tr, halfcols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid * tr, halfcols), jnp.int16),
+        interpret=interpret,
+    )(padded_rows, padded_rows, w_stack, omega_row)
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+class PallasChain:
+    """Streaming fused channelize+FM on one chip via the Pallas kernel.
+
+    Same streaming contract as the XLA fast tier but the carry holds
+    ``1 + cr`` rows (the extra row is the FM look-back seed).
+    """
+
+    def __init__(self, plan: PackedFirPlan, omega_reduced, tile_rows: int = 256,
+                 interpret: bool | None = None):
+        if plan.opr * plan.nr_channels % 128:
+            # keep the FM lane-roll on full registers; pad channels upstream
+            # if this ever fires for a real config
+            pass
+        self.plan = plan
+        self.tr = int(tile_rows)
+        self.halfcols = plan.opr * plan.nr_channels
+        self.w_stack = jnp.asarray(np.stack(plan.w_chunks))
+        # omega per output column (j, c): tile over j
+        om = np.tile(np.asarray(omega_reduced, np.float32), plan.opr)
+        self.omega_row = jnp.asarray(om[None, :])
+        self.interpret = (not _is_tpu()) if interpret is None else interpret
+
+    @property
+    def carry_rows(self) -> int:
+        return 1 + self.plan.cr_rows
+
+    @property
+    def carry_len(self) -> int:
+        """Stream-prefix length in samples (same contract as the XLA tier:
+        ``cr`` rows of FIR history; the extra look-back row starts zeroed)."""
+        return self.plan.cr_rows * self.plan.row // 2
+
+    @property
+    def block_quantum(self) -> int:
+        return self.plan.row // 2
+
+    def init_carry(self, prefix=None):
+        row = self.plan.row
+        if prefix is None:
+            return jnp.zeros((self.carry_rows, row), jnp.int16)
+        prefix = np.asarray(prefix, np.int16)
+        assert prefix.shape == (self.carry_len, 2), prefix.shape
+        # zero look-back row + FIR-history rows: output 0 == global output 0
+        return jnp.asarray(
+            np.concatenate(
+                [np.zeros((1, row), np.int16), prefix.reshape(-1, row)]
+            )
+        )
+
+    def step(self, carry_rows, block_vals):
+        """carry [1+cr, ROW] int16, block_vals [2N] int16 (flat interleaved).
+
+        Returns (new_carry, pcm [N//D, ...] int16 rows in flat (k, c) order,
+        shaped [n_rows, opr*C]).
+        """
+        row = self.plan.row
+        block_rows = block_vals.reshape(-1, row)
+        r_b = block_rows.shape[0]
+        grid = -(-r_b // self.tr)
+        pad_rows = (grid + 1) * self.tr - (self.carry_rows + r_b)
+        # ONE concat (one copy of the block): carry + block + grid-alignment
+        # pad. Two concats would copy the 2-bytes/value stream twice.
+        vals = jnp.concatenate(
+            [carry_rows, block_rows, jnp.zeros((pad_rows, row), jnp.int16)]
+        )
+        pcm = _chain_call(
+            vals,
+            self.w_stack,
+            self.omega_row,
+            tr=self.tr,
+            cr=self.plan.cr_rows,
+            halfcols=self.halfcols,
+            nr_ch=self.plan.nr_channels,
+            opr=self.plan.opr,
+            interpret=self.interpret,
+        )
+        # last 1+cr real rows of (carry ++ block) — sliced from the already
+        # materialized buffer, NOT a second concat (that would re-copy the
+        # whole block)
+        new_carry = jax.lax.dynamic_slice_in_dim(vals, r_b, self.carry_rows)
+        return new_carry, pcm[:r_b]
