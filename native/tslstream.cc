@@ -1,0 +1,320 @@
+// tslstream — native streaming runtime for the TPU SDR framework.
+//
+// C++ replacement for the runtime surface the reference builds out of the
+// external TSL library (worker_thread / work_queue / frame_alloc) plus its
+// source and sink plumbing:
+//
+//   * a fixed frame pool + SPSC ring with drop-and-count overflow semantics
+//     (reference: receiver_sample_buf_alloc drop path, multifm/receiver.c:45-76,
+//     and the 128-deep per-channel work queue, multifm/demod.c:297)
+//   * a reader thread that fills frames from a file/FIFO and widens 8-bit
+//     sample formats exactly the way the reference ingests them
+//     (rtl u8 -> (s-127)<<7, multifm/rtl_sdr_if.c:118-147; cs8/cu8 widen
+//     without shift, multifm/file_if.c:67-157), with optional real-time
+//     pacing (multifm/file_if.c:160-203)
+//   * writer sinks that tolerate EPIPE by dropping and counting
+//     (multifm/demod.c:93-110)
+//
+// The TPU compute path stays in JAX; this library keeps the device fed and
+// drained from ordinary POSIX streams without Python in the per-byte loop.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in the image).
+
+#include <atomic>
+#include <chrono>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+#include <errno.h>
+#include <fcntl.h>
+#include <signal.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+enum Format : int {
+  FMT_CS16 = 0,      // interleaved int16 (native)
+  FMT_CS8 = 1,       // int8 widened, no shift (file_if.c:85-118)
+  FMT_CU8 = 2,       // uint8 -> int8 cast quirk, then -127 (file_if.c:140-146)
+  FMT_RTL_U8 = 3,    // (u8 - 127) << 7   (rtl_sdr_if.c:147)
+};
+
+struct Counters {
+  std::atomic<uint64_t> values_in{0};     // int16 values produced
+  std::atomic<uint64_t> values_out{0};    // int16 values consumed
+  std::atomic<uint64_t> dropped_frames{0};
+  std::atomic<uint64_t> eof{0};
+};
+
+// Fixed pool of frames in one contiguous allocation; SPSC ring of indices.
+struct Source {
+  std::vector<int16_t> pool;     // pool_frames * frame_values
+  std::vector<size_t> fill;      // valid values per frame
+  size_t frame_values;
+  size_t pool_frames;
+  std::atomic<size_t> head{0};   // next frame to write (producer)
+  std::atomic<size_t> tail{0};   // next frame to read (consumer)
+  std::mutex mu;
+  std::condition_variable cv_data, cv_space;
+  std::thread reader;
+  std::atomic<bool> running{false};
+  std::atomic<bool> stop{false};
+  int fd = -1;
+  int format = FMT_CS16;
+  bool drop_on_full = false;
+  double pace_values_per_sec = 0.0;  // 0 = as fast as possible
+  size_t frame_off = 0;              // consumer offset into current frame
+  Counters ctr;
+
+  size_t used() const {
+    return head.load(std::memory_order_acquire) -
+           tail.load(std::memory_order_acquire);
+  }
+};
+
+void widen(const uint8_t* raw, size_t n_bytes, int fmt, int16_t* out) {
+  switch (fmt) {
+    case FMT_CS8:
+      for (size_t i = 0; i < n_bytes; i++) out[i] = (int8_t)raw[i];
+      break;
+    case FMT_CU8:
+      // reference quirk: the byte goes through int8 first, then -127
+      for (size_t i = 0; i < n_bytes; i++)
+        out[i] = (int16_t)((int8_t)raw[i]) - 127;
+      break;
+    case FMT_RTL_U8:
+      for (size_t i = 0; i < n_bytes; i++)
+        out[i] = (int16_t)(((int16_t)raw[i] - 127) << 7);
+      break;
+    default:
+      break;
+  }
+}
+
+void reader_main(Source* s) {
+  const size_t fv = s->frame_values;
+  const bool eight_bit = s->format != FMT_CS16;
+  std::vector<uint8_t> bounce(eight_bit ? fv : 0);
+  auto t0 = std::chrono::steady_clock::now();
+  uint64_t paced = 0;
+
+  while (!s->stop.load(std::memory_order_relaxed)) {
+    // claim a frame slot
+    size_t h = s->head.load(std::memory_order_relaxed);
+    if (h - s->tail.load(std::memory_order_acquire) >= s->pool_frames) {
+      if (s->drop_on_full) {
+        // read and discard one frame's worth to keep the FIFO moving
+        size_t want = eight_bit ? fv : fv * 2;
+        std::vector<uint8_t> sink(want);
+        ssize_t r = read(s->fd, sink.data(), want);
+        if (r <= 0) break;
+        s->ctr.dropped_frames.fetch_add(1, std::memory_order_relaxed);
+        continue;
+      }
+      std::unique_lock<std::mutex> lk(s->mu);
+      s->cv_space.wait_for(lk, std::chrono::milliseconds(100), [&] {
+        return s->stop.load() ||
+               s->head.load() - s->tail.load() < s->pool_frames;
+      });
+      continue;
+    }
+    int16_t* frame = s->pool.data() + (h % s->pool_frames) * fv;
+
+    // fill the frame completely (FIFOs return short reads)
+    size_t got_values = 0;
+    bool eof = false;
+    if (eight_bit) {
+      size_t got = 0;
+      while (got < fv && !s->stop.load(std::memory_order_relaxed)) {
+        ssize_t r = read(s->fd, bounce.data() + got, fv - got);
+        if (r < 0 && errno == EINTR) continue;
+        if (r <= 0) { eof = true; break; }
+        got += (size_t)r;
+      }
+      widen(bounce.data(), got, s->format, frame);
+      got_values = got;
+    } else {
+      size_t want_bytes = fv * sizeof(int16_t);
+      size_t got = 0;
+      auto* dst = reinterpret_cast<uint8_t*>(frame);
+      while (got < want_bytes && !s->stop.load(std::memory_order_relaxed)) {
+        ssize_t r = read(s->fd, dst + got, want_bytes - got);
+        if (r < 0 && errno == EINTR) continue;
+        if (r <= 0) { eof = true; break; }
+        got += (size_t)r;
+      }
+      got_values = got / sizeof(int16_t);
+    }
+
+    if (got_values > 0) {
+      s->fill[h % s->pool_frames] = got_values;
+      s->ctr.values_in.fetch_add(got_values, std::memory_order_relaxed);
+      s->head.store(h + 1, std::memory_order_release);
+      s->cv_data.notify_one();
+
+      if (s->pace_values_per_sec > 0) {
+        // sleep so delivery tracks the configured rate (file_if.c:160-203)
+        paced += got_values;
+        auto target = t0 + std::chrono::duration_cast<
+                               std::chrono::steady_clock::duration>(
+                               std::chrono::duration<double>(
+                                   paced / s->pace_values_per_sec));
+        std::this_thread::sleep_until(target);
+      }
+    }
+    if (eof) break;
+  }
+  s->ctr.eof.store(1, std::memory_order_release);
+  s->running.store(false, std::memory_order_release);
+  s->cv_data.notify_all();
+}
+
+struct Sink {
+  int fd = -1;
+  Counters ctr;
+  bool broken = false;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* tsl_source_new(const char* path, int format, size_t frame_values,
+                     size_t pool_frames, double pace_values_per_sec,
+                     int drop_on_full) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  auto* s = new Source();
+  s->fd = fd;
+  s->format = format;
+  s->frame_values = frame_values;
+  s->pool_frames = pool_frames;
+  s->pace_values_per_sec = pace_values_per_sec;
+  s->drop_on_full = drop_on_full != 0;
+  s->pool.resize(frame_values * pool_frames);
+  s->fill.resize(pool_frames, 0);
+  return s;
+}
+
+int tsl_source_start(void* h) {
+  auto* s = static_cast<Source*>(h);
+  if (s->running.load()) return -1;
+  s->stop.store(false);
+  s->running.store(true);
+  s->reader = std::thread(reader_main, s);
+  return 0;
+}
+
+// Read exactly n values (blocking until available or EOF). Returns the
+// number of values written to out; < n means the stream ended.
+long tsl_source_read(void* h, int16_t* out, size_t n) {
+  auto* s = static_cast<Source*>(h);
+  size_t done = 0;
+  size_t& frame_off = s->frame_off;  // single-consumer stream position
+  while (done < n) {
+    if (s->used() == 0) {
+      if (!s->running.load(std::memory_order_acquire)) break;  // EOF drained
+      std::unique_lock<std::mutex> lk(s->mu);
+      s->cv_data.wait_for(lk, std::chrono::milliseconds(100), [&] {
+        return s->used() > 0 || !s->running.load();
+      });
+      continue;
+    }
+    size_t t = s->tail.load(std::memory_order_relaxed);
+    size_t idx = t % s->pool_frames;
+    size_t avail = s->fill[idx] - frame_off;
+    size_t take = std::min(avail, n - done);
+    memcpy(out + done, s->pool.data() + idx * s->frame_values + frame_off,
+           take * sizeof(int16_t));
+    done += take;
+    frame_off += take;
+    if (frame_off >= s->fill[idx]) {
+      frame_off = 0;
+      s->tail.store(t + 1, std::memory_order_release);
+      s->cv_space.notify_one();
+    }
+  }
+  s->ctr.values_out.fetch_add(done, std::memory_order_relaxed);
+  return (long)done;
+}
+
+size_t tsl_source_level(void* h) {
+  return static_cast<Source*>(h)->used();
+}
+
+void tsl_source_stats(void* h, uint64_t* out4) {
+  auto* s = static_cast<Source*>(h);
+  out4[0] = s->ctr.values_in.load();
+  out4[1] = s->ctr.values_out.load();
+  out4[2] = s->ctr.dropped_frames.load();
+  out4[3] = s->ctr.eof.load();
+}
+
+void tsl_source_free(void* h) {
+  auto* s = static_cast<Source*>(h);
+  s->stop.store(true);
+  s->cv_space.notify_all();
+  if (s->reader.joinable()) s->reader.join();
+  if (s->fd >= 0) close(s->fd);
+  delete s;
+}
+
+void* tsl_sink_new(const char* path) {
+  // O_WRONLY on a FIFO blocks until a reader attaches — same contract as the
+  // reference's open(out_fifo) (multifm/demod.c:330-335)
+  int fd = open(path, O_WRONLY | O_CREAT, 0644);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) == 0 && S_ISREG(st.st_mode)) ftruncate(fd, 0);
+  signal(SIGPIPE, SIG_IGN);
+  auto* k = new Sink();
+  k->fd = fd;
+  return k;
+}
+
+// Write n values; EPIPE drops and counts instead of failing (demod.c:93-110).
+long tsl_sink_write(void* h, const int16_t* data, size_t n) {
+  auto* k = static_cast<Sink*>(h);
+  if (k->broken) {
+    k->ctr.dropped_frames.fetch_add(1, std::memory_order_relaxed);
+    return 0;
+  }
+  size_t want = n * sizeof(int16_t);
+  size_t done = 0;
+  const auto* p = reinterpret_cast<const uint8_t*>(data);
+  while (done < want) {
+    ssize_t r = write(k->fd, p + done, want - done);
+    if (r < 0 && errno == EINTR) continue;
+    if (r < 0 && errno == EPIPE) {
+      k->broken = true;
+      k->ctr.dropped_frames.fetch_add(1, std::memory_order_relaxed);
+      return (long)(done / sizeof(int16_t));
+    }
+    if (r < 0) return -1;
+    done += (size_t)r;
+  }
+  k->ctr.values_out.fetch_add(n, std::memory_order_relaxed);
+  return (long)n;
+}
+
+void tsl_sink_stats(void* h, uint64_t* out4) {
+  auto* k = static_cast<Sink*>(h);
+  out4[0] = 0;
+  out4[1] = k->ctr.values_out.load();
+  out4[2] = k->ctr.dropped_frames.load();
+  out4[3] = k->broken ? 1 : 0;
+}
+
+void tsl_sink_free(void* h) {
+  auto* k = static_cast<Sink*>(h);
+  if (k->fd >= 0) close(k->fd);
+  delete k;
+}
+
+}  // extern "C"

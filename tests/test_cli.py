@@ -174,3 +174,50 @@ def test_multifm_cli_hardware_gated(tmp_path, capsys):
     p = tmp_path / "c.json"
     p.write_text(json.dumps(cfg))
     assert multifm_cli.main([str(p)]) == 2
+
+
+def test_multifm_cli_fast_tier_native_runtime(tmp_path):
+    """Production combo: fast float tier + native C++ IO runtime."""
+    import shutil
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    from tsl_sdr_tpu.models.pocsag import PocsagDecoder
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    decim = 32
+    fs = 38400 * decim
+    offset = 150_000
+    bursts = [pocsag_gen.PocsagBurst(capcode=424242, function=3, kind="alpha",
+                                     content="FAST NATIVE")]
+    baseband = pocsag_gen.generate(bursts, baud=1200, amplitude=4096,
+                                   tail_bits=512)
+    dev = baseband.astype(np.float64) / 16384.0 * (38400 / 2)
+    phase = np.cumsum(np.repeat(2 * np.pi * (offset + dev) / fs, decim))
+    iq = (np.stack([np.cos(phase), np.sin(phase)], -1) * 9000).astype(np.int16)
+    iq_path = tmp_path / "capture.cs16"
+    iq.reshape(-1).tofile(iq_path)
+
+    lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+    out_pcm = tmp_path / "ch0.pcm"
+    cfg = {
+        "device": {"type": "file", "filename": str(iq_path), "fileFormat": "cs16"},
+        "sampleRateHz": fs,
+        "centerFreqHz": 929_500_000,
+        "decimationFactor": decim,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [
+            {"outFifo": str(out_pcm), "chanCenterFreq": 929_500_000 + offset},
+        ],
+    }
+    cfg_path = tmp_path / "multifm.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    rc = multifm_cli.main([str(cfg_path), "--runtime", "native",
+                           "--block-size", "131072"])
+    assert rc == 0
+    pcm = np.fromfile(out_pcm, dtype=np.int16)
+    msgs = PocsagDecoder().on_pcm(pcm)
+    assert len(msgs) == 1
+    assert msgs[0].capcode == 424242
+    assert msgs[0].data == b"FAST NATIVE"

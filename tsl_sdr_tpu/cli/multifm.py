@@ -31,6 +31,11 @@ def build_argparser():
     p.add_argument("--block-size", type=int, default=262144)
     p.add_argument("--realtime", action="store_true",
                    help="pace file playback at sampleRateHz (file_if.c:160-203)")
+    p.add_argument("--runtime", default="native", choices=["native", "python"],
+                   help="IO runtime: native C++ reader/writer threads "
+                        "(frame pool + drop counters) or pure-Python loops")
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas"],
+                   help="fast-tier compute backend")
     return p
 
 
@@ -62,7 +67,9 @@ def main(argv=None):
     from tsl_sdr_tpu.utils.config import MultifmConfig
 
     cfg = MultifmConfig.load(*args.configs)
-    chain = MultifmChain.from_config(cfg, exact=args.exact)
+    chain = MultifmChain.from_config(
+        cfg, exact=args.exact, backend=args.backend
+    )
 
     dev_type = cfg.device.type
     iq_path = args.iq_file
@@ -81,9 +88,13 @@ def main(argv=None):
     block = args.block_size - (args.block_size % chain.block_quantum)
     if block <= 0:
         block = chain.block_quantum
-    sinks = [open(ch.out_fifo, "wb") for ch in cfg.channels]
     counters = StreamCounters()
 
+    if args.runtime == "native":
+        return _run_native(args, cfg, chain, iq_path, iq_fmt or "cs16",
+                           block, counters)
+
+    sinks = [open(ch.out_fifo, "wb") for ch in cfg.channels]
     state = None
     pending = np.zeros((0, 2), np.int16)
     t0 = time.monotonic()
@@ -116,6 +127,60 @@ def main(argv=None):
         for s in sinks:
             s.close()
         print(f"multifm-tpu: {counters.summary()}", file=sys.stderr)
+    return 0
+
+
+def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
+    """Production IO path: C++ reader/writer threads around the TPU chain.
+
+    The native source keeps the FIFO drained into a frame pool while the TPU
+    computes (the reference's receiver-thread role, multifm/receiver.c:78-98);
+    native sinks absorb EPIPE with drop counters (multifm/demod.c:93-110).
+    """
+    from tsl_sdr_tpu.runtime.native import NativeSink, NativeSource
+
+    pace = cfg.sample_rate_hz if args.realtime else 0.0
+    src = NativeSource(iq_path, iq_fmt, frame_samples=block,
+                       pool_frames=16, pace_sps=pace)
+    sinks = [NativeSink(ch.out_fifo) for ch in cfg.channels]
+    state = None
+    pending = np.zeros(0, np.int16)  # flat interleaved values
+    quantum2 = 2 * chain.block_quantum
+    try:
+        eof = False
+        while not eof:
+            vals = src.read(block)  # flat interleaved int16 values
+            eof = vals.size < 2 * block
+            pending = np.concatenate([pending, vals])
+            if state is None:
+                c_need = 2 * chain.carry_len
+                if pending.size < c_need + quantum2:
+                    if eof:
+                        break
+                    continue
+                state = chain.init_state(prefix=pending[:c_need].reshape(-1, 2))
+                pending = pending[c_need:]
+            n = pending.size // quantum2 * quantum2
+            if n == 0:
+                continue
+            state, pcm = chain.step(state, pending[:n].reshape(-1, 2))
+            pending = pending[n:]
+            pcm = np.asarray(pcm)
+            counters.samples_in += n // 2
+            counters.samples_out += pcm.shape[1]
+            for c, sink in enumerate(sinks):
+                sink.write(pcm[c])
+    except KeyboardInterrupt:
+        pass
+    finally:
+        dropped = src.stats["dropped_frames"] + sum(
+            s.stats["dropped_writes"] for s in sinks
+        )
+        counters.dropped += int(dropped)
+        src.close()
+        for s in sinks:
+            s.close()
+        print(f"multifm-tpu[native]: {counters.summary()}", file=sys.stderr)
     return 0
 
 

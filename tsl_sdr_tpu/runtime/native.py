@@ -1,0 +1,174 @@
+"""ctypes bindings for the native C++ streaming runtime (native/tslstream.cc).
+
+The native library is the production ingest/egress path: a reader thread
+fills a fixed frame pool from a file/FIFO (with the reference's 8-bit
+widening and real-time pacing semantics) while the TPU computes, and sinks
+drain PCM with EPIPE-tolerant drop-and-count behavior. Python only touches
+whole blocks.
+
+Built on demand with g++ (pybind11 is not in the image; the C ABI + ctypes
+keeps the binding dependency-free). Falls back with a clear error when no
+toolchain is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parents[2] / "native" / "tslstream.cc"
+_SO = Path(__file__).resolve().parent / "_tslstream.so"
+_LOCK = threading.Lock()
+_LIB = None
+
+FORMATS = {"cs16": 0, "cs8": 1, "cu8": 2, "rtl_u8": 3}
+
+
+def _build() -> Path:
+    if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+        return _SO
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        str(_SRC), "-o", str(_SO),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO
+
+
+def load():
+    """Compile (if stale) and load the native library."""
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        lib = ctypes.CDLL(str(_build()))
+        lib.tsl_source_new.restype = ctypes.c_void_p
+        lib.tsl_source_new.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_double, ctypes.c_int,
+        ]
+        lib.tsl_source_start.argtypes = [ctypes.c_void_p]
+        lib.tsl_source_read.restype = ctypes.c_long
+        lib.tsl_source_read.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_size_t,
+        ]
+        lib.tsl_source_level.restype = ctypes.c_size_t
+        lib.tsl_source_level.argtypes = [ctypes.c_void_p]
+        lib.tsl_source_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)
+        ]
+        lib.tsl_source_free.argtypes = [ctypes.c_void_p]
+        lib.tsl_sink_new.restype = ctypes.c_void_p
+        lib.tsl_sink_new.argtypes = [ctypes.c_char_p]
+        lib.tsl_sink_write.restype = ctypes.c_long
+        lib.tsl_sink_write.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_size_t,
+        ]
+        lib.tsl_sink_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)
+        ]
+        lib.tsl_sink_free.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+        return lib
+
+
+class NativeSource:
+    """Background-threaded IQ/PCM source over a file or FIFO.
+
+    Parameters mirror the reference source drivers: ``fmt`` selects the
+    ingest widening (cs16/cs8/cu8/rtl_u8), ``pace_sps`` (complex samples/s)
+    enables file_if-style real-time delivery, ``drop_on_full`` selects the
+    receiver's drop-and-count overflow policy instead of backpressure.
+    """
+
+    def __init__(self, path, fmt="cs16", frame_samples=65536, pool_frames=64,
+                 pace_sps=0.0, drop_on_full=False):
+        self._lib = load()
+        self._h = self._lib.tsl_source_new(
+            str(path).encode(), FORMATS[fmt], 2 * frame_samples, pool_frames,
+            2.0 * pace_sps, 1 if drop_on_full else 0,
+        )
+        if not self._h:
+            raise OSError(f"cannot open source {path}")
+        self._lib.tsl_source_start(self._h)
+
+    def read(self, n_samples: int) -> np.ndarray:
+        """Blocking read of up to n_samples; short result means EOF.
+
+        Returns interleaved int16 values shaped [2 * got] (flat — the
+        lane-packed layout the TPU pipeline wants).
+        """
+        out = np.empty(2 * n_samples, dtype=np.int16)
+        got = self._lib.tsl_source_read(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            out.size,
+        )
+        return out[: got - (got % 2)]
+
+    @property
+    def stats(self) -> dict:
+        if not self._h:
+            raise ValueError("source is closed")
+        buf = (ctypes.c_uint64 * 4)()
+        self._lib.tsl_source_stats(self._h, buf)
+        return {
+            "values_in": buf[0],
+            "values_out": buf[1],
+            "dropped_frames": buf[2],
+            "eof": bool(buf[3]),
+        }
+
+    def close(self):
+        if self._h:
+            self._lib.tsl_source_free(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class NativeSink:
+    """EPIPE-tolerant PCM sink (drop + count, like the demod thread)."""
+
+    def __init__(self, path):
+        self._lib = load()
+        self._h = self._lib.tsl_sink_new(str(path).encode())
+        if not self._h:
+            raise OSError(f"cannot open sink {path}")
+
+    def write(self, pcm: np.ndarray) -> int:
+        pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+        return self._lib.tsl_sink_write(
+            self._h, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            pcm.size,
+        )
+
+    @property
+    def stats(self) -> dict:
+        if not self._h:
+            raise ValueError("sink is closed")
+        buf = (ctypes.c_uint64 * 4)()
+        self._lib.tsl_sink_stats(self._h, buf)
+        return {
+            "values_out": buf[1],
+            "dropped_writes": buf[2],
+            "broken": bool(buf[3]),
+        }
+
+    def close(self):
+        if self._h:
+            self._lib.tsl_sink_free(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
