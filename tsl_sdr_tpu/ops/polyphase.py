@@ -43,6 +43,12 @@ class ResamplerPlan(NamedTuple):
     block_out: int            # K outputs produced per step
     carry_len: int
     phase0: int
+    # fast-tier frame formulation (see resample_step): outputs grouped
+    # I_rep per D_rep input frame; windows = S row-shifted frame copies
+    w_frames: np.ndarray      # [S*D_rep, I_rep] float32
+    frame_shifts: int         # S
+    i_rep: int
+    d_rep: int
 
 
 class ResamplerState(NamedTuple):
@@ -83,6 +89,25 @@ def make_resampler_plan(
     carry_len = int(max(0, offsets[-1] + p - n_in))
 
     taps_sel = phases[phase_seq]  # [K, P]
+
+    # Fast-tier frame formulation: the resampler is I_rep parallel
+    # decimate-by-D_rep FIRs sharing one input. Output j of frame m reads
+    # x[m*D_rep + oj : + P] with oj = (phase0 + j*D) // I  constant per j —
+    # window span <= max(oj) + P, covered by S consecutive frames. One tiny
+    # dense tap matrix [S*D_rep, I_rep] replaces the per-output gather.
+    g = math.gcd(interpolate, decimate)
+    i_rep = interpolate // g
+    d_rep = decimate // g
+    oj = (phase0 + np.arange(i_rep, dtype=np.int64) * decimate) // interpolate
+    span = int(oj.max()) + p
+    s_shifts = -(-span // d_rep)
+    wf = np.zeros((s_shifts * d_rep, i_rep), dtype=np.float32)
+    for j in range(i_rep):
+        wf[oj[j] : oj[j] + p, j] = (
+            phases[(phase0 + j * decimate) % interpolate].astype(np.float32)
+            / q14.Q14_ONE
+        )
+
     return ResamplerPlan(
         taps_sel_i16=taps_sel,
         taps_sel_f32=taps_sel.astype(np.float32) / q14.Q14_ONE,
@@ -93,6 +118,10 @@ def make_resampler_plan(
         block_out=int(k_out),
         carry_len=carry_len,
         phase0=int(phase0),
+        w_frames=wf,
+        frame_shifts=int(s_shifts),
+        i_rep=int(i_rep),
+        d_rep=int(d_rep),
     )
 
 
@@ -133,13 +162,52 @@ def _resample_kernel(carry, block, taps_sel, idx, *, exact: bool):
     return new_carry, out
 
 
+@functools.partial(
+    jax.jit, static_argnames=("s_shifts", "d_rep", "i_rep", "k_out")
+)
+def _resample_fast_kernel(carry, block, wf, *, s_shifts, d_rep, i_rep, k_out):
+    """Gather-free fast tier: S row-shifted frame copies + one matmul.
+
+    Frames F[m] = total[m*D_rep : (m+1)*D_rep]; output group m is
+    ``concat(F[m..m+S-1]) @ W``. Builds dense [M, S*D_rep] windows with
+    row shifts only — TPU gathers (the old path) are ~1000x slower.
+    """
+    total = jnp.concatenate([carry, block], axis=0)
+    new_carry = total[block.shape[0] :]
+    m_out = k_out // i_rep
+    need = (m_out + s_shifts - 1) * d_rep
+    pad = need - total.shape[0]
+    if pad > 0:
+        total = jnp.concatenate([total, jnp.zeros((pad,), total.dtype)])
+    f = total[:need].reshape(m_out + s_shifts - 1, d_rep).astype(jnp.float32)
+    x = jnp.concatenate(
+        [f[s0 : s0 + m_out] for s0 in range(s_shifts)], axis=1
+    )  # [M, S*D_rep]
+    out = jnp.dot(
+        x, wf, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [M, I_rep]
+    return new_carry, out.reshape(-1)
+
+
 def resample_step(plan: ResamplerPlan, state: ResamplerState, block, *, exact=True):
     """block: [N_in] int16 -> (state, out[K]) (int16 exact / float32 fast)."""
     block = jnp.asarray(block, dtype=jnp.int16)
     assert block.shape == (plan.block_in,), (block.shape, plan.block_in)
+    if not exact:
+        new_carry, out = _resample_fast_kernel(
+            state.carry,
+            block,
+            jnp.asarray(plan.w_frames),
+            s_shifts=plan.frame_shifts,
+            d_rep=plan.d_rep,
+            i_rep=plan.i_rep,
+            k_out=plan.block_out,
+        )
+        return ResamplerState(carry=new_carry), out
     idx = plan.offsets[:, None] + np.arange(plan.taps_sel_i16.shape[1])[None, :]
-    taps = jnp.asarray(plan.taps_sel_i16 if exact else plan.taps_sel_f32)
+    taps = jnp.asarray(plan.taps_sel_i16)
     new_carry, out = _resample_kernel(
-        state.carry, block, taps, jnp.asarray(idx), exact=exact
+        state.carry, block, taps, jnp.asarray(idx), exact=True
     )
     return ResamplerState(carry=new_carry), out
