@@ -36,6 +36,12 @@ def build_argparser():
                         "(frame pool + drop counters) or pure-Python loops")
     p.add_argument("--backend", default="xla", choices=["xla", "pallas"],
                    help="fast-tier compute backend")
+    p.add_argument("--iq-dump", default=None,
+                   help="dump ingested wideband IQ (int16 values) to this "
+                        "file — the reference's iqDumpFile tap "
+                        "(rtl_sdr_if.c:132-136)")
+    p.add_argument("--test-samples", type=int, default=1_048_576,
+                   help="samples to synthesize when sdrTestMode is set")
     return p
 
 
@@ -77,7 +83,37 @@ def main(argv=None):
     if dev_type == "file" and iq_path is None:
         iq_path = cfg.device.params["filename"]
         iq_fmt = iq_fmt or cfg.device.params.get("fileFormat", "cs16")
+    if iq_path is None and dev_type == "rtlsdr":
+        # validate + plan gains like the reference driver would, then either
+        # synthesize the test-mode counter stream or gate on hardware
+        from tsl_sdr_tpu.sources.rtl_sdr import (
+            RtlSdrConfig, e4000_if_gain_plan, test_mode_pattern,
+        )
+        from tsl_sdr_tpu.utils import iq as iqio
+        import tempfile
+
+        rtl = RtlSdrConfig.from_dict(
+            cfg.device.params, {"sdrTestMode": cfg.raw.get("sdrTestMode")}
+        )
+        if rtl.db_gain_if is not None:
+            stages, total = e4000_if_gain_plan(int(rtl.db_gain_if * 10))
+            print(f"multifm-tpu: E4000 IF gain plan {stages} "
+                  f"(total {total / 10:.1f} dB)", file=sys.stderr)
+        if rtl.test_mode:
+            raw = test_mode_pattern(2 * args.test_samples)
+            tmp = tempfile.NamedTemporaryFile(suffix=".cs16", delete=False)
+            iqio.rtl_u8_to_q14(raw).astype(np.int16).tofile(tmp)
+            tmp.close()
+            iq_path, iq_fmt = tmp.name, "cs16"
     if iq_path is None:
+        if dev_type == "airspy":
+            from tsl_sdr_tpu.sources.airspy import AirspyConfig
+
+            AirspyConfig.from_dict(cfg.device.params)  # validate gains
+        elif dev_type == "usrp":
+            from tsl_sdr_tpu.sources.uhd import UhdConfig
+
+            UhdConfig.from_dict(cfg.device.params)
         print(
             f"multifm-tpu: device type '{dev_type}' needs attached hardware; "
             "use a 'file' device or --iq-file to stream a capture",
@@ -90,16 +126,24 @@ def main(argv=None):
         block = chain.block_quantum
     counters = StreamCounters()
 
-    if args.runtime == "native":
+    debug_iq = any(ch.signal_debug_file for ch in cfg.channels)
+    if args.runtime == "native" and not debug_iq:
         return _run_native(args, cfg, chain, iq_path, iq_fmt or "cs16",
                            block, counters)
 
     sinks = [open(ch.out_fifo, "wb") for ch in cfg.channels]
+    iq_dump = open(args.iq_dump, "wb") if args.iq_dump else None
+    dbg_sinks = [
+        open(ch.signal_debug_file, "wb") if ch.signal_debug_file else None
+        for ch in cfg.channels
+    ]
     state = None
     pending = np.zeros((0, 2), np.int16)
     t0 = time.monotonic()
     try:
         for iq in _iq_block_iter(iq_path, iq_fmt or "cs16", block):
+            if iq_dump is not None:
+                iq.astype(np.int16).tofile(iq_dump)
             pending = np.concatenate([pending, iq])
             if state is None:
                 c_len = chain.carry_len
@@ -110,7 +154,14 @@ def main(argv=None):
             while len(pending) >= block:
                 blk = pending[:block]
                 pending = pending[block:]
-                state, pcm = chain.step(state, blk)
+                if debug_iq:
+                    state, pcm, ch_iq = chain.step_debug(state, blk)
+                    ch_iq = np.asarray(ch_iq)
+                    for c, dbg in enumerate(dbg_sinks):
+                        if dbg is not None:
+                            ch_iq[c].astype(np.int16).tofile(dbg)
+                else:
+                    state, pcm = chain.step(state, blk)
                 pcm = np.asarray(pcm)
                 counters.samples_in += block
                 counters.samples_out += pcm.shape[1]
@@ -126,6 +177,11 @@ def main(argv=None):
     finally:
         for s in sinks:
             s.close()
+        if iq_dump is not None:
+            iq_dump.close()
+        for d in dbg_sinks:
+            if d is not None:
+                d.close()
         print(f"multifm-tpu: {counters.summary()}", file=sys.stderr)
     return 0
 
@@ -146,11 +202,14 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
     state = None
     pending = np.zeros(0, np.int16)  # flat interleaved values
     quantum2 = 2 * chain.block_quantum
+    iq_dump = open(args.iq_dump, "wb") if args.iq_dump else None
     try:
         eof = False
         while not eof:
             vals = src.read(block)  # flat interleaved int16 values
             eof = vals.size < 2 * block
+            if iq_dump is not None:
+                vals.tofile(iq_dump)
             pending = np.concatenate([pending, vals])
             if state is None:
                 c_need = 2 * chain.carry_len
@@ -180,6 +239,8 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
         src.close()
         for s in sinks:
             s.close()
+        if iq_dump is not None:
+            iq_dump.close()
         print(f"multifm-tpu[native]: {counters.summary()}", file=sys.stderr)
     return 0
 

@@ -45,6 +45,7 @@ class MultifmFastState(NamedTuple):
     carry_vals: jnp.ndarray  # [carry_vals] int16 interleaved history
     prev_r: jnp.ndarray      # [C] float32 last baseband output (re)
     prev_i: jnp.ndarray      # [C] float32 last baseband output (im)
+    out_index: jnp.ndarray   # [] int32 absolute output index (debug NCO)
 
 
 class MultifmChain:
@@ -142,6 +143,7 @@ class MultifmChain:
             carry_vals=packed_fir.init_packed_carry(self.packed_plan, prefix),
             prev_r=jnp.zeros((c,), jnp.float32),
             prev_i=jnp.zeros((c,), jnp.float32),
+            out_index=jnp.zeros((), jnp.int32),
         )
 
     def _step_raw(self, state, block):
@@ -171,7 +173,14 @@ class MultifmChain:
             self._omega_reduced,
             nr_channels=self.nr_channels,
         )
-        return MultifmFastState(carry_vals=carry, prev_r=pr, prev_i=pi_), pcm
+        new_state = MultifmFastState(
+            carry_vals=carry,
+            prev_r=pr,
+            prev_i=pi_,
+            out_index=state.out_index
+            + jnp.int32(ar.size // self.nr_channels),
+        )
+        return new_state, pcm
 
     def step(self, state, block):
         """(state, block[N, 2] int16) -> (state, pcm[C, N//D] int16)."""
@@ -183,6 +192,51 @@ class MultifmChain:
             return MultifmState(fir=fir_state, fm=fm_state), pcm
         new_state, pcm = self._step_raw(state, block)
         return new_state, pcm.reshape(-1, self.nr_channels).T
+
+    def step_debug(self, state, block):
+        """Like :meth:`step` but also returns the channelized IQ.
+
+        Returns (state, pcm [C, K] int16, iq [C, K, 2] int16) — the
+        post-FIR, derotated per-channel baseband, i.e. the reference's
+        ``signalDebugFile`` tap (``multifm/demod.c:75-82``). The fast tier
+        rotates with the integer NCO (exact analytic phase at any absolute
+        output index).
+        """
+        if self.exact:
+            fir_state, ch = fir.channel_fir_step(
+                self.plan, state.fir, block, exact=True
+            )
+            fm_state, pcm = fm.fm_demod_step(state.fm, ch)
+            return MultifmState(fir=fir_state, fm=fm_state), pcm, ch
+        if self.backend == "pallas":
+            raise NotImplementedError(
+                "signal debug tap: use backend='xla' (the pallas kernel "
+                "never materializes the baseband)"
+            )
+        carry, ar, ai = packed_fir.packed_fir_step(
+            self.packed_plan, state.carry_vals, block
+        )
+        pcm, pr, pi_ = fm.fm_from_baseband(
+            ar, ai, state.prev_r, state.prev_i,
+            self._omega_reduced, nr_channels=self.nr_channels,
+        )
+        c = self.nr_channels
+        oi32 = packed_fir.omega_turns_i32(self.packed_plan.omega_d)
+        yr, yi = packed_fir.nco_rotate(
+            ar.reshape(-1, c), ai.reshape(-1, c), jnp.asarray(oi32),
+            state.out_index,
+        )
+        iq = jnp.stack(
+            [jnp.trunc(yr).astype(jnp.int16), jnp.trunc(yi).astype(jnp.int16)],
+            axis=-1,
+        ).transpose(1, 0, 2)
+        new_state = MultifmFastState(
+            carry_vals=carry,
+            prev_r=pr,
+            prev_i=pi_,
+            out_index=state.out_index + jnp.int32(ar.size // c),
+        )
+        return new_state, pcm.reshape(-1, c).T, iq
 
     # -- whole-array API (bench / batch jobs) -------------------------------
 

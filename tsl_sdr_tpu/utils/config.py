@@ -68,6 +68,7 @@ class MultifmConfig:
     lpf_taps: list[float]
     channels: list[ChannelConfig]
     nr_samp_bufs: int = 128
+    raw: dict = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "MultifmConfig":
@@ -94,6 +95,7 @@ class MultifmConfig:
             lpf_taps=[float(t) for t in cfg["lpfTaps"]],
             channels=channels,
             nr_samp_bufs=int(cfg.get("nrSampBufs", 128)),
+            raw=cfg,
         )
 
     @classmethod
