@@ -1,0 +1,71 @@
+"""End-to-end ReceivePipeline: two protocol channels in one wideband capture.
+
+Mirrors the reference's deployment shape (multifm + per-channel
+resampler/decoder over FIFOs, SURVEY §3.4) as one in-process call.
+"""
+
+import numpy as np
+
+from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+from tsl_sdr_tpu.testing import flex_gen, pocsag_gen
+from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+
+def _fm_mod(baseband, channel_rate, offset, fs, amp=9000):
+    """NBFM-modulate decoder-rate PCM onto a carrier at ``offset`` in a
+    wideband capture; zero-order-hold upsampling handles non-integer
+    fs/channel_rate ratios."""
+    dev = baseband.astype(np.float64) / 16384.0 * (channel_rate / 2)
+    n_out = int(len(dev) * fs / channel_rate)
+    idx = np.minimum(
+        (np.arange(n_out) * channel_rate / fs).astype(np.int64), len(dev) - 1
+    )
+    inst = 2 * np.pi * (offset + dev[idx]) / fs
+    phase = np.cumsum(inst)
+    return np.stack([np.cos(phase), np.sin(phase)], -1) * amp
+
+
+def test_two_protocol_channels_one_capture():
+    decim = 32
+    fs = 38400 * decim  # 1.2288 Msps; channel rate 38400
+    center = 929_500_000
+
+    pocsag_off = 250_000
+    flex_off = -180_000
+
+    bursts = [pocsag_gen.PocsagBurst(capcode=1122334, function=2,
+                                     kind="alpha", content="PIPE POCSAG")]
+    p_bb = pocsag_gen.generate(bursts, baud=1200, amplitude=4096,
+                               tail_bits=256)
+    p_iq = _fm_mod(p_bb, 38400, pocsag_off, fs)
+
+    f_msgs = [flex_gen.FlexBurstMessage(capcode=1234567, kind="alnum",
+                                        content="PIPE FLEX")]
+    f_bb, f_expected = flex_gen.generate(f_msgs, baud=1600, fsk_levels=2,
+                                         amplitude=6144, tail_bits=300)
+    f_iq = _fm_mod(f_bb, 16000, flex_off, fs, amp=7000)
+
+    n = max(len(p_iq), len(f_iq))
+    iq = np.zeros((n, 2))
+    iq[: len(p_iq)] += p_iq
+    iq[: len(f_iq)] += f_iq
+    rng = np.random.default_rng(21)
+    iq = (iq + rng.normal(scale=120, size=iq.shape)).astype(np.int16)
+
+    lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+    pipe = ReceivePipeline(
+        lpf, center, fs, decim,
+        [
+            ChannelSpec(center + pocsag_off, "pocsag"),
+            ChannelSpec(center + flex_off, "flex"),
+        ],
+        exact=False,
+    )
+    pocsag_msgs, flex_msgs = pipe.process_capture(iq)
+
+    assert [(m.capcode, m.data) for m in pocsag_msgs] == [
+        (1122334, b"PIPE POCSAG")
+    ]
+    assert len(flex_msgs) == 1
+    assert flex_msgs[0].capcode == 1234567
+    assert flex_msgs[0].text == "PIPE FLEX"

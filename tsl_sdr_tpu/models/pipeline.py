@@ -1,0 +1,139 @@
+"""End-to-end receive pipeline: channelize -> resample -> protocol decode.
+
+The reference deploys this as one multifm process plus one resampler/decoder
+process *per channel*, glued by operator-created named FIFOs
+(SURVEY §3.4; ``etc/multifm.json`` + ``decoder/decoder.c``). Here the same
+topology is one object: the TPU runs the wideband channelizer for all
+channels in a single batched chain, each channel's PCM is rationally
+resampled to its protocol's rate contract (POCSAG 38400 Hz, FLEX 16 kHz,
+AIS 48 kHz — ``pager/pager_pocsag.c:105``, ``pager_flex_priv.h:345-348``,
+``ais/ais_demod_priv.h:57-67``), and the bit-level state machines decode on
+the host.
+
+The resampler ratio is derived automatically from the channel rate and the
+protocol rate; its anti-alias filter is designed with the same Kaiser recipe
+as the reference's GNURadio script.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from fractions import Fraction
+
+import numpy as np
+
+from tsl_sdr_tpu.models.channelizer import MultifmChain
+from tsl_sdr_tpu.models.resampler import ResamplerChain
+from tsl_sdr_tpu.utils.filter_design import design_rational_resampler_filter
+
+PROTOCOL_RATES = {"pocsag": 38_400, "flex": 16_000, "ais": 48_000}
+
+
+def _make_decoder(protocol: str, freq_hz: int):
+    if protocol == "pocsag":
+        from tsl_sdr_tpu.models.pocsag import PocsagDecoder
+
+        return PocsagDecoder()
+    if protocol == "flex":
+        from tsl_sdr_tpu.models.flex import FlexDecoder
+
+        return FlexDecoder(freq_hz=freq_hz)
+    if protocol == "ais":
+        from tsl_sdr_tpu.models.ais import AisDecoder
+
+        return AisDecoder()
+    raise ValueError(f"unknown protocol {protocol!r}")
+
+
+@dataclass
+class ChannelSpec:
+    """One narrowband channel: where it sits and what it speaks."""
+
+    center_freq_hz: int
+    protocol: str  # pocsag | flex | ais | pcm (raw demodulated audio)
+    invert: bool = False
+
+
+class ReceivePipeline:
+    """Wideband IQ in, decoded protocol messages (or raw PCM) out.
+
+    Parameters
+    ----------
+    lpf_taps : channel-select LPF for the channelizer (shared, real)
+    center_freq_hz : capture center frequency
+    sample_rate : wideband sample rate (Hz)
+    decimation : channelizer decimation; channel rate = fs / decimation
+    channels : list of :class:`ChannelSpec`
+    exact : bit-exact integer tier (True) or production float tier
+    max_ratio : largest allowed resampler interpolation/decimation term
+    """
+
+    def __init__(
+        self,
+        lpf_taps,
+        center_freq_hz: int,
+        sample_rate: float,
+        decimation: int,
+        channels,
+        *,
+        exact: bool = False,
+        backend: str = "xla",
+        max_ratio: int = 256,
+    ):
+        self.channels = list(channels)
+        offsets = [c.center_freq_hz - center_freq_hz for c in self.channels]
+        self.chain = MultifmChain(
+            lpf_taps, offsets, sample_rate, decimation,
+            exact=exact, backend=backend,
+        )
+        ch_rate = self.chain.channel_rate
+
+        self._resamplers = []
+        self._decoders = []
+        for spec in self.channels:
+            if spec.protocol == "pcm":
+                self._resamplers.append(None)
+                self._decoders.append(None)
+                continue
+            target = PROTOCOL_RATES[spec.protocol]
+            ratio = Fraction(target, int(round(ch_rate)))
+            if ratio.numerator > max_ratio or ratio.denominator > max_ratio:
+                raise ValueError(
+                    f"channel rate {ch_rate:.0f} Hz -> {target} Hz needs "
+                    f"{ratio.numerator}/{ratio.denominator}; pick a "
+                    "decimation giving a simpler ratio"
+                )
+            if ratio == 1:
+                self._resamplers.append(None)
+            else:
+                coeffs = design_rational_resampler_filter(
+                    ratio.numerator, ratio.denominator, 0.4
+                )
+                self._resamplers.append(
+                    ResamplerChain(
+                        coeffs, ratio.numerator, ratio.denominator,
+                        exact=exact,
+                    )
+                )
+            self._decoders.append(
+                _make_decoder(spec.protocol, spec.center_freq_hz)
+            )
+
+    def process_capture(self, iq):
+        """Run a whole capture. Returns a list (one entry per channel) of
+        decoded message lists, or the raw int16 PCM for ``pcm`` channels."""
+        pcm = self.chain.process_array(np.asarray(iq, np.int16))
+        results = []
+        for i, spec in enumerate(self.channels):
+            audio = pcm[i]
+            if spec.invert:
+                audio = (-audio.astype(np.int32)).clip(-32768, 32767)
+                audio = audio.astype(np.int16)
+            rs = self._resamplers[i]
+            if rs is not None:
+                audio = rs.process_array(audio)
+            if self._decoders[i] is None:
+                results.append(audio)
+            else:
+                results.append(self._decoders[i].on_pcm(audio))
+        return results
