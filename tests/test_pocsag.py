@@ -144,3 +144,37 @@ class TestPocsagFullChain:
             _expected(b) for b in BURSTS[:2]
         ]
         assert all(m.baud == baud for m in msgs)
+
+
+class TestPocsagFastScan:
+    def test_scan_equals_on_pcm(self):
+        """Vectorized scan produces exactly the FSM's message list."""
+        rng = np.random.default_rng(77)
+        parts = []
+        for b in BURSTS[:3]:
+            parts.append(
+                rng.integers(-8000, 8000, size=rng.integers(50_000, 120_000),
+                             dtype=np.int64).astype(np.int16)
+            )
+            parts.append(gen.generate([b], baud=1200, tail_bits=64))
+        parts.append(rng.integers(-8000, 8000, size=200_000,
+                                  dtype=np.int64).astype(np.int16))
+        pcm = np.concatenate(parts)
+
+        ref = PocsagDecoder().on_pcm(pcm)
+        got = PocsagDecoder().scan(pcm)
+        assert [(m.capcode, m.function, m.kind, m.data) for m in got] == [
+            (m.capcode, m.function, m.kind, m.data) for m in ref
+        ]
+        assert len(got) >= 3
+
+    def test_scan_pure_noise_is_fast_and_empty(self):
+        rng = np.random.default_rng(78)
+        pcm = rng.integers(-8000, 8000, size=1_000_000, dtype=np.int64).astype(np.int16)
+        import time
+        t0 = time.perf_counter()
+        msgs = PocsagDecoder().scan(pcm)
+        dt = time.perf_counter() - t0
+        assert msgs == []
+        # vectorized prefilter: must be far faster than the ~2s FSM pass
+        assert dt < 1.0, dt

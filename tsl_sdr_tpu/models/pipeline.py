@@ -132,8 +132,12 @@ class ReceivePipeline:
             rs = self._resamplers[i]
             if rs is not None:
                 audio = rs.process_array(audio)
-            if self._decoders[i] is None:
+            dec = self._decoders[i]
+            if dec is None:
                 results.append(audio)
+            elif hasattr(dec, "scan"):
+                # vectorized SEARCH fast-forward; message-exact vs on_pcm
+                results.append(dec.scan(audio))
             else:
-                results.append(self._decoders[i].on_pcm(audio))
+                results.append(dec.on_pcm(audio))
         return results
