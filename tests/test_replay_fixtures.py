@@ -1,0 +1,69 @@
+"""Recorded-IQ replay fixtures — the reference's integration-test pattern.
+
+The reference streams real captures named by env vars through the full
+decoders (``pager/test/test_mueller_muller.c:92-124``,
+``pager/test/test_pager_pocsag.c:253-262``, ``ais/test/test_ais_demod.c:458``).
+These tests consume the SAME fixture files with the SAME env vars, so a
+tree that has the reference's test data can check drop-in parity directly.
+Skipped when the fixtures are absent (they are not in either repo).
+"""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def _fixture(env, name):
+    d = os.environ.get(env)
+    if not d:
+        pytest.skip(f"{env} not set")
+    p = Path(d) / name
+    if not p.exists():
+        pytest.skip(f"{p} missing")
+    return p
+
+
+def test_pocsag_hackrf_capture_decodes():
+    p = _fixture("PAGER_TEST_DATA_DIR", "pocsag_38400_test_512bps_hackrf.raw")
+    from tsl_sdr_tpu.models.pocsag import PocsagDecoder
+
+    pcm = np.fromfile(p, dtype=np.int16)
+    msgs = PocsagDecoder().scan(pcm)
+    # the reference prints these via callbacks without asserting a count;
+    # we require at least one valid decode from the capture
+    assert len(msgs) >= 1
+    assert all(m.baud == 512 for m in msgs)
+
+
+def test_mueller_muller_sync_count_anchor():
+    """The reference's correctness anchor: exactly 9 POCSAG sync words in
+    the decision stream of pocsag_hospital_25khz_long.raw
+    (test_mueller_muller.c:180-211; kw=1e-4, km=4e-6, 25000/1200 s/bit)."""
+    p = _fixture("PAGER_TEST_DATA_DIR", "pocsag_hospital_25khz_long.raw")
+    from tsl_sdr_tpu.ops.mueller_muller import MuellerMuller
+
+    pcm = np.fromfile(p, dtype=np.int16)
+    spb = np.float32(25000.0) / np.float32(1200.0)
+    mm = MuellerMuller(kw=1e-4, km=4e-6, samples_per_bit=spb,
+                       error_min=spb - 0.05, error_max=spb + 0.05)
+    decisions = mm.process(pcm)
+    # bit = 0 if decision > 0 else 1; count hamming<4 matches vs the sync
+    # word, exactly like the reference loop (test_mueller_muller.c:130-136)
+    word = 0
+    count = 0
+    for s in decisions:
+        word = ((word << 1) | (0 if s > 0 else 1)) & 0xFFFFFFFF
+        if bin(word ^ 0x7CD215D8).count("1") < 4:
+            count += 1
+    assert count == 9
+
+
+def test_ais_capture_decodes():
+    p = _fixture("AIS_TEST_DATA_DIR", "ais_48khz_16b_raw.bin")
+    from tsl_sdr_tpu.models.ais import AisDecoder
+
+    pcm = np.fromfile(p, dtype=np.int16)
+    msgs = AisDecoder().on_pcm(pcm)
+    assert len(msgs) >= 1

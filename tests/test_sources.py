@@ -124,3 +124,15 @@ def test_multifm_test_mode_and_debug_taps(tmp_path):
     np.testing.assert_array_equal(raw, want[: raw.size])
     # debug IQ has 2 int16 per output sample, same count as PCM
     assert dbg.stat().st_size == 2 * out_pcm.stat().st_size
+
+
+def test_hexdump_and_message(caplog):
+    from tsl_sdr_tpu.utils.diag import hexdump, message
+
+    out = hexdump(b"Hello\x00World!" + bytes(range(8)))
+    assert out.splitlines()[0].startswith("00000000")
+    assert "|Hello.World!" in out
+    import logging
+    with caplog.at_level(logging.INFO):
+        message("MFM", "INFO", "RECV-GAIN", "gain set to %d.%d dB", 20, 7)
+    assert "RECV-GAIN" in caplog.text and "20.7" in caplog.text
