@@ -132,3 +132,30 @@ def test_through_tpu_channelizer():
     msgs = AisDecoder().on_pcm(pcm)
     assert [m.mmsi for m in msgs] == [367001234, 3669999]
     assert abs(msgs[0].latitude - 37.7749) < 1e-5
+
+
+def test_scan_equals_on_pcm():
+    """Vectorized preamble fast-forward produces the FSM's exact messages."""
+    rng = np.random.default_rng(55)
+    parts = [
+        rng.integers(-8000, 8000, size=300_000, dtype=np.int64).astype(np.int16),
+        gen.generate([POS]),
+        rng.integers(-8000, 8000, size=150_000, dtype=np.int64).astype(np.int16),
+        gen.generate([BASE, VOYAGE]),
+        rng.integers(-8000, 8000, size=200_000, dtype=np.int64).astype(np.int16),
+    ]
+    pcm = np.concatenate(parts)
+    ref = AisDecoder().on_pcm(pcm)
+    got = AisDecoder().scan(pcm)
+    assert [type(m).__name__ for m in got] == [type(m).__name__ for m in ref]
+    assert [m.mmsi for m in got] == [m.mmsi for m in ref]
+    assert len(got) == 3
+
+
+def test_scan_noise_fast_and_empty():
+    rng = np.random.default_rng(56)
+    pcm = rng.integers(-8000, 8000, size=2_000_000, dtype=np.int64).astype(np.int16)
+    import time
+    t0 = time.perf_counter()
+    assert AisDecoder().scan(pcm) == []
+    assert time.perf_counter() - t0 < 1.5

@@ -121,3 +121,33 @@ def test_through_tpu_channelizer():
     chain = MultifmChain(lpf, [offset], fs, decim, exact=True)
     pcm = chain.process_array(iq, block_size=decim * 4096)[0]
     _check(FlexDecoder().on_pcm(pcm), expected)
+
+
+def test_scan_equals_on_pcm():
+    """Vectorized BS1 fast-forward produces the FSM's exact message list."""
+    rng = np.random.default_rng(99)
+    baseband, expected = gen.generate(
+        MSGS[:2], baud=1600, fsk_levels=2, amplitude=6144, tail_bits=64
+    )
+    parts = [
+        rng.integers(-6000, 6000, size=80_000, dtype=np.int64).astype(np.int16),
+        baseband,
+        rng.integers(-6000, 6000, size=120_000, dtype=np.int64).astype(np.int16),
+    ]
+    pcm = np.concatenate(parts)
+
+    ref = FlexDecoder().on_pcm(pcm)
+    got = FlexDecoder().scan(pcm)
+    assert [(m.capcode, m.kind, m.data) for m in got] == [
+        (m.capcode, m.kind, m.data) for m in ref
+    ]
+    assert len(got) == len(expected)
+
+
+def test_scan_noise_fast_and_empty():
+    rng = np.random.default_rng(98)
+    pcm = rng.integers(-8000, 8000, size=2_000_000, dtype=np.int64).astype(np.int16)
+    import time
+    t0 = time.perf_counter()
+    assert FlexDecoder().scan(pcm) == []
+    assert time.perf_counter() - t0 < 0.5

@@ -289,6 +289,59 @@ class AisDemodulator:
             self.sample_skip = 0
             self._detect_reset()
 
+    def scan(self, pcm) -> list[bytes]:
+        """Batch decode with a vectorized preamble fast-forward.
+
+        Packet-exact vs :meth:`on_pcm`: the preamble trigger needs >=3 of 5
+        phase registers within hamming 2 of 0x5555557E; a numpy prefilter
+        marks every sample whose freshly-updated register is within hamming
+        2 (a strict superset). The unmodified FSM runs only from 40*5
+        samples before each candidate (registers and NRZI history refill).
+        """
+        pcm = np.asarray(pcm, dtype=np.int16)
+        n = pcm.shape[0]
+        start_msg = len(self.packets)
+
+        s = (pcm > 0).astype(np.uint32)
+        nrzi = np.zeros(n, dtype=np.uint32)
+        nrzi[DECIMATION:] = 1 - (s[DECIMATION:] ^ s[:-DECIMATION])
+        pad = 31 * DECIMATION
+        bp = np.concatenate([np.zeros(pad, np.uint32), nrzi])
+        w = np.zeros(n, dtype=np.uint32)
+        for k in range(32):
+            s0 = pad - k * DECIMATION
+            w |= bp[s0 : s0 + n] << np.uint32(k)
+        v = w ^ np.uint32(PREAMBLE_PATTERN)
+        v = v - ((v >> 1) & np.uint32(0x55555555))
+        v = (v & np.uint32(0x33333333)) + ((v >> 2) & np.uint32(0x33333333))
+        v = (v + (v >> 4)) & np.uint32(0x0F0F0F0F)
+        pc = (v * np.uint32(0x01010101)) >> np.uint32(24)
+        cand_idx = np.flatnonzero(pc <= 2)
+
+        lookback = 40 * DECIMATION
+        chunk = 1280 * DECIMATION + 512  # max packet + margin
+
+        i = 0
+        ci = 0
+        while i < n:
+            if self.state != self._SEARCH:
+                self.on_pcm(pcm[i : i + chunk])
+                i += chunk
+                continue
+            while ci < len(cand_idx) and cand_idx[ci] < i:
+                ci += 1
+            if ci >= len(cand_idx):
+                break
+            c = int(cand_idx[ci])
+            start = max(i, c - lookback)
+            if start > i:
+                self._detect_reset()  # zero registers cannot match
+                i = start
+            end = min(n, c + 8 * DECIMATION)
+            self.on_pcm(pcm[i:end])
+            i = end
+        return self.packets[start_msg:]
+
     def on_pcm(self, pcm) -> list[bytes]:
         pcm = np.asarray(pcm, dtype=np.int16)
         start = len(self.packets)
@@ -328,6 +381,15 @@ class AisDecoder:
     def on_pcm(self, pcm):
         start = len(self.messages)
         for packet in self.demod.on_pcm(pcm):
+            msg = decode_fields(packet)
+            if msg is not None:
+                self.messages.append(msg)
+        return self.messages[start:]
+
+    def scan(self, pcm):
+        """Batch decode via the demodulator's vectorized preamble scan."""
+        start = len(self.messages)
+        for packet in self.demod.scan(pcm):
             msg = decode_fields(packet)
             if msg is not None:
                 self.messages.append(msg)

@@ -588,6 +588,59 @@ class FlexDecoder:
 
     # -- sample pump ----------------------------------------------------------
 
+    def scan(self, pcm) -> list[FlexMessage]:
+        """Batch decode with a vectorized BS1 fast-forward.
+
+        Message-exact vs :meth:`on_pcm`: the SYNC_1 hunt looks for an EXACT
+        0xAAAAAAAA in one of 10 phase-interleaved slicer registers, i.e. 32
+        perfectly alternating sign bits at stride 10 — detected for every
+        sample with a 5-pass boolean tree reduction. The unmodified FSM then
+        runs only from 34*10 samples before each hit (registers fully
+        refill), skipping sync-free noise entirely.
+        """
+        pcm = np.asarray(pcm, dtype=np.int16)
+        n = pcm.shape[0]
+        start_msg = len(self.messages)
+        b = pcm >= 0  # _slice_2fsk symbol
+
+        # register == BS1 (1010...10, newest bit 0) <=> symbol[i]==0,
+        # symbol[i-10]==1, ... for 32 stride-10 taps: pair-test then AND-tree
+        c = np.zeros(n, dtype=bool)
+        c[10:] = (~b[10:]) & b[:-10]   # newest pair (k=0 even: 0; k=1: 1)
+        for d in (20, 40, 80, 160):
+            c[d:] &= c[:-d]            # after loop: AND over 16 pairs
+        cand_idx = np.flatnonzero(c)
+
+        lookback = 34 * 10
+        chunk = 16_000  # one second of frame structure per FSM slice
+
+        i = 0
+        ci = 0
+        while i < n:
+            searching = (
+                self.state == _ST_SYNC1
+                and self.sync_state in (_SY_SEARCH_BS1, _SY_BS1)
+                and self.bit_counter == 0
+            )
+            if not searching:
+                self.on_pcm(pcm[i : i + chunk])
+                i += chunk
+                continue
+            while ci < len(cand_idx) and cand_idx[ci] < i:
+                ci += 1
+            if ci >= len(cand_idx):
+                break
+            cpos = int(cand_idx[ci])
+            start = max(i, cpos - lookback)
+            if start > i:
+                # skipped noise has no exact BS1; zeroed registers can't match
+                self._sync_reset_only()
+                i = start
+            end = min(n, cpos + 64)
+            self.on_pcm(pcm[i:end])
+            i = end
+        return self.messages[start_msg:]
+
     def on_pcm(self, pcm) -> list[FlexMessage]:
         pcm = np.asarray(pcm, dtype=np.int16)
         start = len(self.messages)
