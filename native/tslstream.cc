@@ -317,4 +317,46 @@ void tsl_sink_free(void* h) {
   delete k;
 }
 
+// Q.14 derotator sequence for the bit-exact tier.
+//
+// The reference's direct FIR advances a Q.14 complex rotator once per
+// decimated output with round-half-up Q.28->Q.14 rounding and NO
+// renormalization (filter/direct_fir.c:152-172) — an inherently serial
+// integer recurrence. It is input-independent, so the whole per-block
+// sequence is precomputed here (a few ns per step) and handed to the TPU
+// as a plain tensor.
+//
+// rot0/incr: [C][2] (re, im); out: [n][C][2] int16 — out[k] is the rotator
+// BEFORE output k (matching the reference's use-then-advance order).
+// rot0 is updated in place to the state after n outputs.
+static inline int16_t q14_round(int32_t v) {
+  return (int16_t)((v >> 14) + ((v >> 13) & 1));
+}
+
+void tsl_rotator_seq(int16_t* rot0, const int32_t* incr, size_t nr_channels,
+                     size_t n, int16_t* out) {
+  for (size_t c = 0; c < nr_channels; c++) {
+    int16_t re = rot0[2 * c], im = rot0[2 * c + 1];
+    const int32_t ir = incr[2 * c], ii = incr[2 * c + 1];
+    if (ir == 0 && ii == 0) {
+      // zero increment disables derotation (direct_fir.c:406); emit unity
+      for (size_t k = 0; k < n; k++) {
+        out[(k * nr_channels + c) * 2] = re;
+        out[(k * nr_channels + c) * 2 + 1] = im;
+      }
+      continue;
+    }
+    for (size_t k = 0; k < n; k++) {
+      out[(k * nr_channels + c) * 2] = re;
+      out[(k * nr_channels + c) * 2 + 1] = im;
+      const int32_t nre = (int32_t)re * ir - (int32_t)im * ii;
+      const int32_t nim = (int32_t)im * ir + (int32_t)re * ii;
+      re = q14_round(nre);
+      im = q14_round(nim);
+    }
+    rot0[2 * c] = re;
+    rot0[2 * c + 1] = im;
+  }
+}
+
 }  // extern "C"

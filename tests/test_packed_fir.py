@@ -22,9 +22,15 @@ def _oracle_pcm(x, lpf, offsets, fs, d):
     pcm = np.zeros((c, k0), np.int16)
     for ci in range(c):
         taps, f_offs = fir.design_channel_taps(lpf, offsets[ci], fs)
-        ar = win[..., 0] @ taps.real + win[..., 1] @ -taps.imag * -1
-        ar = win[..., 0] @ taps.real - win[..., 1] @ taps.imag
-        ai = win[..., 1] @ taps.real + win[..., 0] @ taps.imag
+        # the production tier uses the reference's Q.14 quantized taps; the
+        # oracle must filter with the same response (angles of near-zero
+        # noise outputs are hypersensitive to tap perturbations)
+        from tsl_sdr_tpu.ops import q14
+
+        tre = q14.quantize_q14(taps.real).astype(np.float64)
+        tim = q14.quantize_q14(taps.imag).astype(np.float64)
+        ar = win[..., 0] @ tre - win[..., 1] @ tim
+        ai = win[..., 1] @ tre + win[..., 0] @ tim
         th = f_offs * d * np.arange(k0)
         yr = ar * np.cos(th) - ai * np.sin(th)
         yi = ar * np.sin(th) + ai * np.cos(th)
@@ -130,3 +136,41 @@ def test_fm_from_baseband_equals_rotate_then_fm():
     diff = np.abs(pcm.astype(np.int32) - want.astype(np.int32))
     diff = np.minimum(diff, 32768 - diff)
     assert diff[1:].max() <= 1, diff[1:].max()
+
+
+def test_exact_packed_matches_exact_tier():
+    """The MXU integer path == the reference-exact scan tier, bit for bit."""
+    import shutil
+
+    import pytest
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain for the rotator helper")
+
+    fs, d = 256_000, 16
+    rng = np.random.default_rng(70)
+    lpf = firdes_low_pass(1.0, fs, 9_000, 6_000)[:80]
+    offsets = [24_000, -64_000, 100_000]
+    n = 120_000
+    x = rng.integers(-9000, 9000, size=(n, 2), dtype=np.int64).astype(np.int16)
+
+    chain = MultifmChain(lpf, offsets, fs, d, exact=True)
+    got = chain.process_array_exact_packed(x, block_size=40_000)
+
+    # ground truth: the C-arithmetic oracle (direct FIR + Q.14 rotator +
+    # double-promoted LUT FM) — got must equal it BIT FOR BIT
+    import oracles
+    from tsl_sdr_tpu.ops import fm as fm_ops
+
+    for ci in range(len(offsets)):
+        ch = oracles.direct_fir_oracle(
+            x, chain.plan.taps_i16[ci], d, rot_incr=chain.plan.rot_incr_i32[ci]
+        )
+        want, _ = fm_ops.fm_demod_np(ch[: got.shape[1]][None])
+        np.testing.assert_array_equal(got[ci], want[0])
+
+    # and the device exact tier agrees within its documented 1-LSB FM slack
+    tier = chain.process_array(x, block_size=32_000)
+    m = min(tier.shape[1], got.shape[1])
+    diff = np.abs(tier[:, :m].astype(np.int32) - got[:, :m].astype(np.int32))
+    assert diff.max() <= 1

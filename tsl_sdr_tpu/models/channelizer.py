@@ -226,8 +226,14 @@ class MultifmChain:
             ar.reshape(-1, c), ai.reshape(-1, c), jnp.asarray(oi32),
             state.out_index,
         )
+        # packed accumulators carry the Q.14 tap scale; the reference dumps
+        # the rounded-to-sample-units baseband (round_q28_q14 of the acc)
+        scale = jnp.float32(1.0 / 16384.0)
         iq = jnp.stack(
-            [jnp.trunc(yr).astype(jnp.int16), jnp.trunc(yi).astype(jnp.int16)],
+            [
+                jnp.trunc(yr * scale).astype(jnp.int16),
+                jnp.trunc(yi * scale).astype(jnp.int16),
+            ],
             axis=-1,
         ).transpose(1, 0, 2)
         new_state = MultifmFastState(
@@ -237,6 +243,73 @@ class MultifmChain:
             out_index=state.out_index + jnp.int32(ar.size // c),
         )
         return new_state, pcm.reshape(-1, c).T, iq
+
+    def process_array_exact_packed(self, iq, block_size: int = 4_194_304):
+        """Bit-exact capture processing with the MXU doing the MACs.
+
+        Identical output to the exact tier (``exact=True`` /
+        ``process_array``) but ~10^2-10^3x faster on TPU: the integer FIR
+        rides the lane-packed int16 matmul (int32 modular accumulation is
+        order-free, so the MXU result equals the C loop bit-for-bit), the
+        serial Q.14 rotator drift is precomputed by the native helper, and
+        the LUT FM discriminator runs vectorized on the host. Returns
+        pcm [C, K_total] int16.
+        """
+        from tsl_sdr_tpu.ops import q14
+        from tsl_sdr_tpu.ops.fm import fm_demod_np
+        from tsl_sdr_tpu.runtime.native import rotator_seq
+
+        iq = np.asarray(iq, dtype=np.int16)
+        q = self.packed_plan.block_quantum
+        block_size -= block_size % q
+        c_len = self.packed_plan.carry_len
+        n_blocks = max((iq.shape[0] - c_len) // block_size, 0)
+        if n_blocks < 1:
+            block_size = (iq.shape[0] - c_len) // q * q
+            n_blocks = 1
+            if block_size <= 0:
+                raise ValueError("capture shorter than one block quantum")
+        carry = packed_fir.init_packed_carry(
+            self.packed_plan, iq[:c_len] if c_len else None
+        )
+        body = iq[c_len : c_len + n_blocks * block_size]
+        blocks = jnp.asarray(body.reshape(n_blocks, 2 * block_size))
+
+        plan = self.packed_plan
+
+        @jax.jit
+        def run(carry, blocks):
+            def body_fn(cv, bv):
+                cv, a_re, a_im = packed_fir.packed_fir_step_exact(
+                    plan, cv, bv
+                )
+                return cv, (a_re, a_im)
+
+            return jax.lax.scan(body_fn, carry, blocks)
+
+        _, (a_re, a_im) = run(carry, blocks)
+        c = self.nr_channels
+        a_re = np.asarray(a_re).reshape(-1, c)  # [K, C] int16
+        a_im = np.asarray(a_im).reshape(-1, c)
+        k_total = a_re.shape[0]
+
+        # serial Q.14 derotator (native precompute) + exact rounding
+        rot0 = np.zeros((c, 2), np.int16)
+        rot0[:, 0] = q14.Q14_ONE
+        rot = rotator_seq(rot0, plan.rot_incr_i32, k_total)  # [K, C, 2]
+        d_re = a_re.astype(np.int32) * rot[..., 0] - a_im.astype(
+            np.int32
+        ) * rot[..., 1]
+        d_im = a_re.astype(np.int32) * rot[..., 1] + a_im.astype(
+            np.int32
+        ) * rot[..., 0]
+
+        def round_np(v):
+            return ((v >> 14) + ((v >> 13) & 1)).astype(np.int16)
+
+        ch = np.stack([round_np(d_re), round_np(d_im)], axis=-1)  # [K, C, 2]
+        pcm, _ = fm_demod_np(np.moveaxis(ch, 1, 0))  # [C, K]
+        return pcm
 
     # -- whole-array API (bench / batch jobs) -------------------------------
 

@@ -96,6 +96,11 @@ class CostasChannelizer:
         yr, yi = packed_fir.nco_rotate(
             ar.reshape(-1, c), ai.reshape(-1, c), self._oi32, state.out_index
         )
+        # packed accumulators carry the Q.14 tap scale; the Costas loop's
+        # quadratic error term expects sample-unit amplitudes
+        scale = jnp.float32(1.0 / 16384.0)
+        yr = yr * scale
+        yi = yi * scale
         # per-channel serial PLL: vmap the scan over the channel axis
         blocks_c = jnp.stack([yr.T, yi.T], axis=-1)  # [C, K, 2] float
         st2, out = jax.vmap(

@@ -62,7 +62,9 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 class PackedFirPlan(NamedTuple):
     """Static host-side plan for the lane-packed channel bank."""
 
-    w_chunks: tuple  # tuple of np.ndarray [ROW, COLS] f32 tap chunks
+    w_chunks: tuple       # tuple of np.ndarray [ROW, COLS] f32 tap chunks
+    w_chunks_i16: tuple   # same layout, int16 Q.14 (bit-exact tier)
+    rot_incr_i32: np.ndarray  # [C, 2] int32 Q.14 derotator increment
     omega_d: np.ndarray  # [C] float64: per-output derotation increment (rad)
     row: int             # values per packed row (= lcm(2D, 128))
     opr: int             # outputs per row (= row / (2D))
@@ -117,15 +119,26 @@ def make_packed_fir_plan(
 
     cols = 2 * opr * nr_ch
     wf = np.zeros((win, 2, opr, nr_ch), dtype=np.float32)
+    wq = np.zeros((win, 2, opr, nr_ch), dtype=np.int16)
     tidx = 2 * np.arange(nr_taps)
     omega_d = np.empty(nr_ch, dtype=np.float64)
+    rot_incr = np.empty((nr_ch, 2), dtype=np.int32)
+    from tsl_sdr_tpu.ops import q14
+
     for c in range(nr_ch):
         taps, f_offs = design_channel_taps(
             lpf_taps, offsets_hz[c], sample_rate, gains[c]
         )
         omega_d[c] = f_offs * d
+        incr = np.exp(1j * f_offs * d)
+        rot_incr[c, 0] = q14.quantize_q14_i32(incr.real)
+        rot_incr[c, 1] = q14.quantize_q14_i32(incr.imag)
         cr = taps.real.astype(np.float32)
         ci = taps.imag.astype(np.float32)
+        # bit-exact tier uses the reference's truncating tap quantization
+        # (multifm/demod.c:214-218)
+        qr = q14.quantize_q14(taps.real)
+        qi = q14.quantize_q14(taps.imag)
         for j in range(opr):
             vre = 2 * d * j + tidx
             # out_re += cr*xr - ci*xi ; out_im += ci*xr + cr*xi
@@ -133,15 +146,27 @@ def make_packed_fir_plan(
             wf[vre + 1, 0, j, c] -= ci
             wf[vre, 1, j, c] += ci
             wf[vre + 1, 1, j, c] += cr
+            wq[vre, 0, j, c] += qr
+            wq[vre + 1, 0, j, c] -= qi
+            wq[vre, 1, j, c] += qi
+            wq[vre + 1, 1, j, c] += qr
     wf = wf.reshape(win, cols)
+    wq = wq.reshape(win, cols)
 
     padded = np.zeros(((cr_rows + 1) * row, cols), dtype=np.float32)
     padded[:win] = wf
     chunks = tuple(
         padded[i * row : (i + 1) * row] for i in range(cr_rows + 1)
     )
+    padded_q = np.zeros(((cr_rows + 1) * row, cols), dtype=np.int16)
+    padded_q[:win] = wq
+    chunks_q = tuple(
+        padded_q[i * row : (i + 1) * row] for i in range(cr_rows + 1)
+    )
     return PackedFirPlan(
         w_chunks=chunks,
+        w_chunks_i16=chunks_q,
+        rot_incr_i32=rot_incr,
         omega_d=omega_d,
         row=row,
         opr=opr,
@@ -190,28 +215,27 @@ def packed_fir_step(plan: PackedFirPlan, carry_vals, block):
         )
     vals = jnp.concatenate([carry_vals, block])
     r_tot = vals.shape[0] // plan.row
-    rows = vals.reshape(r_tot, plan.row).astype(jnp.float32)
+    rows = vals.reshape(r_tot, plan.row)
     r_valid = r_tot - plan.cr_rows
 
-    cols = plan.w_chunks[0].shape[1]
+    # int16 x int16 -> int32 matmul: the MXU's native integer path runs
+    # ~1.6x faster than f32-HIGHEST here, skips the int16->f32 conversion
+    # pass entirely, and uses the REFERENCE's own Q.14 tap quantization
+    # (multifm/demod.c:214-218) — so the fast tier's filter response equals
+    # the C filter's, with full-precision (unrounded) int32 accumulators.
+    cols = plan.w_chunks_i16[0].shape[1]
     p = jnp.dot(
         rows,
-        jnp.asarray(plan.w_chunks[0]),
-        preferred_element_type=jnp.float32,
-        precision=_HIGHEST,
+        jnp.asarray(plan.w_chunks_i16[0]),
+        preferred_element_type=jnp.int32,
     )
-    for i, w in enumerate(plan.w_chunks[1:], start=1):
-        q = jnp.dot(
-            rows,
-            jnp.asarray(w),
-            preferred_element_type=jnp.float32,
-            precision=_HIGHEST,
-        )
+    for i, w in enumerate(plan.w_chunks_i16[1:], start=1):
+        q = jnp.dot(rows, jnp.asarray(w), preferred_element_type=jnp.int32)
         # P[r] += Q[r + i]  (window spill into the i-th following row)
         p = p + jax.lax.dynamic_slice_in_dim(
-            jnp.concatenate([q, jnp.zeros((i, cols), jnp.float32)]), i, r_tot
+            jnp.concatenate([q, jnp.zeros((i, cols), jnp.int32)]), i, r_tot
         )
-    p = p[:r_valid]
+    p = p[:r_valid].astype(jnp.float32)
     half = plan.opr * plan.nr_channels
     # Keep the natural [rows, opr*C] layout — its flat order is (k, c), so
     # consumers index it like [K, C] without paying a 64-lane -> C-lane
@@ -222,6 +246,56 @@ def packed_fir_step(plan: PackedFirPlan, carry_vals, block):
         vals, r_valid * plan.row, plan.carry_vals
     )
     return new_carry, ar, ai
+
+
+def packed_fir_step_exact(plan: PackedFirPlan, carry_vals, block):
+    """Bit-exact integer tier of :func:`packed_fir_step`.
+
+    The reference's per-output complex MAC accumulates int16*int16 products
+    into a wrapping int32 (``filter/direct_fir.c:366-385``); int32 modular
+    addition is order-independent, so the same lane-packed matmul computes
+    it EXACTLY — the MXU's int16 path accumulates int32 with two's-complement
+    wrap (verified on hardware). Returns (carry, a_re, a_im) with a_re/a_im
+    ``[rows, opr*C]`` int16: the Q.28->Q.14 rounded, NOT-yet-derotated
+    accumulators (reference rounding ``filter/complex.h:30-34``). Derotation
+    is the serial Q.14 rotator — precomputed by the native helper
+    ``tsl_rotator_seq`` and applied by the caller.
+    """
+    if isinstance(block, np.ndarray):
+        block = block.reshape(-1)
+    block = jnp.asarray(block, dtype=jnp.int16)
+    if block.ndim == 2:
+        block = block.reshape(-1)
+    n = block.shape[0] // 2
+    if n % plan.block_quantum != 0:
+        raise ValueError(
+            f"block length {n} must be a multiple of {plan.block_quantum}"
+        )
+    vals = jnp.concatenate([carry_vals, block])
+    r_tot = vals.shape[0] // plan.row
+    rows = vals.reshape(r_tot, plan.row)
+    r_valid = r_tot - plan.cr_rows
+
+    cols = plan.w_chunks_i16[0].shape[1]
+    p = jnp.dot(
+        rows, jnp.asarray(plan.w_chunks_i16[0]),
+        preferred_element_type=jnp.int32,
+    )
+    for i, w in enumerate(plan.w_chunks_i16[1:], start=1):
+        q = jnp.dot(rows, jnp.asarray(w), preferred_element_type=jnp.int32)
+        p = p + jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([q, jnp.zeros((i, cols), jnp.int32)]), i, r_tot
+        )
+    p = p[:r_valid]
+    half = plan.opr * plan.nr_channels
+    from tsl_sdr_tpu.ops import q14
+
+    a_re = q14.round_q28_q14(p[:, :half])
+    a_im = q14.round_q28_q14(p[:, half : 2 * half])
+    new_carry = jax.lax.dynamic_slice_in_dim(
+        vals, r_valid * plan.row, plan.carry_vals
+    )
+    return new_carry, a_re, a_im
 
 
 def omega_turns_i32(omega_d: np.ndarray) -> np.ndarray:

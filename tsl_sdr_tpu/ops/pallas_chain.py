@@ -184,7 +184,13 @@ class PallasChain:
         self.plan = plan
         self.tr = int(tile_rows)
         self.halfcols = plan.opr * plan.nr_channels
-        self.w_stack = jnp.asarray(np.stack(plan.w_chunks))
+        # quantized-tap values in f32 (the int-valued products stay well
+        # within f32's exact range per-term; the HIGHEST-precision MXU sum
+        # tracks the integer path to ~1 PCM LSB). Keeps the same filter
+        # response as the XLA int16 tier.
+        self.w_stack = jnp.asarray(
+            np.stack(plan.w_chunks_i16).astype(np.float32)
+        )
         # omega per output column (j, c): tile over j
         om = np.tile(np.asarray(omega_reduced, np.float32), plan.opr)
         self.omega_row = jnp.asarray(om[None, :])

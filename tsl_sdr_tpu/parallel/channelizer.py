@@ -67,20 +67,20 @@ def _local_packed_fm(vals_local, w_all, omega_all, *, row, opr, cr, cols):
     # first cr rows -> left neighbor (window spill); last shard receives zeros
     next_rows = jax.lax.ppermute(rows_i16[:cr], TIME_AXIS, bwd)
 
-    total = jnp.concatenate([prev_row, rows_i16, next_rows]).astype(jnp.float32)
+    total = jnp.concatenate([prev_row, rows_i16, next_rows])
     r_tot = r_local + 1 + cr
     r_valid = r_local + 1
 
-    # --- packed FIR: one dense matmul per tap chunk + row shift ---
-    p = jnp.dot(total, w[0], preferred_element_type=jnp.float32,
-                precision=_HIGHEST)
+    # --- packed FIR: native int16 MXU matmul per tap chunk + row shift
+    # (same quantized taps and integer accumulation as the single-chip
+    # packed tier, so shards agree with it bit-for-bit) ---
+    p = jnp.dot(total, w[0], preferred_element_type=jnp.int32)
     for i in range(1, cr + 1):
-        q = jnp.dot(total, w[i], preferred_element_type=jnp.float32,
-                    precision=_HIGHEST)
+        q = jnp.dot(total, w[i], preferred_element_type=jnp.int32)
         p = p + jax.lax.dynamic_slice_in_dim(
-            jnp.concatenate([q, jnp.zeros((i, cols), jnp.float32)]), i, r_tot
+            jnp.concatenate([q, jnp.zeros((i, cols), jnp.int32)]), i, r_tot
         )
-    p = p[:r_valid]
+    p = p[:r_valid].astype(jnp.float32)
     half = opr * nr_ch
 
     # --- FM with folded derotator; the extra leading row provides history
@@ -116,7 +116,7 @@ def make_sharded_multifm(plan, mesh, omega_reduced=None):
     c_local = nr_ch // n_ch_shards
 
     # per-channel-shard tap stacks: [shards, cr+1, ROW, cols_local]
-    w_full = np.stack(plan.w_chunks)  # [cr+1, ROW, 2*opr*C]
+    w_full = np.stack(plan.w_chunks_i16)  # [cr+1, ROW, 2*opr*C] int16
     w_full = w_full.reshape(
         plan.cr_rows + 1, plan.row, 2, plan.opr, n_ch_shards, c_local
     )

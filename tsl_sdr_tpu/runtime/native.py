@@ -72,8 +72,35 @@ def load():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)
         ]
         lib.tsl_sink_free.argtypes = [ctypes.c_void_p]
+        lib.tsl_rotator_seq.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int16),
+        ]
         _LIB = lib
         return lib
+
+
+def rotator_seq(rot: np.ndarray, incr: np.ndarray, n: int) -> np.ndarray:
+    """Q.14 derotator sequence for the bit-exact tier (native helper).
+
+    rot: [C, 2] int16 current rotator (UPDATED IN PLACE to the state after n
+    outputs); incr: [C, 2] int32 Q.14 increment. Returns [n, C, 2] int16 —
+    the rotator value BEFORE each output, exactly replicating the
+    reference's use-then-advance recurrence with its un-renormalized drift
+    (filter/direct_fir.c:152-172).
+    """
+    lib = load()
+    rot = np.ascontiguousarray(rot, np.int16)
+    incr = np.ascontiguousarray(incr, np.int32)
+    c = rot.shape[0]
+    out = np.empty((n, c, 2), dtype=np.int16)
+    lib.tsl_rotator_seq(
+        rot.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        incr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        c, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    return out
 
 
 class NativeSource:
