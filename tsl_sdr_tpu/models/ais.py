@@ -297,6 +297,12 @@ class AisDemodulator:
         marks every sample whose freshly-updated register is within hamming
         2 (a strict superset). The unmodified FSM runs only from 40*5
         samples before each candidate (registers and NRZI history refill).
+
+        Intended for whole captures: a sync whose register history
+        straddles two separate scan() calls can be missed (the skipped
+        tail of the earlier call is not replayed). For streaming, use
+        on_pcm, or overlap consecutive scan blocks by a few thousand
+        samples.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
         n = pcm.shape[0]

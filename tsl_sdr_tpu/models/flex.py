@@ -597,6 +597,12 @@ class FlexDecoder:
         sample with a 5-pass boolean tree reduction. The unmodified FSM then
         runs only from 34*10 samples before each hit (registers fully
         refill), skipping sync-free noise entirely.
+
+        Intended for whole captures: a sync whose register history
+        straddles two separate scan() calls can be missed (the skipped
+        tail of the earlier call is not replayed). For streaming, use
+        on_pcm, or overlap consecutive scan blocks by a few thousand
+        samples.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
         n = pcm.shape[0]

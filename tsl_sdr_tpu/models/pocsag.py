@@ -227,6 +227,12 @@ class PocsagDecoder:
         refills all shift registers and eye counters before the candidate,
         so the decode is sample-exact. ~100x faster than the pure FSM on
         sync-free input.
+
+        Intended for whole captures: a sync whose register history
+        straddles two separate scan() calls can be missed (the skipped
+        tail of the earlier call is not replayed). For streaming, use
+        on_pcm, or overlap consecutive scan blocks by a few thousand
+        samples.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
         n = pcm.shape[0]
