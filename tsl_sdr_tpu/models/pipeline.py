@@ -52,6 +52,8 @@ class ChannelSpec:
     center_freq_hz: int
     protocol: str  # pocsag | flex | ais | pcm (raw demodulated audio)
     invert: bool = False
+    dc_block: bool = False       # decoder -b flag (decoder/decoder.c:648-656)
+    dc_block_pole: float = 0.9999
 
 
 class ReceivePipeline:
@@ -132,6 +134,13 @@ class ReceivePipeline:
             rs = self._resamplers[i]
             if rs is not None:
                 audio = rs.process_array(audio)
+            if spec.dc_block:
+                from tsl_sdr_tpu.ops import dc_blocker as dcb
+
+                st = dcb.init_dc_blocker_state()
+                p = dcb.make_pole_coeff(spec.dc_block_pole)
+                _, audio = dcb.dc_blocker_step_exact(st, audio, p)
+                audio = np.asarray(audio)
             dec = self._decoders[i]
             if dec is None:
                 results.append(audio)
