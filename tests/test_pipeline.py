@@ -69,3 +69,52 @@ def test_two_protocol_channels_one_capture():
     assert len(flex_msgs) == 1
     assert flex_msgs[0].capcode == 1234567
     assert flex_msgs[0].text == "PIPE FLEX"
+
+
+def test_pipeline_cli(tmp_path):
+    """pipeline-tpu: capture with a POCSAG channel + a pcm channel."""
+    import json as jsonlib
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+
+    decim = 32
+    fs = 38400 * decim
+    center = 929_500_000
+    off = 250_000
+    bursts = [pocsag_gen.PocsagBurst(capcode=555001, function=1,
+                                     kind="alpha", content="CLI PIPE")]
+    p_bb = pocsag_gen.generate(bursts, baud=1200, amplitude=4096,
+                               tail_bits=256)
+    iq = _fm_mod(p_bb, 38400, off, fs)
+    rng = np.random.default_rng(5)
+    iq = (iq + rng.normal(scale=100, size=iq.shape)).astype(np.int16)
+    iq_path = tmp_path / "cap.cs16"
+    iq.reshape(-1).tofile(iq_path)
+
+    lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+    audio_out = tmp_path / "audio.pcm"
+    cfg = {
+        "device": {"type": "file", "filename": str(iq_path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": fs,
+        "centerFreqHz": center,
+        "decimationFactor": decim,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [
+            {"chanCenterFreq": center + off, "protocol": "pocsag",
+             "outFifo": ""},
+            {"chanCenterFreq": center - 200_000, "outFifo": str(audio_out)},
+        ],
+    }
+    cfg_path = tmp_path / "p.json"
+    cfg_path.write_text(jsonlib.dumps(cfg))
+    out = tmp_path / "msgs.json"
+    rc = pipeline_cli.main([str(cfg_path), "-o", str(out)])
+    assert rc == 0
+    lines = [jsonlib.loads(x) for x in out.read_text().splitlines()]
+    assert len(lines) == 1
+    m = lines[0]
+    assert m["proto"] == "pocsag" and m["capCode"] == 555001
+    assert m["message"] == "CLI PIPE"
+    assert m["freqHz"] == center + off
+    assert audio_out.stat().st_size > 0

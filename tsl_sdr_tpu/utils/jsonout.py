@@ -132,3 +132,20 @@ def ais_message_json(m, now=None) -> str:
             f'"destination":"{m.destination}","rawAscii":"{raw}"}}'
         )
     return ""
+
+
+def message_to_json(m, freq_hz=None, now=None) -> str:
+    """Dispatch any decoded message to its reference JSON form, optionally
+    tagged with the channel's center frequency."""
+    from tsl_sdr_tpu.models.flex import FlexMessage
+    from tsl_sdr_tpu.models.pocsag import PocsagMessage
+
+    if isinstance(m, FlexMessage):
+        s = flex_message_json(m, now)
+    elif isinstance(m, PocsagMessage):
+        s = pocsag_message_json(m, now)
+    else:
+        s = ais_message_json(m, now)
+    if s and freq_hz is not None:
+        s = s[:-1] + f',"freqHz":{int(freq_hz)}}}'
+    return s
