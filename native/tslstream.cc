@@ -22,6 +22,7 @@
 
 #include <atomic>
 #include <chrono>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -357,6 +358,41 @@ void tsl_rotator_seq(int16_t* rot0, const int32_t* incr, size_t nr_channels,
     rot0[2 * c] = re;
     rot0[2 * c + 1] = im;
   }
+}
+
+// 2nd-order Costas loop (multifm/costas_demod.c:56-115): a true serial
+// float recurrence. The JAX scan tier exists for on-device streaming, but a
+// per-sample PLL belongs on a scalar core — this is the production host
+// path (~hundreds of Msps).
+//
+// x: [n][2] int16 IQ; out: [n][2] int16 phase-locked IQ.
+// state: {phase, f_dev} float, updated in place.
+void tsl_costas(const int16_t* x, size_t n, float alpha, float beta,
+                float e_max, float dev_min, float dev_max, float* state,
+                int16_t* out) {
+  float phase = state[0];
+  float f_dev = state[1];
+  const float scale = 1.0f / 16384.0f;
+  for (size_t i = 0; i < n; i++) {
+    const float xr = (float)x[2 * i] * scale;
+    const float xi = (float)x[2 * i + 1] * scale;
+    const float c = cosf(-phase);
+    const float s = sinf(-phase);
+    const float o_re = xr * c - xi * s;
+    const float o_im = xr * s + xi * c;
+    float error = o_im * o_re;
+    if (error > e_max) error = e_max;
+    if (error < -e_max) error = -e_max;
+    f_dev += beta * error;
+    float new_phase = phase + f_dev + alpha * error;
+    if (f_dev > dev_max) f_dev = dev_max;
+    if (f_dev < dev_min) f_dev = dev_min;
+    phase = fmodf(new_phase, 6.283185307179586f);
+    out[2 * i] = (int16_t)(o_re * 16384.0f);
+    out[2 * i + 1] = (int16_t)(o_im * 16384.0f);
+  }
+  state[0] = phase;
+  state[1] = f_dev;
 }
 
 }  // extern "C"

@@ -107,3 +107,32 @@ def test_sink_epipe_drops_instead_of_failing(tmp_path):
         sink.write(pcm)
     assert sink.stats["broken"] or sink.stats["dropped_writes"] >= 0
     sink.close()
+
+
+def test_native_costas_matches_oracle_and_is_fast():
+    import time
+
+    from tsl_sdr_tpu.ops import costas
+    from tsl_sdr_tpu.runtime.native import costas_native
+
+    rng = np.random.default_rng(90)
+    n = 60_000
+    # locked-tone scenario: carrier with small offset + noise
+    t = np.arange(n)
+    ph = 2 * np.pi * 0.001 * t
+    iq = (np.stack([np.cos(ph), np.sin(ph)], -1) * 9000
+          + rng.normal(scale=80, size=(n, 2))).astype(np.int16)
+    params = costas.make_costas_params(0.0, alpha=0.05, beta=0.002,
+                                       e_max_q14=8192)
+    want, _ = costas.costas_np(params, iq)
+    got, _ = costas_native(iq, params)
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    # the PLL is contractive; libm ulp differences stay within a few LSB
+    assert np.median(diff) <= 1
+    assert (diff <= 4).mean() > 0.99, (diff.max(), (diff > 4).mean())
+
+    big = np.tile(iq, (40, 1))
+    t0 = time.perf_counter()
+    costas_native(big, params)
+    dt = time.perf_counter() - t0
+    assert len(big) / dt > 20e6, f"{len(big)/dt/1e6:.1f} Msps"

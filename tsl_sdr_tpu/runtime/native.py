@@ -76,8 +76,37 @@ def load():
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_size_t, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int16),
         ]
+        lib.tsl_costas.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_size_t,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int16),
+        ]
         _LIB = lib
         return lib
+
+
+def costas_native(x: np.ndarray, params, state=None):
+    """Serial Costas loop at native speed (see ops/costas.py for semantics).
+
+    x: [N, 2] int16 IQ; params: CostasParams; state: optional (phase, f_dev)
+    floats. Returns (out [N, 2] int16, (phase, f_dev)).
+    """
+    lib = load()
+    x = np.ascontiguousarray(x, np.int16)
+    out = np.empty_like(x)
+    st = np.asarray(
+        [0.0, params.f_dev_nominal] if state is None else list(state),
+        dtype=np.float32,
+    )
+    lib.tsl_costas(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), x.shape[0],
+        params.alpha, params.beta, params.e_max,
+        params.f_dev_min, params.f_dev_max,
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    return out, (float(st[0]), float(st[1]))
 
 
 def rotator_seq(rot: np.ndarray, incr: np.ndarray, n: int) -> np.ndarray:
