@@ -37,7 +37,7 @@ FS = 1_000_000
 BLOCK = 16_776_960         # one big block per pass (multiple of quantum 320)
 N_BLOCKS = 1
 REP_LO, REP_HI = 2, 10
-TRIALS = 4
+TRIALS = 6
 
 
 def cpu_baseline_msps() -> float:
