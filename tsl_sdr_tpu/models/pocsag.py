@@ -25,7 +25,7 @@ block decoder rides on top for throughput work.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

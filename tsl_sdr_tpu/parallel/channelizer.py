@@ -45,7 +45,6 @@ from tsl_sdr_tpu.ops.packed_fir import PackedFirPlan
 from tsl_sdr_tpu.parallel.mesh import CHANNEL_AXIS, TIME_AXIS
 
 _PI_F32 = np.float32(np.pi)
-_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _local_packed_fm(vals_local, w_all, omega_all, *, row, opr, cr, cols):

@@ -20,7 +20,7 @@ Emits the exact structure the decoder consumes (reference
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
