@@ -57,3 +57,39 @@ def test_entry_compiles():
     fn, args = __graft_entry__.entry()
     out_state, pcm = jax.jit(fn)(*args)
     assert np.asarray(pcm).shape[0] == 4  # n_blocks
+
+
+def test_sharded_resampler_matches_single_device():
+    from tsl_sdr_tpu.ops import polyphase, q14
+    from tsl_sdr_tpu.parallel.resampler import make_sharded_resampler
+    from tsl_sdr_tpu.utils.filter_design import design_rational_resampler_filter
+
+    coeffs = design_rational_resampler_filter(16, 25, 0.4)
+    plan = polyphase.make_resampler_plan(
+        q14.quantize_q14(coeffs), 16, 25, block_out_target=1024
+    )
+    # per-shard span must be divisible by d_rep; 8 shards
+    n = 8 * 40 * plan.d_rep
+    rng = np.random.default_rng(61)
+    x = rng.integers(-12000, 12000, size=n, dtype=np.int64).astype(np.int16)
+
+    mesh = make_mesh(time=8, channels=1, devices=jax.devices()[:8])
+    fn = make_sharded_resampler(plan, mesh)
+    got = np.asarray(fn(x))
+
+    # single-device reference primed with the stream head so its output 0
+    # is the window at stream offset 0, like the sharded form
+    st = polyphase.init_resampler_state(plan, prefix=x[: plan.carry_len])
+    pos = plan.carry_len
+    xx = np.concatenate([x, np.zeros(plan.block_in, np.int16)])
+    want = []
+    while pos + plan.block_in <= len(xx):
+        st, o = polyphase.resample_step(plan, st, xx[pos : pos + plan.block_in],
+                                        exact=False)
+        want.append(np.asarray(o))
+        pos += plan.block_in
+    want = np.concatenate(want)[: got.shape[0]]
+
+    # same formulation, different partition of the f32 sums -> tiny ulp slack
+    np.testing.assert_allclose(got, want, rtol=0, atol=2.0)
+    assert got.shape[0] == n * 16 // 25

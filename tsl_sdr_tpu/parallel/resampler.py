@@ -1,0 +1,84 @@
+"""Time-sharded rational resampler over a device mesh.
+
+The north-star design obligation (SURVEY §2.2 row 4): the reference's
+resampler carries ``last_phase``/``sample_offset`` serially across buffers
+(``filter/polyphase_fir_priv.h:62,92``), but the phase sequence is an exact
+affine function of the absolute output index — so time shards need no
+serial state at all. Each shard's first output phase is known analytically
+(`phase0 = 0` at stream start and the block design keeps ``I | K*D``), and
+the only communication is the forward window spill: ``(S-1)*D_rep`` input
+samples fetched from the right neighbor with one ``jax.lax.ppermute``.
+
+Uses the same frame-shift matmul formulation as the single-chip fast tier
+(:func:`tsl_sdr_tpu.ops.polyphase._resample_fast_kernel`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from tsl_sdr_tpu.ops.polyphase import ResamplerPlan
+from tsl_sdr_tpu.parallel.mesh import TIME_AXIS
+
+
+def _local_resample(x_local, wf, *, s_shifts, d_rep, i_rep):
+    """Per-shard kernel: [N_local] int16 -> [N_local * I/D] float32."""
+    n_t = jax.lax.axis_size(TIME_AXIS)
+    halo_len = (s_shifts - 1) * d_rep
+    # window spill: first halo_len samples -> left neighbor
+    head = x_local[:halo_len]
+    nxt = jax.lax.ppermute(
+        head, TIME_AXIS, [(i + 1, i) for i in range(n_t - 1)]
+    )  # last shard receives zeros
+    total = jnp.concatenate([x_local, nxt])
+    m_out = x_local.shape[0] // d_rep
+    f = total.reshape(m_out + s_shifts - 1, d_rep).astype(jnp.float32)
+    x = jnp.concatenate(
+        [f[s0 : s0 + m_out] for s0 in range(s_shifts)], axis=1
+    )
+    out = jnp.dot(
+        x, wf, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(-1)
+
+
+def make_sharded_resampler(plan: ResamplerPlan, mesh):
+    """fn(pcm[N] int16) -> float32 [N * I/D], N split over the time axis.
+
+    Requires ``phase0 == 0`` plans (the default) and per-shard sample counts
+    divisible by ``D_rep``. Output index k is the global output index
+    (window at input offset ``k*D//I``), identical to the single-chip fast
+    tier modulo the f32 sum order.
+    """
+    if plan.phase0 != 0:
+        raise ValueError("sharded resampler supports phase0 == 0 plans")
+    local = functools.partial(
+        _local_resample,
+        s_shifts=plan.frame_shifts,
+        d_rep=plan.d_rep,
+        i_rep=plan.i_rep,
+    )
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(TIME_AXIS), P()),
+        out_specs=P(TIME_AXIS),
+    )
+    wf = jnp.asarray(plan.w_frames)
+
+    @jax.jit
+    def process(pcm):
+        return fn(pcm, wf)
+
+    return process
