@@ -174,3 +174,29 @@ def test_exact_packed_matches_exact_tier():
     m = min(tier.shape[1], got.shape[1])
     diff = np.abs(tier[:, :m].astype(np.int32) - got[:, :m].astype(np.int32))
     assert diff.max() <= 1
+
+
+def test_packed_odd_configs_match_oracle():
+    """Generality sweep: small/odd D, T <= D (cr_rows == 0), T spanning
+    several rows, C == 1 — all must track the quantized-tap float64 oracle."""
+    rng = np.random.default_rng(71)
+    cases = [
+        (96_000, 3, 2, [10_000]),        # T < D, zero carry
+        (96_000, 3, 64, [10_000, -20_000]),
+        (250_000, 7, 33, [50_000]),
+        (128_000, 64, 200, [30_000]),    # window spans 4 rows
+        (100_000, 5, 5, [12_345]),       # T == D
+    ]
+    for fs, d, taps, offs in cases:
+        lpf = np.resize(firdes_low_pass(1.0, fs, fs // 8, fs // 10), taps)
+        chain = MultifmChain(lpf, offs, fs, d, exact=False)
+        n = max(chain.carry_len + chain.block_quantum * 8, taps * 4)
+        x = rng.integers(-9000, 9000, size=(n, 2), dtype=np.int64).astype(
+            np.int16
+        )
+        got = chain.process_array(x, block_size=chain.block_quantum * 4)
+        want = _oracle_pcm(x, lpf, offs, fs, d)
+        m = min(got.shape[1], want.shape[1])
+        diff = np.abs(got[:, 1:m].astype(np.int32) - want[:, 1:m].astype(np.int32))
+        diff = np.minimum(diff, 32768 - diff)
+        assert diff.max() <= 2, (fs, d, taps, diff.max())
