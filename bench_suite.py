@@ -202,6 +202,11 @@ def main():
     rows.append(("multifm 8-channel channelizer (etc/multifm.json shape)",
                  f"{r8:,.0f} Msps/chip ({r8 / cpu8:,.0f}x the scalar C "
                  f"baseline at {cpu8:.1f} Msps)"))
+    r64 = bench_multifm(64)
+    rows.append(("multifm 64-channel channelizer (8x the reference's "
+                 "flagship width)",
+                 f"{r64:,.0f} Msps/chip = {r64 * 64 / 1e3:,.1f} G "
+                 "channel-samples/s"))
     r = bench_resampler()
     rows.append(("rational resampler 16/25 (821 taps)", f"{r:,.0f} Msps/chip"))
     p = bench_pocsag_chain()
