@@ -312,16 +312,24 @@ class AisDemodulator:
         nrzi[DECIMATION:] = 1 - (s[DECIMATION:] ^ s[:-DECIMATION])
         pad = 31 * DECIMATION
         bp = np.concatenate([np.zeros(pad, np.uint32), nrzi])
-        w = np.zeros(n, dtype=np.uint32)
+        # the trigger needs >=3 of 5 phase registers matching; their update
+        # instants are 3 distinct samples within a 5-sample window. A
+        # stride-2 grid covers 3 of any 5 consecutive positions, so at least
+        # one match instant always lands on a probe (stride 3 could miss:
+        # matches at {1,2,4} avoid grid {0,3}). Superset preserved, half the
+        # work.
+        stride = 2
+        pos = np.arange(0, n, stride)
+        w = np.zeros(pos.shape[0], dtype=np.uint32)
         for k in range(32):
             s0 = pad - k * DECIMATION
-            w |= bp[s0 : s0 + n] << np.uint32(k)
+            w |= bp[s0 : s0 + n : stride] << np.uint32(k)
         v = w ^ np.uint32(PREAMBLE_PATTERN)
         v = v - ((v >> 1) & np.uint32(0x55555555))
         v = (v & np.uint32(0x33333333)) + ((v >> 2) & np.uint32(0x33333333))
         v = (v + (v >> 4)) & np.uint32(0x0F0F0F0F)
         pc = (v * np.uint32(0x01010101)) >> np.uint32(24)
-        cand_idx = np.flatnonzero(pc <= 2)
+        cand_idx = pos[pc <= 2]
 
         lookback = 40 * DECIMATION
         chunk = 1280 * DECIMATION + 512  # max packet + margin
