@@ -62,6 +62,8 @@ def _device_rate(step_fn, state0, blocks, samples_per_pass):
 
 
 def bench_multifm(nr_channels: int) -> float:
+    """Best of the two production backends (XLA wins at small channel
+    counts, the fused Pallas kernel at large ones)."""
     import jax
     import jax.numpy as jnp
     from tsl_sdr_tpu.models.channelizer import MultifmChain
@@ -71,15 +73,19 @@ def bench_multifm(nr_channels: int) -> float:
     lpf = firdes_low_pass(1.0, fs, 12_500, 9_000)[:t]
     rng = np.random.default_rng(0)
     offsets = rng.integers(-fs // 3, fs // 3, size=nr_channels)
-    chain = MultifmChain(lpf, offsets, fs, d, exact=False)
     block = 16_776_960
-    iq = rng.integers(-8000, 8000, size=(chain.carry_len + block, 2),
-                      dtype=np.int64).astype(np.int16)
-    st0 = chain.init_state(prefix=iq[: chain.carry_len])
-    blocks = jax.device_put(
-        jnp.asarray(iq[chain.carry_len :].reshape(1, 2 * block))
-    )
-    return _device_rate(chain._step_raw, st0, blocks, block)
+    best = 0.0
+    for backend in ("xla", "pallas"):
+        chain = MultifmChain(lpf, offsets, fs, d, exact=False,
+                             backend=backend)
+        iq = rng.integers(-8000, 8000, size=(chain.carry_len + block, 2),
+                          dtype=np.int64).astype(np.int16)
+        st0 = chain.init_state(prefix=iq[: chain.carry_len])
+        blocks = jax.device_put(
+            jnp.asarray(iq[chain.carry_len :].reshape(1, 2 * block))
+        )
+        best = max(best, _device_rate(chain._step_raw, st0, blocks, block))
+    return best
 
 
 def bench_resampler() -> float:
