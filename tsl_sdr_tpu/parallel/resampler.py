@@ -76,9 +76,20 @@ def make_sharded_resampler(plan: ResamplerPlan, mesh):
         out_specs=P(TIME_AXIS),
     )
     wf = jnp.asarray(plan.w_frames)
+    n_t = mesh.shape[TIME_AXIS]
+
+    def process(pcm):
+        n = pcm.shape[0]
+        q = n_t * plan.d_rep
+        if n % q:
+            raise ValueError(
+                f"input length {n} must be a multiple of "
+                f"time_shards*D_rep = {q} (pad or trim the capture)"
+            )
+        return _jitted(pcm, wf)
 
     @jax.jit
-    def process(pcm):
+    def _jitted(pcm, wf):
         return fn(pcm, wf)
 
     return process
