@@ -138,3 +138,25 @@ def test_native_costas_matches_oracle_and_is_fast():
     # ~30 Msps unloaded; keep a conservative floor so a busy CI box
     # doesn't flake (the numpy oracle runs at ~0.05 Msps)
     assert len(big) / dt > 5e6, f"{len(big)/dt/1e6:.1f} Msps"
+
+
+def test_async_feeder_orders_and_propagates():
+    import numpy as np
+
+    from tsl_sdr_tpu.runtime.feeder import AsyncFeeder
+
+    blocks = [np.full((64,), i, np.int16) for i in range(10)]
+    got = [int(np.asarray(b)[0]) for b in AsyncFeeder(iter(blocks), depth=2)]
+    assert got == list(range(10))
+
+    def bad():
+        yield blocks[0]
+        raise RuntimeError("producer broke")
+
+    feeder = AsyncFeeder(bad(), depth=2)
+    it = iter(feeder)
+    next(it)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer broke"):
+        next(it)
