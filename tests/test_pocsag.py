@@ -178,3 +178,38 @@ class TestPocsagFastScan:
         assert msgs == []
         # vectorized prefilter: must be far faster than the ~2s FSM pass
         assert dt < 1.0, dt
+
+
+class TestPocsagExactPackedChain:
+    def test_bitexact_mxu_path_decodes_identically(self):
+        """BASELINE north star: POCSAG through the fast bit-exact tier
+        (int16 MXU FIR + native rotator + LUT FM oracle) decodes the same
+        messages as the reference-exact scan tier."""
+        import shutil
+
+        if shutil.which("g++") is None:
+            pytest.skip("no C++ toolchain")
+        from tsl_sdr_tpu.models.channelizer import MultifmChain
+        from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+        baud = 1200
+        decim = 32
+        fs = 38400 * decim
+        offset = 250_000
+        baseband = gen.generate(BURSTS[:2], baud=baud, amplitude=4096,
+                                tail_bits=256)
+        dev = baseband.astype(np.float64) / 16384.0 * (38400 / 2)
+        inst = 2 * np.pi * (offset + dev) / fs
+        phase = np.cumsum(np.repeat(inst, decim))
+        rng = np.random.default_rng(9)
+        iq = np.stack([np.cos(phase), np.sin(phase)], -1) * 9000
+        iq = (iq + rng.normal(scale=150, size=iq.shape)).astype(np.int16)
+
+        lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+        chain = MultifmChain(lpf, [offset], fs, decim, exact=True)
+        pcm = chain.process_array_exact_packed(iq, block_size=decim * 4096)[0]
+
+        msgs = PocsagDecoder().on_pcm(pcm)
+        assert [(m.capcode, m.function, m.kind, m.data) for m in msgs] == [
+            _expected(b) for b in BURSTS[:2]
+        ]
