@@ -69,6 +69,7 @@ def main(argv=None):
                 invert=bool(ch_raw.get("invert", False)),
                 dc_block=bool(ch_raw.get("dcBlock", False)),
                 dc_block_pole=float(ch_raw.get("dcBlockPole", 0.9999)),
+                db_gain=ch_raw.get("dBGain"),
             )
         )
 

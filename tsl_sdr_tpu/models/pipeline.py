@@ -54,6 +54,7 @@ class ChannelSpec:
     invert: bool = False
     dc_block: bool = False       # decoder -b flag (decoder/decoder.c:648-656)
     dc_block_pole: float = 0.9999
+    db_gain: float | None = None  # per-channel dBGain (receiver.c:218-221)
 
 
 class ReceivePipeline:
@@ -84,8 +85,12 @@ class ReceivePipeline:
     ):
         self.channels = list(channels)
         offsets = [c.center_freq_hz - center_freq_hz for c in self.channels]
+        gains = [
+            10.0 ** (c.db_gain / 10.0) if c.db_gain is not None else 1.0
+            for c in self.channels
+        ]
         self.chain = MultifmChain(
-            lpf_taps, offsets, sample_rate, decimation,
+            lpf_taps, offsets, sample_rate, decimation, gains=gains,
             exact=exact, backend=backend,
         )
         ch_rate = self.chain.channel_rate
