@@ -88,6 +88,35 @@ def bench_multifm(nr_channels: int) -> float:
     return best
 
 
+def bench_exact_fir() -> float:
+    """Device throughput of the bit-exact integer FIR (packed_fir_step_exact)."""
+    import jax
+    import jax.numpy as jnp
+    from tsl_sdr_tpu.models.channelizer import MultifmChain
+    from tsl_sdr_tpu.ops import packed_fir
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    fs, d, t, c = 1_000_000, 40, 128, 8
+    lpf = firdes_low_pass(1.0, fs, 12_500, 9_000)[:t]
+    rng = np.random.default_rng(0)
+    offsets = rng.integers(-fs // 3, fs // 3, size=c)
+    chain = MultifmChain(lpf, offsets, fs, d, exact=True)
+    plan = chain.packed_plan
+    block = 16_776_960
+    iq = rng.integers(-8000, 8000, size=(plan.carry_len + block, 2),
+                      dtype=np.int64).astype(np.int16)
+    carry = packed_fir.init_packed_carry(plan, iq[: plan.carry_len])
+    blocks = jax.device_put(
+        jnp.asarray(iq[plan.carry_len :].reshape(1, 2 * block))
+    )
+
+    def step(cv, bv):
+        cv, a_re, a_im = packed_fir.packed_fir_step_exact(plan, cv, bv)
+        return cv, (a_re.astype(jnp.int32) + a_im.astype(jnp.int32))
+
+    return _device_rate(step, carry, blocks, block)
+
+
 def bench_resampler() -> float:
     import jax
     import jax.numpy as jnp
@@ -213,6 +242,9 @@ def main():
                  "flagship width)",
                  f"{r64:,.0f} Msps/chip = {r64 * 64 / 1e3:,.1f} G "
                  "channel-samples/s"))
+    r = bench_exact_fir()
+    rows.append(("BIT-EXACT integer FIR bank (== C arithmetic, 8ch/128tap)",
+                 f"{r:,.0f} Msps/chip on-device"))
     r = bench_resampler()
     rows.append(("rational resampler 16/25 (821 taps)", f"{r:,.0f} Msps/chip"))
     p = bench_pocsag_chain()
