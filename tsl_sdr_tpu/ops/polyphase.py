@@ -46,6 +46,7 @@ class ResamplerPlan(NamedTuple):
     # fast-tier frame formulation (see resample_step): outputs grouped
     # I_rep per D_rep input frame; windows = S row-shifted frame copies
     w_frames: np.ndarray      # [S*D_rep, I_rep] float32
+    w_frames_i16: np.ndarray  # same, int16 Q.14 (transposed-residue tier)
     frame_shifts: int         # S
     i_rep: int
     d_rep: int
@@ -102,11 +103,11 @@ def make_resampler_plan(
     span = int(oj.max()) + p
     s_shifts = -(-span // d_rep)
     wf = np.zeros((s_shifts * d_rep, i_rep), dtype=np.float32)
+    wq = np.zeros((s_shifts * d_rep, i_rep), dtype=np.int16)
     for j in range(i_rep):
-        wf[oj[j] : oj[j] + p, j] = (
-            phases[(phase0 + j * decimate) % interpolate].astype(np.float32)
-            / q14.Q14_ONE
-        )
+        ph = phases[(phase0 + j * decimate) % interpolate]
+        wf[oj[j] : oj[j] + p, j] = ph.astype(np.float32) / q14.Q14_ONE
+        wq[oj[j] : oj[j] + p, j] = ph
 
     return ResamplerPlan(
         taps_sel_i16=taps_sel,
@@ -119,6 +120,7 @@ def make_resampler_plan(
         carry_len=carry_len,
         phase0=int(phase0),
         w_frames=wf,
+        w_frames_i16=wq,
         frame_shifts=int(s_shifts),
         i_rep=int(i_rep),
         d_rep=int(d_rep),
@@ -190,15 +192,61 @@ def _resample_fast_kernel(carry, block, wf, *, s_shifts, d_rep, i_rep, k_out):
     return new_carry, out.reshape(-1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("s_shifts", "d_rep", "i_rep", "k_out")
+)
+def _resample_fast_kernel_t(carry, block, wt, *, s_shifts, d_rep, i_rep,
+                            k_out):
+    """Transposed-residue fast tier — full 128-lane utilization.
+
+    With ``u = oj + q`` split as ``u = 25*s + r`` (for d_rep = 25):
+
+        out[16m + j] = sum_{s, r} W[s, j, r] * xT[r, m + s]
+
+    where ``xT[r, m] = x[d_rep*m + r]`` is the residue-transposed input. The
+    huge M axis rides the LANES of both matmul operands and the output —
+    the ``[M, D_rep]`` frame layout of the plain kernel wastes 1 - D/128 of
+    every register. S matmuls ``[I_rep, D_rep] @ [D_rep, M]`` in exact
+    int16*int16->int32 (quantized taps = the reference's filter), then one
+    scale to the float sample-unit output.
+    """
+    total = jnp.concatenate([carry, block], axis=0)
+    new_carry = total[block.shape[0] :]
+    m_out = k_out // i_rep
+    need = (m_out + s_shifts - 1) * d_rep
+    pad = need - total.shape[0]
+    if pad > 0:
+        total = jnp.concatenate([total, jnp.zeros((pad,), total.dtype)])
+    xt = total[:need].reshape(m_out + s_shifts - 1, d_rep).T  # [D_rep, M+S-1]
+    acc = jnp.dot(
+        wt[0], xt[:, :m_out], preferred_element_type=jnp.int32
+    )
+    for s in range(1, s_shifts):
+        acc = acc + jnp.dot(
+            wt[s], xt[:, s : s + m_out], preferred_element_type=jnp.int32
+        )
+    out = acc.astype(jnp.float32) * jnp.float32(1.0 / q14.Q14_ONE)
+    # [I_rep, M] -> flat (k = i_rep*m + j) requires the transpose back
+    return new_carry, out.T.reshape(-1)
+
+
 def resample_step(plan: ResamplerPlan, state: ResamplerState, block, *, exact=True):
     """block: [N_in] int16 -> (state, out[K]) (int16 exact / float32 fast)."""
     block = jnp.asarray(block, dtype=jnp.int16)
     assert block.shape == (plan.block_in,), (block.shape, plan.block_in)
     if not exact:
-        new_carry, out = _resample_fast_kernel(
+        # wt[s] = W_s [I_rep, D_rep]: wt[s, j, r] = w_frames_i16[25*s + r, j]
+        wt = jnp.asarray(
+            np.ascontiguousarray(
+                plan.w_frames_i16.reshape(
+                    plan.frame_shifts, plan.d_rep, plan.i_rep
+                ).transpose(0, 2, 1)
+            )
+        )
+        new_carry, out = _resample_fast_kernel_t(
             state.carry,
             block,
-            jnp.asarray(plan.w_frames),
+            wt,
             s_shifts=plan.frame_shifts,
             d_rep=plan.d_rep,
             i_rep=plan.i_rep,
