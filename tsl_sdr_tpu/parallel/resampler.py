@@ -31,8 +31,14 @@ from tsl_sdr_tpu.ops.polyphase import ResamplerPlan
 from tsl_sdr_tpu.parallel.mesh import TIME_AXIS
 
 
-def _local_resample(x_local, wf, *, s_shifts, d_rep, i_rep):
-    """Per-shard kernel: [N_local] int16 -> [N_local * I/D] float32."""
+def _local_resample(x_local, wt, *, s_shifts, d_rep, i_rep):
+    """Per-shard kernel: [N_local] int16 -> [N_local * I/D] float32.
+
+    Same transposed-residue form as the single-chip fast tier
+    (ops/polyphase._resample_fast_kernel_t): the shard's M axis rides the
+    matmul lanes; taps are the exact Q.14 integers."""
+    from tsl_sdr_tpu.ops import q14
+
     n_t = jax.lax.axis_size(TIME_AXIS)
     halo_len = (s_shifts - 1) * d_rep
     # window spill: first halo_len samples -> left neighbor
@@ -42,15 +48,14 @@ def _local_resample(x_local, wf, *, s_shifts, d_rep, i_rep):
     )  # last shard receives zeros
     total = jnp.concatenate([x_local, nxt])
     m_out = x_local.shape[0] // d_rep
-    f = total.reshape(m_out + s_shifts - 1, d_rep).astype(jnp.float32)
-    x = jnp.concatenate(
-        [f[s0 : s0 + m_out] for s0 in range(s_shifts)], axis=1
-    )
-    out = jnp.dot(
-        x, wf, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out.reshape(-1)
+    xt = total.reshape(m_out + s_shifts - 1, d_rep).T  # [D_rep, M+S-1]
+    acc = jnp.dot(wt[0], xt[:, :m_out], preferred_element_type=jnp.int32)
+    for s in range(1, s_shifts):
+        acc = acc + jnp.dot(
+            wt[s], xt[:, s : s + m_out], preferred_element_type=jnp.int32
+        )
+    out = acc.astype(jnp.float32) * jnp.float32(1.0 / q14.Q14_ONE)
+    return out.T.reshape(-1)
 
 
 def make_sharded_resampler(plan: ResamplerPlan, mesh):
@@ -75,7 +80,13 @@ def make_sharded_resampler(plan: ResamplerPlan, mesh):
         in_specs=(P(TIME_AXIS), P()),
         out_specs=P(TIME_AXIS),
     )
-    wf = jnp.asarray(plan.w_frames)
+    wf = jnp.asarray(
+        np.ascontiguousarray(
+            plan.w_frames_i16.reshape(
+                plan.frame_shifts, plan.d_rep, plan.i_rep
+            ).transpose(0, 2, 1)
+        )
+    )
     n_t = mesh.shape[TIME_AXIS]
 
     def process(pcm):
