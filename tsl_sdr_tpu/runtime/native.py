@@ -20,7 +20,7 @@ from pathlib import Path
 
 import numpy as np
 
-_SRC = Path(__file__).resolve().parents[2] / "native" / "tslstream.cc"
+_SRC = Path(__file__).resolve().parents[1] / "native" / "tslstream.cc"
 _SO = Path(__file__).resolve().parent / "_tslstream.so"
 _LOCK = threading.Lock()
 _LIB = None
