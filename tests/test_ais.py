@@ -159,3 +159,25 @@ def test_scan_noise_fast_and_empty():
     t0 = time.perf_counter()
     assert AisDecoder().scan(pcm) == []
     assert time.perf_counter() - t0 < 1.5
+
+
+def test_class_b_position_report_roundtrip():
+    """Type 18 (beyond-reference extension): generate -> demod -> decode."""
+    from tsl_sdr_tpu.models.ais import AisClassBPositionReport
+    from tsl_sdr_tpu.utils.jsonout import ais_message_json
+
+    pkt = gen.make_class_b_position_report(
+        368001122, speed_over_ground=7.3, longitude=-71.0589,
+        latitude=42.3601, course=953, heading=96, timestamp=17,
+    )
+    msgs = AisDecoder().on_pcm(gen.generate([pkt]))
+    assert len(msgs) == 1
+    m = msgs[0]
+    assert isinstance(m, AisClassBPositionReport)
+    assert m.mmsi == 368001122
+    assert abs(m.speed_over_ground - 7.3) < 0.05
+    assert abs(m.longitude - (-71.0589)) < 1e-4
+    assert abs(m.latitude - 42.3601) < 1e-4
+    assert m.course == 953 and m.heading == 96 and m.timestamp == 17
+    j = ais_message_json(m)
+    assert '"type":"classBPositionReport"' in j and '"mmsi":368001122' in j

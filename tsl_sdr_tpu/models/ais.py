@@ -144,6 +144,25 @@ class AisStaticVoyageData:
     raw: str = ""
 
 
+@dataclass
+class AisClassBPositionReport:
+    """Type 18 (Class B equipment position report) — a beyond-reference
+    extension (the reference decodes only types 1-5); field layout per
+    ITU-R M.1371-5 table 46, same unit conventions as the type 1/2/3
+    decoder above."""
+
+    mmsi: int
+    speed_over_ground: float
+    position_acc: int
+    longitude: float
+    latitude: float
+    course: int
+    heading: int
+    timestamp: int
+    repeat: int = 0
+    raw: str = ""
+
+
 def decode_fields(packet: bytes):
     """Packet bytes (CRC stripped) -> typed report, or None for other types."""
     msg_id = (packet[0] >> 2) & 0x3F
@@ -168,6 +187,19 @@ def decode_fields(packet: bytes):
             heading=get_bitfield(packet, 128, 9),
             timestamp=get_bitfield(packet, 137, 6),
             msg_id=msg_id,
+            repeat=repeat,
+            raw=raw,
+        )
+    if msg_id == 18:
+        return AisClassBPositionReport(
+            mmsi=mmsi,
+            speed_over_ground=get_bitfield(packet, 46, 10) / 10.0,
+            position_acc=get_bitfield(packet, 56, 1),
+            longitude=get_bitfield_signed(packet, 57, 28) / 600000.0,
+            latitude=get_bitfield_signed(packet, 85, 27) / 600000.0,
+            course=get_bitfield(packet, 112, 12),
+            heading=get_bitfield(packet, 124, 9),
+            timestamp=get_bitfield(packet, 133, 6),
             repeat=repeat,
             raw=raw,
         )

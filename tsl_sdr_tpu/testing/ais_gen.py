@@ -65,6 +65,33 @@ def make_position_report(
     return bytes(p)
 
 
+def make_class_b_position_report(
+    mmsi: int,
+    *,
+    repeat: int = 0,
+    speed_over_ground: float = 0.0,
+    position_acc: int = 0,
+    longitude: float = 0.0,
+    latitude: float = 0.0,
+    course: int = 0,
+    heading: int = 0,
+    timestamp: int = 0,
+) -> bytes:
+    """Type 18 Class B position report (beyond-reference extension)."""
+    p = bytearray(21)  # 168 bits
+    set_bitfield(p, 0, 6, 18)
+    set_bitfield(p, 6, 2, repeat)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 46, 10, int(round(speed_over_ground * 10)))
+    set_bitfield(p, 56, 1, position_acc)
+    set_bitfield(p, 57, 28, int(round(longitude * 600000)) & ((1 << 28) - 1))
+    set_bitfield(p, 85, 27, int(round(latitude * 600000)) & ((1 << 27) - 1))
+    set_bitfield(p, 112, 12, course)
+    set_bitfield(p, 124, 9, heading)
+    set_bitfield(p, 133, 6, timestamp)
+    return bytes(p)
+
+
 def make_base_station_report(
     mmsi: int, *, year=2026, month=8, day=16, hour=12, minute=34, second=56,
     longitude=0.0, latitude=0.0, epfd_type=1,

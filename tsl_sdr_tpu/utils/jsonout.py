@@ -92,12 +92,23 @@ def ais_message_json(m, now=None) -> str:
     """AIS report dataclasses -> reference JSON line."""
     from tsl_sdr_tpu.models.ais import (
         AisBaseStationReport,
+        AisClassBPositionReport,
         AisPositionReport,
         AisStaticVoyageData,
     )
 
     ts = _ts(now)
     raw = escape_message(m.raw.encode("latin-1"))
+    if isinstance(m, AisClassBPositionReport):
+        return (
+            f'{{"proto":"ais","type":"classBPositionReport","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},'
+            f'"speedOverGround":{m.speed_over_ground:f},'
+            f'"positionAcc":{m.position_acc},'
+            f'"geoPosition":{{"lon":{m.longitude:f},"lat":{m.latitude:f}}},'
+            f'"course":{m.course},"heading":{m.heading},'
+            f'"seconds":{m.timestamp},"rawAscii":"{raw}"}}'
+        )
     if isinstance(m, AisPositionReport):
         return (
             f'{{"proto":"ais","type":"positionReport","timestamp":"{ts}",'
