@@ -26,6 +26,11 @@ Two tiers:
   sequence; the MAC is a gathered int32 contraction.
 * ``fast``: float32, analytic (drift-free) oscillator indexed by absolute
   output index, windows fed to the MXU via a strided convolution.
+
+NOTE: the production fast path moved to :mod:`tsl_sdr_tpu.ops.packed_fir`
+(lane-packed int16 matmuls — see that module for why this conv formulation
+is an order of magnitude off TPU speed-of-light). This module remains the
+bit-exact tier and a readable reference formulation.
 """
 
 from __future__ import annotations
