@@ -1,0 +1,108 @@
+"""Randomized scan == on_pcm equivalence for all three protocol decoders.
+
+The vectorized batch scanners must be message-exact against the plain FSMs
+under randomized burst placement, amplitudes, noise levels, bauds/codings
+and corruption. Seeded, so failures reproduce.
+"""
+
+import numpy as np
+import pytest
+
+from tsl_sdr_tpu.models.ais import AisDecoder
+from tsl_sdr_tpu.models.flex import FlexDecoder
+from tsl_sdr_tpu.models.pocsag import PocsagDecoder
+from tsl_sdr_tpu.testing import ais_gen, flex_gen, pocsag_gen
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pocsag_scan_fuzz(seed):
+    rng = np.random.default_rng(1000 + seed)
+    parts = []
+    for _ in range(rng.integers(1, 4)):
+        parts.append(rng.integers(-9000, 9000, size=rng.integers(20_000, 90_000),
+                                  dtype=np.int64).astype(np.int16))
+        baud = int(rng.choice([512, 1200, 2400]))
+        kind = str(rng.choice(["alpha", "numeric"]))
+        content = (
+            "FUZZ %d" % rng.integers(0, 1000)
+            if kind == "alpha"
+            else "%d-%d" % (rng.integers(0, 999), rng.integers(0, 9999))
+        )
+        burst = pocsag_gen.generate(
+            [pocsag_gen.PocsagBurst(
+                capcode=int(rng.integers(1, 2**21)),
+                function=int(rng.integers(0, 4)),
+                kind=kind,
+                content=content,
+            )],
+            baud=baud,
+            amplitude=int(rng.integers(2000, 12000)),
+            tail_bits=int(rng.integers(32, 128)),
+        ).astype(np.int32)
+        noise = rng.normal(scale=rng.integers(20, 300), size=burst.shape)
+        parts.append(np.clip(burst + noise, -32768, 32767).astype(np.int16))
+    pcm = np.concatenate(parts)
+
+    ref = PocsagDecoder().on_pcm(pcm)
+    got = PocsagDecoder().scan(pcm)
+    assert [(m.baud, m.capcode, m.function, m.kind, m.data) for m in got] == [
+        (m.baud, m.capcode, m.function, m.kind, m.data) for m in ref
+    ], f"seed {seed}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_flex_scan_fuzz(seed):
+    rng = np.random.default_rng(2000 + seed)
+    baud, fsk = [(1600, 2), (3200, 2), (3200, 4), (6400, 4)][seed % 4]
+    burst, _ = flex_gen.generate(
+        [flex_gen.FlexBurstMessage(
+            capcode=int(rng.integers(1, 2**18)), kind="alnum",
+            content="FZ %d" % rng.integers(0, 100))],
+        baud=baud, fsk_levels=fsk,
+        amplitude=int(rng.integers(4000, 9000)),
+        tail_bits=int(rng.integers(32, 256)),
+    )
+    parts = [
+        rng.integers(-7000, 7000, size=rng.integers(30_000, 120_000),
+                     dtype=np.int64).astype(np.int16),
+        (burst.astype(np.int32)
+         + rng.normal(scale=rng.integers(10, 150), size=burst.shape)
+         ).clip(-32768, 32767).astype(np.int16),
+        rng.integers(-7000, 7000, size=50_000, dtype=np.int64).astype(np.int16),
+    ]
+    pcm = np.concatenate(parts)
+    ref = FlexDecoder().on_pcm(pcm)
+    got = FlexDecoder().scan(pcm)
+    assert [(m.capcode, m.kind, m.data) for m in got] == [
+        (m.capcode, m.kind, m.data) for m in ref
+    ], f"seed {seed}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_ais_scan_fuzz(seed):
+    rng = np.random.default_rng(3000 + seed)
+    pkt = ais_gen.make_position_report(
+        int(rng.integers(1, 999_999_999)),
+        nav_stat=int(rng.integers(0, 15)),
+        speed_over_ground=float(rng.uniform(0, 60)),
+        longitude=float(rng.uniform(-180, 180)),
+        latitude=float(rng.uniform(-85, 85)),
+        course=int(rng.integers(0, 3600)),
+        heading=int(rng.integers(0, 360)),
+        timestamp=int(rng.integers(0, 60)),
+    )
+    sig = ais_gen.generate([pkt], amplitude=int(rng.integers(5000, 11000)))
+    parts = [
+        rng.integers(-8000, 8000, size=rng.integers(50_000, 200_000),
+                     dtype=np.int64).astype(np.int16),
+        (sig.astype(np.int32)
+         + rng.normal(scale=rng.integers(10, 200), size=sig.shape)
+         ).clip(-32768, 32767).astype(np.int16),
+        rng.integers(-8000, 8000, size=60_000, dtype=np.int64).astype(np.int16),
+    ]
+    pcm = np.concatenate(parts)
+    ref = AisDecoder().on_pcm(pcm)
+    got = AisDecoder().scan(pcm)
+    assert [(type(m).__name__, m.mmsi) for m in got] == [
+        (type(m).__name__, m.mmsi) for m in ref
+    ], f"seed {seed}"
