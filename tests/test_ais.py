@@ -181,3 +181,25 @@ def test_class_b_position_report_roundtrip():
     assert m.course == 953 and m.heading == 96 and m.timestamp == 17
     j = ais_message_json(m)
     assert '"type":"classBPositionReport"' in j and '"mmsi":368001122' in j
+
+
+def test_static_data_report_roundtrip():
+    """Type 24 parts A and B (beyond-reference extension)."""
+    from tsl_sdr_tpu.models.ais import AisStaticDataReport
+    from tsl_sdr_tpu.utils.jsonout import ais_message_json
+
+    pa = gen.make_static_data_report(368005555, part="A",
+                                     ship_name="SEA FUZZER")
+    pb = gen.make_static_data_report(368005555, part="B", ship_type=36,
+                                     vendor_id="ACME", callsign="WXY9876",
+                                     dims=(12, 4, 3, 2))
+    msgs = AisDecoder().on_pcm(gen.generate([pa, pb]))
+    assert len(msgs) == 2
+    a, b = msgs
+    assert isinstance(a, AisStaticDataReport) and a.part == "A"
+    assert a.ship_name.startswith("SEA FUZZER")
+    assert b.part == "B" and b.ship_type == 36
+    assert b.callsign.startswith("WXY9876")
+    assert (b.dim_to_bow, b.dim_to_stern) == (12, 4)
+    assert '"staticDataReportA"' in ais_message_json(a)
+    assert '"staticDataReportB"' in ais_message_json(b)

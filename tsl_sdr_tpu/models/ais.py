@@ -163,6 +163,25 @@ class AisClassBPositionReport:
     raw: str = ""
 
 
+@dataclass
+class AisStaticDataReport:
+    """Type 24 (Class B static data report, part A or B) — beyond-reference
+    extension; layout per ITU-R M.1371-5 table 57/58."""
+
+    mmsi: int
+    part: str                 # "A" | "B"
+    ship_name: str = ""       # part A
+    ship_type: int = 0        # part B
+    vendor_id: str = ""       # part B
+    callsign: str = ""        # part B
+    dim_to_bow: int = 0
+    dim_to_stern: int = 0
+    dim_to_port: int = 0
+    dim_to_starboard: int = 0
+    repeat: int = 0
+    raw: str = ""
+
+
 def decode_fields(packet: bytes):
     """Packet bytes (CRC stripped) -> typed report, or None for other types."""
     msg_id = (packet[0] >> 2) & 0x3F
@@ -218,6 +237,25 @@ def decode_fields(packet: bytes):
             epfd_type=epfd,
             epfd_name=EPFD_NAMES[epfd & 0xF],
             raw=raw,
+        )
+    if msg_id == 24:
+        part = get_bitfield(packet, 38, 2)
+        if part == 0:
+            return AisStaticDataReport(
+                mmsi=mmsi, part="A",
+                ship_name=get_string(packet, 40, 20),
+                repeat=repeat, raw=raw,
+            )
+        return AisStaticDataReport(
+            mmsi=mmsi, part="B",
+            ship_type=get_bitfield(packet, 40, 8),
+            vendor_id=get_string(packet, 48, 7),
+            callsign=get_string(packet, 90, 7),
+            dim_to_bow=get_bitfield(packet, 132, 9),
+            dim_to_stern=get_bitfield(packet, 141, 9),
+            dim_to_port=get_bitfield(packet, 150, 6),
+            dim_to_starboard=get_bitfield(packet, 156, 6),
+            repeat=repeat, raw=raw,
         )
     if msg_id == 5:
         fix = get_bitfield(packet, 270, 4)

@@ -92,6 +92,35 @@ def make_class_b_position_report(
     return bytes(p)
 
 
+def make_static_data_report(
+    mmsi: int,
+    *,
+    part: str = "A",
+    ship_name: str = "",
+    ship_type: int = 0,
+    vendor_id: str = "",
+    callsign: str = "",
+    dims=(0, 0, 0, 0),
+) -> bytes:
+    """Type 24 Class B static data report (beyond-reference extension)."""
+    p = bytearray(21 if part == "A" else 21)  # 160/168 bits, pad to bytes
+    set_bitfield(p, 0, 6, 24)
+    set_bitfield(p, 8, 30, mmsi)
+    if part == "A":
+        set_bitfield(p, 38, 2, 0)
+        set_string(p, 40, 20, ship_name)
+    else:
+        set_bitfield(p, 38, 2, 1)
+        set_bitfield(p, 40, 8, ship_type)
+        set_string(p, 48, 7, vendor_id)
+        set_string(p, 90, 7, callsign)
+        set_bitfield(p, 132, 9, dims[0])
+        set_bitfield(p, 141, 9, dims[1])
+        set_bitfield(p, 150, 6, dims[2])
+        set_bitfield(p, 156, 6, dims[3])
+    return bytes(p)
+
+
 def make_base_station_report(
     mmsi: int, *, year=2026, month=8, day=16, hour=12, minute=34, second=56,
     longitude=0.0, latitude=0.0, epfd_type=1,

@@ -94,6 +94,7 @@ def ais_message_json(m, now=None) -> str:
         AisBaseStationReport,
         AisClassBPositionReport,
         AisPositionReport,
+        AisStaticDataReport,
         AisStaticVoyageData,
     )
 
@@ -108,6 +109,21 @@ def ais_message_json(m, now=None) -> str:
             f'"geoPosition":{{"lon":{m.longitude:f},"lat":{m.latitude:f}}},'
             f'"course":{m.course},"heading":{m.heading},'
             f'"seconds":{m.timestamp},"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisStaticDataReport):
+        if m.part == "A":
+            return (
+                f'{{"proto":"ais","type":"staticDataReportA",'
+                f'"timestamp":"{ts}","mmsi":{m.mmsi},'
+                f'"shipName":"{m.ship_name}","rawAscii":"{raw}"}}'
+            )
+        return (
+            f'{{"proto":"ais","type":"staticDataReportB","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},"shipType":{m.ship_type},'
+            f'"vendorId":"{m.vendor_id}","callsign":"{m.callsign}",'
+            f'"dimensions":{{"toBow":{m.dim_to_bow},"toStern":{m.dim_to_stern},'
+            f'"toPort":{m.dim_to_port},"toStarboard":{m.dim_to_starboard}}},'
+            f'"rawAscii":"{raw}"}}'
         )
     if isinstance(m, AisPositionReport):
         return (
