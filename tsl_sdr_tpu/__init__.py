@@ -24,3 +24,26 @@ Two numeric tiers run through every kernel:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level exports (avoid importing jax until first use)."""
+    lazy = {
+        "MultifmChain": ("tsl_sdr_tpu.models.channelizer", "MultifmChain"),
+        "ResamplerChain": ("tsl_sdr_tpu.models.resampler", "ResamplerChain"),
+        "ReceivePipeline": ("tsl_sdr_tpu.models.pipeline", "ReceivePipeline"),
+        "ChannelSpec": ("tsl_sdr_tpu.models.pipeline", "ChannelSpec"),
+        "PocsagDecoder": ("tsl_sdr_tpu.models.pocsag", "PocsagDecoder"),
+        "FlexDecoder": ("tsl_sdr_tpu.models.flex", "FlexDecoder"),
+        "AisDecoder": ("tsl_sdr_tpu.models.ais", "AisDecoder"),
+        "CostasChannelizer": (
+            "tsl_sdr_tpu.models.costas_channel", "CostasChannelizer",
+        ),
+        "MultifmConfig": ("tsl_sdr_tpu.utils.config", "MultifmConfig"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
