@@ -161,6 +161,97 @@ def _chain_call(padded_rows, w_stack, omega_row, *, tr, cr, halfcols, nr_ch,
     )(padded_rows, padded_rows, w_stack, omega_row)
 
 
+def _chain_kernel_v2(xc_ref, xa_ref, carry_ref, w_ref, om_ref, out_ref, *,
+                     cr, halfcols, nr_ch):
+    """Zero-copy variant: block rows arrive as two views (previous tile,
+    clamped, and this tile) and the stream carry as a tiny replicated input;
+    program 0 swaps the carry in for the head. x row j == stream row
+    i*TR + j, exactly as in the padded-array kernel, so the body is shared.
+    """
+    tr = xa_ref.shape[0]
+    i = pl.program_id(0)
+    head_prev = xc_ref[tr - 1 - cr :]          # last 1+cr rows of tile i-1
+    head = jnp.where(i == 0, carry_ref[:], head_prev)
+    _chain_body(head, xa_ref[:], w_ref, om_ref, out_ref, cr=cr,
+                halfcols=halfcols, nr_ch=nr_ch)
+
+
+def _chain_body(head_i16, block_i16, w_ref, om_ref, out_ref, *, cr, halfcols,
+                nr_ch):
+    tr = block_i16.shape[0]
+    x = jnp.concatenate(
+        [head_i16.astype(jnp.float32), block_i16.astype(jnp.float32)]
+    )  # [1+cr+TR, ROW], x row j == stream row i*TR + j
+    p = jnp.dot(
+        x, w_ref[0], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    acc = p[: tr + 1]
+    for k in range(1, cr + 1):
+        q = jnp.dot(
+            x, w_ref[k], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc = acc + q[k : tr + 1 + k]
+
+    ar = acc[:, :halfcols]
+    ai = acc[:, halfcols : 2 * halfcols]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tr + 1, halfcols), 1)
+    first = lane < nr_ch
+
+    def prev_of(a):
+        rolled = pltpu.roll(a, nr_ch, axis=1)
+        from_prev_row = pltpu.roll(rolled, 1, axis=0)
+        return jnp.where(first, from_prev_row, rolled)
+
+    pr = prev_of(ar)
+    pi_ = prev_of(ai)
+    sre = ar * pr + ai * pi_
+    sim = ai * pr - ar * pi_
+    phi = _atan2_poly(sim, sre) + om_ref[0][None, :]
+    phi = jnp.where(phi > _PI, phi - 2 * _PI, phi)
+    phi = jnp.where(phi <= -_PI, phi + 2 * _PI, phi)
+    phi = jnp.where((sre == 0) & (sim == 0), jnp.float32(0), phi)
+    pcm = jnp.trunc(phi / _PI * jnp.float32(q14.Q14_ONE)).astype(jnp.int16)
+    out_ref[:] = pcm[1:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tr", "cr", "halfcols", "nr_ch", "interpret"),
+)
+def _chain_call_v2(block_rows, carry_rows, w_stack, omega_row, *, tr, cr,
+                   halfcols, nr_ch, interpret):
+    """Streaming call with NO copy of the block: requires tr | n_rows.
+
+    x row j == stream row i*TR + j where stream = [carry(1+cr) ++ block];
+    emits one output row per block row.
+    """
+    n_rows, row = block_rows.shape
+    assert n_rows % tr == 0
+    grid = n_rows // tr
+    kernel = functools.partial(
+        _chain_kernel_v2, cr=cr, halfcols=halfcols, nr_ch=nr_ch
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tr, row), lambda i: (jnp.maximum(i - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, row), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tr, halfcols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid * tr, halfcols), jnp.int16),
+        interpret=interpret,
+    )(block_rows, block_rows, carry_rows, w_stack, omega_row)
+
+
 def _is_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -232,6 +323,24 @@ class PallasChain:
         row = self.plan.row
         block_rows = block_vals.reshape(-1, row)
         r_b = block_rows.shape[0]
+        if r_b % self.tr == 0 and r_b >= 2 * self.tr:
+            # zero-copy path: the kernel reads the block through two views
+            # and the small carry directly — no 2-bytes/value stream copy
+            pcm = _chain_call_v2(
+                block_rows,
+                carry_rows,
+                self.w_stack,
+                self.omega_row,
+                tr=self.tr,
+                cr=self.plan.cr_rows,
+                halfcols=self.halfcols,
+                nr_ch=self.plan.nr_channels,
+                interpret=self.interpret,
+            )
+            new_carry = jax.lax.dynamic_slice_in_dim(
+                block_rows, r_b - self.carry_rows, self.carry_rows
+            )
+            return new_carry, pcm
         grid = -(-r_b // self.tr)
         pad_rows = (grid + 1) * self.tr - (self.carry_rows + r_b)
         # ONE concat (one copy of the block): carry + block + grid-alignment
