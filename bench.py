@@ -34,7 +34,9 @@ NR_CHANNELS = 8
 NR_TAPS = 128
 DECIM = 40
 FS = 1_000_000
-BLOCK = 16_776_960         # one big block per pass (multiple of quantum 320)
+BLOCK = 16_711_680         # one pass (204 x 81920: XLA-quantum- AND
+                           # pallas-tile-aligned so both backends take
+                           # their zero-copy paths)
 N_BLOCKS = 1
 REP_LO, REP_HI = 2, 10
 TRIALS = 6
