@@ -40,3 +40,32 @@ def test_bpsk_channel_locks():
     assert re_p > 20 * im_p, (re_p, im_p)
     # and the recovered symbols have bimodal real values (BPSK)
     assert np.mean(np.abs(tail[:, 0])) > 1000
+
+
+def test_native_path_locks_like_device_path():
+    import shutil
+
+    import pytest
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+
+    fs, d = 256_000, 8
+    offset = 40_000
+    n = fs // 2
+    rng = np.random.default_rng(34)
+    sym = rng.choice([-1.0, 1.0], size=n // 128 + 2)
+    bb = np.repeat(sym, 128)[:n]
+    t = np.arange(n) / fs
+    ph = 2 * np.pi * (offset + 35.0) * t
+    iq = (np.stack([np.cos(ph) * bb, np.sin(ph) * bb], -1) * 9000
+          + rng.normal(scale=60, size=(n, 2))).astype(np.int16)
+
+    lpf = firdes_low_pass(1.0, fs, 6_000, 4_000)
+    chain = CostasChannelizer(lpf, [offset], fs, d, alpha=0.1, beta=0.005,
+                              e_max_q14=8192)
+    out = chain.process_array_native(iq, block_size=8_192).astype(np.float64)
+    tail = out[0, out.shape[1] // 2 :]
+    re_p = np.mean(tail[:, 0] ** 2)
+    im_p = np.mean(tail[:, 1] ** 2)
+    assert re_p > 20 * im_p, (re_p, im_p)

@@ -84,6 +84,62 @@ class CostasChannelizer:
             costas=per_ch,
         )
 
+    def process_array_native(self, iq, block_size: int = 4_194_240):
+        """Whole-capture path with the native serial PLL (production host
+        Costas, ~30 Msps/channel vs ~1 Msps for the device scan).
+
+        TPU does the sample-rate work (packed FIR bank + integer-NCO
+        derotation); the per-sample feedback loop runs in C. Returns
+        int16 IQ [C, K, 2].
+        """
+        from tsl_sdr_tpu.runtime.native import costas_native
+
+        iq = np.asarray(iq, np.int16)
+        q = self.block_quantum
+        block_size -= block_size % q
+        c_len = self.carry_len
+        n_blocks = max((iq.shape[0] - c_len) // block_size, 1)
+        if n_blocks == 1:
+            block_size = (iq.shape[0] - c_len) // q * q
+            if block_size <= 0:
+                raise ValueError("capture shorter than one block quantum")
+        plan = self.packed_plan
+        carry = packed_fir.init_packed_carry(plan, iq[:c_len] if c_len else None)
+        body = iq[c_len : c_len + n_blocks * block_size]
+        blocks = jnp.asarray(body.reshape(n_blocks, 2 * block_size))
+        oi32 = self._oi32
+        c = self.nr_channels
+
+        @jax.jit
+        def run(carry, blocks):
+            def body_fn(st, bv):
+                cv, k0 = st
+                cv, ar, ai = packed_fir.packed_fir_step(plan, cv, bv)
+                yr, yi = packed_fir.nco_rotate(
+                    ar.reshape(-1, c), ai.reshape(-1, c), oi32, k0
+                )
+                scale = jnp.float32(1.0 / 16384.0)
+                iq16 = jnp.stack(
+                    [
+                        jnp.trunc(yr * scale).astype(jnp.int16),
+                        jnp.trunc(yi * scale).astype(jnp.int16),
+                    ],
+                    axis=-1,
+                )  # [K, C, 2]
+                return (cv, k0 + jnp.int32(yr.shape[0])), iq16
+
+            _, out = jax.lax.scan(body_fn, (carry, jnp.int32(0)), blocks)
+            return out
+
+        rot = np.asarray(run(carry, blocks))  # [n, K, C, 2]
+        rot = rot.reshape(-1, c, 2)
+        out = np.empty((c, rot.shape[0], 2), np.int16)
+        for ci in range(c):
+            out[ci], _ = costas_native(
+                np.ascontiguousarray(rot[:, ci, :]), self.params
+            )
+        return out
+
     def step(self, state: CostasChainState, block):
         """(state, block[N,2] int16) -> (state, iq [C, N//D, 2] int16)."""
         if isinstance(block, np.ndarray):
