@@ -106,3 +106,58 @@ def test_ais_scan_fuzz(seed):
     assert [(type(m).__name__, m.mmsi) for m in got] == [
         (type(m).__name__, m.mmsi) for m in ref
     ], f"seed {seed}"
+
+
+@pytest.mark.parametrize("split_frac", [0.3, 0.5, 0.7, 0.9])
+def test_pocsag_scan_streaming_split(split_frac):
+    """A burst straddling two scan() calls decodes identically to one call."""
+    rng = np.random.default_rng(500)
+    burst = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=777123, function=1, kind="alpha",
+                                content="SPLIT TEST")],
+        baud=1200, tail_bits=64,
+    )
+    noise = rng.integers(-8000, 8000, size=60_000, dtype=np.int64).astype(np.int16)
+    pcm = np.concatenate([noise, burst, noise])
+    whole = PocsagDecoder().scan(pcm)
+
+    # split INSIDE the burst region
+    cut = len(noise) + int(len(burst) * split_frac)
+    dec = PocsagDecoder()
+    got = dec.scan(pcm[:cut]) + dec.scan(pcm[cut:])
+    assert [(m.capcode, m.data) for m in got] == [
+        (m.capcode, m.data) for m in whole
+    ]
+    assert len(got) == 1
+
+
+def test_flex_scan_streaming_split():
+    rng = np.random.default_rng(501)
+    burst, expected = flex_gen.generate(
+        [flex_gen.FlexBurstMessage(capcode=424242, kind="alnum",
+                                   content="SPLIT FLEX")],
+        baud=1600, fsk_levels=2, tail_bits=64,
+    )
+    noise = rng.integers(-6000, 6000, size=40_000, dtype=np.int64).astype(np.int16)
+    pcm = np.concatenate([noise, burst, noise])
+    whole = FlexDecoder().scan(pcm)
+    for frac in (0.2, 0.6):
+        cut = len(noise) + int(len(burst) * frac)
+        dec = FlexDecoder()
+        got = dec.scan(pcm[:cut]) + dec.scan(pcm[cut:])
+        assert [(m.capcode, m.data) for m in got] == [
+            (m.capcode, m.data) for m in whole
+        ], frac
+
+
+def test_ais_scan_streaming_split():
+    rng = np.random.default_rng(502)
+    sig = ais_gen.generate([ais_gen.make_position_report(366777888)])
+    noise = rng.integers(-8000, 8000, size=80_000, dtype=np.int64).astype(np.int16)
+    pcm = np.concatenate([noise, sig, noise])
+    whole = AisDecoder().scan(pcm)
+    for frac in (0.1, 0.5, 0.95):
+        cut = len(noise) + int(len(sig) * frac)
+        dec = AisDecoder()
+        got = dec.scan(pcm[:cut]) + dec.scan(pcm[cut:])
+        assert [m.mmsi for m in got] == [m.mmsi for m in whole], frac

@@ -367,15 +367,20 @@ class AisDemodulator:
         2 (a strict superset). The unmodified FSM runs only from 40*5
         samples before each candidate (registers and NRZI history refill).
 
-        Intended for whole captures: a sync whose register history
-        straddles two separate scan() calls can be missed (the skipped
-        tail of the earlier call is not replayed). For streaming, use
-        on_pcm, or overlap consecutive scan blocks by a few thousand
-        samples.
+        Streaming-safe: unfed tail samples are carried into the next
+        scan() call (see PocsagDecoder.scan). Do not interleave scan() and
+        on_pcm() on the same instance.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
-        n = pcm.shape[0]
         start_msg = len(self.packets)
+        tail = getattr(self, "_scan_tail", None)
+        if tail is not None and tail.size:
+            pcm = np.concatenate([tail, pcm])
+            if getattr(self, "_scan_discontinuous", False):
+                self._detect_reset()
+        self._scan_tail = np.zeros(0, np.int16)
+        self._scan_discontinuous = False
+        n = pcm.shape[0]
 
         s = (pcm > 0).astype(np.uint32)
         nrzi = np.zeros(n, dtype=np.uint32)
@@ -406,10 +411,12 @@ class AisDemodulator:
 
         i = 0
         ci = 0
+        fed_end = 0
         while i < n:
             if self.state != self._SEARCH:
                 self.on_pcm(pcm[i : i + chunk])
                 i += chunk
+                fed_end = min(i, n)
                 continue
             while ci < len(cand_idx) and cand_idx[ci] < i:
                 ci += 1
@@ -423,6 +430,11 @@ class AisDemodulator:
             end = min(n, c + 8 * DECIMATION)
             self.on_pcm(pcm[i:end])
             i = end
+            fed_end = end
+        if self.state == self._SEARCH:
+            keep_from = max(fed_end, n - lookback)
+            self._scan_tail = pcm[keep_from:].copy()
+            self._scan_discontinuous = keep_from > fed_end
         return self.packets[start_msg:]
 
     def on_pcm(self, pcm) -> list[bytes]:

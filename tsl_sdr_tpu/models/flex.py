@@ -598,15 +598,20 @@ class FlexDecoder:
         runs only from 34*10 samples before each hit (registers fully
         refill), skipping sync-free noise entirely.
 
-        Intended for whole captures: a sync whose register history
-        straddles two separate scan() calls can be missed (the skipped
-        tail of the earlier call is not replayed). For streaming, use
-        on_pcm, or overlap consecutive scan blocks by a few thousand
-        samples.
+        Streaming-safe: unfed tail samples are carried into the next
+        scan() call (see PocsagDecoder.scan). Do not interleave scan() and
+        on_pcm() on the same instance.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
-        n = pcm.shape[0]
         start_msg = len(self.messages)
+        tail = getattr(self, "_scan_tail", None)
+        if tail is not None and tail.size:
+            pcm = np.concatenate([tail, pcm])
+            if getattr(self, "_scan_discontinuous", False):
+                self._sync_reset_only()
+        self._scan_tail = np.zeros(0, np.int16)
+        self._scan_discontinuous = False
+        n = pcm.shape[0]
         b = pcm >= 0  # _slice_2fsk symbol
 
         # register == BS1 (1010...10, newest bit 0) <=> symbol[i]==0,
@@ -622,6 +627,7 @@ class FlexDecoder:
 
         i = 0
         ci = 0
+        fed_end = 0
         while i < n:
             searching = (
                 self.state == _ST_SYNC1
@@ -631,6 +637,7 @@ class FlexDecoder:
             if not searching:
                 self.on_pcm(pcm[i : i + chunk])
                 i += chunk
+                fed_end = min(i, n)
                 continue
             while ci < len(cand_idx) and cand_idx[ci] < i:
                 ci += 1
@@ -645,6 +652,13 @@ class FlexDecoder:
             end = min(n, cpos + 64)
             self.on_pcm(pcm[i:end])
             i = end
+            fed_end = end
+        if self.state == _ST_SYNC1 and self.sync_state in (
+            _SY_SEARCH_BS1, _SY_BS1
+        ):
+            keep_from = max(fed_end, n - lookback)
+            self._scan_tail = pcm[keep_from:].copy()
+            self._scan_discontinuous = keep_from > fed_end
         return self.messages[start_msg:]
 
     def on_pcm(self, pcm) -> list[FlexMessage]:

@@ -228,15 +228,25 @@ class PocsagDecoder:
         so the decode is sample-exact. ~100x faster than the pure FSM on
         sync-free input.
 
-        Intended for whole captures: a sync whose register history
-        straddles two separate scan() calls can be missed (the skipped
-        tail of the earlier call is not replayed). For streaming, use
-        on_pcm, or overlap consecutive scan blocks by a few thousand
-        samples.
+        Streaming-safe: unfed tail samples (potential history of a sync
+        straddling the call boundary) are carried into the next scan()
+        call, so feeding a stream in arbitrary scan() blocks produces the
+        same messages as one call. Do not interleave scan() and on_pcm()
+        on the same instance.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
-        n = pcm.shape[0]
         start_msg = len(self.messages)
+        # streaming carry: prepend the previous call's unfed tail
+        tail = getattr(self, "_scan_tail", None)
+        if tail is not None and tail.size:
+            pcm = np.concatenate([tail, pcm])
+            if getattr(self, "_scan_discontinuous", False):
+                # the tail is not contiguous with what the FSM last saw
+                for det in self.detectors:
+                    det.reset()
+        self._scan_tail = np.zeros(0, np.int16)
+        self._scan_discontinuous = False
+        n = pcm.shape[0]
         bits = (pcm < 0).astype(np.uint32)
 
         # Candidate positions: any detector register within hamming 4 of the
@@ -269,11 +279,13 @@ class PocsagDecoder:
 
         i = 0
         ci = 0
+        fed_end = 0
         while i < n:
             if self.state != _STATE_SEARCH:
                 # mid-message: run the exact FSM on contiguous samples
                 self.on_pcm(pcm[i : i + chunk])
                 i += chunk
+                fed_end = min(i, n)
                 continue
             # in SEARCH: jump to the next candidate at/after i
             while ci < len(cand_idx) and cand_idx[ci] < i:
@@ -291,6 +303,11 @@ class PocsagDecoder:
             end = min(n, c + 2 * max_spb)
             self.on_pcm(pcm[i:end])
             i = end
+            fed_end = end
+        if self.state == _STATE_SEARCH:
+            keep_from = max(fed_end, n - lookback)
+            self._scan_tail = pcm[keep_from:].copy()
+            self._scan_discontinuous = keep_from > fed_end
         return self.messages[start_msg:]
 
     # -- the sample pump ------------------------------------------------------
