@@ -90,7 +90,10 @@ def main(argv=None):
             counters.samples_out += pcm.size
             if dump is not None:
                 pcm.tofile(dump)
-            for msg in proto.on_pcm(pcm):
+            # scan() = vectorized sync fast-forward, streaming-safe and
+            # message-exact vs the plain FSM
+            decode = getattr(proto, "scan", proto.on_pcm)
+            for msg in decode(pcm):
                 counters.messages += 1
                 line = to_json(msg)
                 if line:
