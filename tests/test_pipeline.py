@@ -11,11 +11,13 @@ from tsl_sdr_tpu.testing import flex_gen, pocsag_gen
 from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
 
 
-def _fm_mod(baseband, channel_rate, offset, fs, amp=9000):
+def _fm_mod(baseband, channel_rate, offset, fs, amp=9000, dev_hz=None):
     """NBFM-modulate decoder-rate PCM onto a carrier at ``offset`` in a
     wideband capture; zero-order-hold upsampling handles non-integer
     fs/channel_rate ratios."""
-    dev = baseband.astype(np.float64) / 16384.0 * (channel_rate / 2)
+    dev = baseband.astype(np.float64) / 16384.0 * (
+        dev_hz if dev_hz is not None else channel_rate / 2
+    )
     n_out = int(len(dev) * fs / channel_rate)
     idx = np.minimum(
         (np.arange(n_out) * channel_rate / fs).astype(np.int64), len(dev) - 1
@@ -32,6 +34,7 @@ def test_two_protocol_channels_one_capture():
 
     pocsag_off = 250_000
     flex_off = -180_000
+    ais_off = 400_000
 
     bursts = [pocsag_gen.PocsagBurst(capcode=1122334, function=2,
                                      kind="alpha", content="PIPE POCSAG")]
@@ -45,23 +48,34 @@ def test_two_protocol_channels_one_capture():
                                          amplitude=6144, tail_bits=300)
     f_iq = _fm_mod(f_bb, 16000, flex_off, fs, amp=7000)
 
-    n = max(len(p_iq), len(f_iq))
+    from tsl_sdr_tpu.testing import ais_gen
+
+    a_bb = ais_gen.generate(
+        [ais_gen.make_position_report(367999111, longitude=-70.9,
+                                      latitude=42.36)],
+        amplitude=9000,
+    )
+    a_iq = _fm_mod(a_bb, 48000, ais_off, fs, amp=7000, dev_hz=4800)
+
+    n = max(len(p_iq), len(f_iq), len(a_iq))
     iq = np.zeros((n, 2))
     iq[: len(p_iq)] += p_iq
     iq[: len(f_iq)] += f_iq
+    iq[: len(a_iq)] += a_iq
     rng = np.random.default_rng(21)
     iq = (iq + rng.normal(scale=120, size=iq.shape)).astype(np.int16)
 
-    lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+    lpf = firdes_low_pass(1.0, fs, 12_000, 8_000)
     pipe = ReceivePipeline(
         lpf, center, fs, decim,
         [
             ChannelSpec(center + pocsag_off, "pocsag"),
             ChannelSpec(center + flex_off, "flex"),
+            ChannelSpec(center + ais_off, "ais"),
         ],
         exact=False,
     )
-    pocsag_msgs, flex_msgs = pipe.process_capture(iq)
+    pocsag_msgs, flex_msgs, ais_msgs = pipe.process_capture(iq)
 
     assert [(m.capcode, m.data) for m in pocsag_msgs] == [
         (1122334, b"PIPE POCSAG")
@@ -69,6 +83,7 @@ def test_two_protocol_channels_one_capture():
     assert len(flex_msgs) == 1
     assert flex_msgs[0].capcode == 1234567
     assert flex_msgs[0].text == "PIPE FLEX"
+    assert [m.mmsi for m in ais_msgs] == [367999111]
 
 
 def test_pipeline_cli(tmp_path):
