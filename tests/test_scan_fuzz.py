@@ -150,6 +150,49 @@ def test_flex_scan_streaming_split():
         ], frac
 
 
+def test_pocsag_scan_split_sweep_across_sync():
+    """Fine-grained cut sweep across the sync-word region (ADVICE r1: cuts at
+    79428/79444 of this exact stream lost the message with the old carry)."""
+    rng = np.random.default_rng(500)
+    burst = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=777123, function=1, kind="alpha",
+                                content="SPLIT TEST")],
+        baud=1200, tail_bits=64,
+    )
+    noise = rng.integers(-8000, 8000, size=60_000, dtype=np.int64).astype(np.int16)
+    pcm = np.concatenate([noise, burst, noise])
+    whole = [(m.capcode, m.data) for m in PocsagDecoder().scan(pcm)]
+    assert len(whole) == 1
+    # sweep cuts across the preamble+sync region at sub-bit granularity
+    for cut in range(60_000, 62_000, 7):
+        dec = PocsagDecoder()
+        got = dec.scan(pcm[:cut]) + dec.scan(pcm[cut:])
+        assert [(m.capcode, m.data) for m in got] == whole, f"cut {cut}"
+    # and the exact offsets from the advisor repro
+    for cut in (79428, 79440, 79444):
+        dec = PocsagDecoder()
+        got = dec.scan(pcm[:cut]) + dec.scan(pcm[cut:])
+        assert [(m.capcode, m.data) for m in got] == whole, f"cut {cut}"
+
+
+def test_pocsag_scan_three_way_split():
+    """Many small blocks (streaming deployment shape) == one call."""
+    rng = np.random.default_rng(503)
+    burst = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=31337, function=2, kind="numeric",
+                                content="123-4567")],
+        baud=2400, tail_bits=64,
+    )
+    noise = rng.integers(-8000, 8000, size=30_000, dtype=np.int64).astype(np.int16)
+    pcm = np.concatenate([noise, burst, noise])
+    whole = [(m.capcode, m.data) for m in PocsagDecoder().scan(pcm)]
+    dec = PocsagDecoder()
+    got = []
+    for off in range(0, len(pcm), 4096):
+        got += dec.scan(pcm[off:off + 4096])
+    assert [(m.capcode, m.data) for m in got] == whole
+
+
 def test_ais_scan_streaming_split():
     rng = np.random.default_rng(502)
     sig = ais_gen.generate([ais_gen.make_position_report(366777888)])

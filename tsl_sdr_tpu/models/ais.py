@@ -302,6 +302,10 @@ class AisDemodulator:
         self.crc_rejects = 0
         self._rx_reset()
         self.packets: list[bytes] = []
+        # scan() streaming carry (see PocsagDecoder)
+        self._scan_tail = np.zeros(0, np.int16)
+        self._scan_prefed = 0
+        self._scan_want = 0
 
     def _rx_reset(self):
         self.packet = bytearray(MAX_PACKET_BITS // 8 * 5)
@@ -367,19 +371,21 @@ class AisDemodulator:
         2 (a strict superset). The unmodified FSM runs only from 40*5
         samples before each candidate (registers and NRZI history refill).
 
-        Streaming-safe: unfed tail samples are carried into the next
-        scan() call (see PocsagDecoder.scan). Do not interleave scan() and
-        on_pcm() on the same instance.
+        Streaming-safe: the last ``lookback`` samples are always carried as
+        prefilter context with the FSM-fed prefix tracked (see
+        PocsagDecoder.scan). Do not interleave scan() and on_pcm() on the
+        same instance.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
         start_msg = len(self.packets)
-        tail = getattr(self, "_scan_tail", None)
-        if tail is not None and tail.size:
+        tail = self._scan_tail
+        prefed = self._scan_prefed
+        feed_until = prefed + self._scan_want
+        if tail.size:
             pcm = np.concatenate([tail, pcm])
-            if getattr(self, "_scan_discontinuous", False):
-                self._detect_reset()
         self._scan_tail = np.zeros(0, np.int16)
-        self._scan_discontinuous = False
+        self._scan_prefed = 0
+        self._scan_want = 0
         n = pcm.shape[0]
 
         s = (pcm > 0).astype(np.uint32)
@@ -409,14 +415,22 @@ class AisDemodulator:
         lookback = 40 * DECIMATION
         chunk = 1280 * DECIMATION + 512  # max packet + margin
 
-        i = 0
+        i = prefed
         ci = 0
-        fed_end = 0
+        fed_end = prefed
+        want_end = feed_until
         while i < n:
             if self.state != self._SEARCH:
                 self.on_pcm(pcm[i : i + chunk])
                 i += chunk
                 fed_end = min(i, n)
+                continue
+            if i < feed_until:
+                # finish the contiguous margin owed from the previous block
+                end = min(n, feed_until)
+                self.on_pcm(pcm[i:end])
+                i = end
+                fed_end = end
                 continue
             while ci < len(cand_idx) and cand_idx[ci] < i:
                 ci += 1
@@ -431,10 +445,15 @@ class AisDemodulator:
             self.on_pcm(pcm[i:end])
             i = end
             fed_end = end
+            want_end = max(want_end, c + 8 * DECIMATION)
         if self.state == self._SEARCH:
-            keep_from = max(fed_end, n - lookback)
-            self._scan_tail = pcm[keep_from:].copy()
-            self._scan_discontinuous = keep_from > fed_end
+            keep_start = max(0, n - lookback)
+            if fed_end < keep_start:
+                self._detect_reset()
+            else:
+                self._scan_prefed = fed_end - keep_start
+                self._scan_want = max(0, want_end - n)
+            self._scan_tail = pcm[keep_start:].copy()
         return self.packets[start_msg:]
 
     def on_pcm(self, pcm) -> list[bytes]:

@@ -105,6 +105,10 @@ class FlexDecoder:
         self.freq_hz = freq_hz
         self.messages: list[FlexMessage] = []
         self._reset_sync()
+        # scan() streaming carry (see PocsagDecoder)
+        self._scan_tail = np.zeros(0, np.int16)
+        self._scan_prefed = 0
+        self._scan_want = 0
 
     # -- resets ---------------------------------------------------------------
 
@@ -598,19 +602,21 @@ class FlexDecoder:
         runs only from 34*10 samples before each hit (registers fully
         refill), skipping sync-free noise entirely.
 
-        Streaming-safe: unfed tail samples are carried into the next
-        scan() call (see PocsagDecoder.scan). Do not interleave scan() and
-        on_pcm() on the same instance.
+        Streaming-safe: the last ``lookback`` samples are always carried as
+        prefilter context with the FSM-fed prefix tracked (see
+        PocsagDecoder.scan). Do not interleave scan() and on_pcm() on the
+        same instance.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
         start_msg = len(self.messages)
-        tail = getattr(self, "_scan_tail", None)
-        if tail is not None and tail.size:
+        tail = self._scan_tail
+        prefed = self._scan_prefed
+        feed_until = prefed + self._scan_want
+        if tail.size:
             pcm = np.concatenate([tail, pcm])
-            if getattr(self, "_scan_discontinuous", False):
-                self._sync_reset_only()
         self._scan_tail = np.zeros(0, np.int16)
-        self._scan_discontinuous = False
+        self._scan_prefed = 0
+        self._scan_want = 0
         n = pcm.shape[0]
         b = pcm >= 0  # _slice_2fsk symbol
 
@@ -625,9 +631,10 @@ class FlexDecoder:
         lookback = 34 * 10
         chunk = 16_000  # one second of frame structure per FSM slice
 
-        i = 0
+        i = prefed
         ci = 0
-        fed_end = 0
+        fed_end = prefed
+        want_end = feed_until
         while i < n:
             searching = (
                 self.state == _ST_SYNC1
@@ -638,6 +645,13 @@ class FlexDecoder:
                 self.on_pcm(pcm[i : i + chunk])
                 i += chunk
                 fed_end = min(i, n)
+                continue
+            if i < feed_until:
+                # finish the contiguous margin owed from the previous block
+                end = min(n, feed_until)
+                self.on_pcm(pcm[i:end])
+                i = end
+                fed_end = end
                 continue
             while ci < len(cand_idx) and cand_idx[ci] < i:
                 ci += 1
@@ -653,12 +667,17 @@ class FlexDecoder:
             self.on_pcm(pcm[i:end])
             i = end
             fed_end = end
+            want_end = max(want_end, cpos + 64)
         if self.state == _ST_SYNC1 and self.sync_state in (
             _SY_SEARCH_BS1, _SY_BS1
         ):
-            keep_from = max(fed_end, n - lookback)
-            self._scan_tail = pcm[keep_from:].copy()
-            self._scan_discontinuous = keep_from > fed_end
+            keep_start = max(0, n - lookback)
+            if fed_end < keep_start:
+                self._sync_reset_only()
+            else:
+                self._scan_prefed = fed_end - keep_start
+                self._scan_want = max(0, want_end - n)
+            self._scan_tail = pcm[keep_start:].copy()
         return self.messages[start_msg:]
 
     def on_pcm(self, pcm) -> list[FlexMessage]:

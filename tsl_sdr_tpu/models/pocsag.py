@@ -119,6 +119,13 @@ class PocsagDecoder:
         self._batch_reset()
         self._sync_reset()
         self.messages: list[PocsagMessage] = []
+        # scan() streaming carry: prefilter-context tail, how many of its
+        # leading samples the FSM already consumed, and how many samples past
+        # that still owe the FSM a contiguous feed (candidate margin cut off
+        # by the previous block edge).
+        self._scan_tail = np.zeros(0, np.int16)
+        self._scan_prefed = 0
+        self._scan_want = 0
 
     # -- state resets ---------------------------------------------------------
 
@@ -228,24 +235,25 @@ class PocsagDecoder:
         so the decode is sample-exact. ~100x faster than the pure FSM on
         sync-free input.
 
-        Streaming-safe: unfed tail samples (potential history of a sync
-        straddling the call boundary) are carried into the next scan()
-        call, so feeding a stream in arbitrary scan() blocks produces the
-        same messages as one call. Do not interleave scan() and on_pcm()
-        on the same instance.
+        Streaming-safe: the last ``lookback`` samples are always carried
+        into the next scan() call as prefilter context (a sync register
+        straddling the call boundary needs them to be found), tracking how
+        many were already FSM-fed so nothing is double-fed and detector
+        state stays contiguous. Feeding a stream in arbitrary scan()
+        blocks produces the same messages as one call. Do not interleave
+        scan() and on_pcm() on the same instance.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
         start_msg = len(self.messages)
-        # streaming carry: prepend the previous call's unfed tail
-        tail = getattr(self, "_scan_tail", None)
-        if tail is not None and tail.size:
+        # streaming carry: prepend the previous call's prefilter-context tail
+        tail = self._scan_tail
+        prefed = self._scan_prefed
+        feed_until = prefed + self._scan_want
+        if tail.size:
             pcm = np.concatenate([tail, pcm])
-            if getattr(self, "_scan_discontinuous", False):
-                # the tail is not contiguous with what the FSM last saw
-                for det in self.detectors:
-                    det.reset()
         self._scan_tail = np.zeros(0, np.int16)
-        self._scan_discontinuous = False
+        self._scan_prefed = 0
+        self._scan_want = 0
         n = pcm.shape[0]
         bits = (pcm < 0).astype(np.uint32)
 
@@ -277,15 +285,23 @@ class PocsagDecoder:
         lookback = 34 * max_spb
         chunk = 32 * 17 * max_spb  # one batch + sync word at the slowest baud
 
-        i = 0
+        i = prefed
         ci = 0
-        fed_end = 0
+        fed_end = prefed
+        want_end = feed_until
         while i < n:
             if self.state != _STATE_SEARCH:
                 # mid-message: run the exact FSM on contiguous samples
                 self.on_pcm(pcm[i : i + chunk])
                 i += chunk
                 fed_end = min(i, n)
+                continue
+            if i < feed_until:
+                # finish the contiguous margin owed from the previous block
+                end = min(n, feed_until)
+                self.on_pcm(pcm[i:end])
+                i = end
+                fed_end = end
                 continue
             # in SEARCH: jump to the next candidate at/after i
             while ci < len(cand_idx) and cand_idx[ci] < i:
@@ -304,10 +320,18 @@ class PocsagDecoder:
             self.on_pcm(pcm[i:end])
             i = end
             fed_end = end
+            want_end = max(want_end, c + 2 * max_spb)
         if self.state == _STATE_SEARCH:
-            keep_from = max(fed_end, n - lookback)
-            self._scan_tail = pcm[keep_from:].copy()
-            self._scan_discontinuous = keep_from > fed_end
+            keep_start = max(0, n - lookback)
+            if fed_end < keep_start:
+                # the gap between the last FSM-fed sample and the kept tail
+                # was skipped (no candidates there) -> registers are stale
+                for det in self.detectors:
+                    det.reset()
+            else:
+                self._scan_prefed = fed_end - keep_start
+                self._scan_want = max(0, want_end - n)
+            self._scan_tail = pcm[keep_start:].copy()
         return self.messages[start_msg:]
 
     # -- the sample pump ------------------------------------------------------
