@@ -126,6 +126,9 @@ def tpu_msps() -> float:
         except Exception as e:  # noqa: BLE001
             print(f"{backend} backend failed: {e}", file=sys.stderr)
     print(f"per-backend Msps: {results}", file=sys.stderr)
+    if not results:
+        raise RuntimeError(
+            "all backends failed (per-backend errors above)")
     return max(results.values())
 
 

@@ -131,13 +131,16 @@ def test_native_costas_matches_oracle_and_is_fast():
     assert np.median(diff) <= 1
     assert (diff <= 4).mean() > 0.99, (diff.max(), (diff > 4).mean())
 
+    # load-robust speed check: native vs the numpy oracle measured on the
+    # same box under the same load (~600x unloaded; require 20x)
+    t0 = time.perf_counter()
+    costas.costas_np(params, iq[:6_000])
+    oracle_rate = 6_000 / (time.perf_counter() - t0)
     big = np.tile(iq, (40, 1))
     t0 = time.perf_counter()
     costas_native(big, params)
-    dt = time.perf_counter() - t0
-    # ~30 Msps unloaded; keep a conservative floor so a busy CI box
-    # doesn't flake (the numpy oracle runs at ~0.05 Msps)
-    assert len(big) / dt > 5e6, f"{len(big)/dt/1e6:.1f} Msps"
+    native_rate = len(big) / (time.perf_counter() - t0)
+    assert native_rate > 20 * oracle_rate, (native_rate, oracle_rate)
 
 
 def test_async_feeder_orders_and_propagates():

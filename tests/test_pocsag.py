@@ -172,12 +172,18 @@ class TestPocsagFastScan:
         rng = np.random.default_rng(78)
         pcm = rng.integers(-8000, 8000, size=1_000_000, dtype=np.int64).astype(np.int16)
         import time
+        # calibrate the per-sample FSM rate on THIS box so the bound is
+        # load-robust (ADVICE r1: absolute wall-clock bounds flake on
+        # loaded CI machines)
+        t0 = time.perf_counter()
+        PocsagDecoder().on_pcm(pcm[:50_000])
+        fsm_rate = 50_000 / (time.perf_counter() - t0)
         t0 = time.perf_counter()
         msgs = PocsagDecoder().scan(pcm)
-        dt = time.perf_counter() - t0
+        scan_rate = len(pcm) / (time.perf_counter() - t0)
         assert msgs == []
-        # vectorized prefilter: must be far faster than the ~2s FSM pass
-        assert dt < 1.0, dt
+        # vectorized prefilter: must be far faster than the FSM pass
+        assert scan_rate > 5 * fsm_rate, (scan_rate, fsm_rate)
 
 
 class TestPocsagExactPackedChain:

@@ -196,8 +196,12 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
     from tsl_sdr_tpu.runtime.native import NativeSink, NativeSource
 
     pace = cfg.sample_rate_hz if args.realtime else 0.0
+    # Pool sized from the config's nrSampBufs (multifm/receiver.c:154-157);
+    # realtime delivery drops-and-counts on pool exhaustion like a live
+    # source (multifm/receiver.c:56-62), offline files apply backpressure.
     src = NativeSource(iq_path, iq_fmt, frame_samples=block,
-                       pool_frames=16, pace_sps=pace)
+                       pool_frames=max(2, cfg.nr_samp_bufs),
+                       pace_sps=pace, drop_on_full=bool(args.realtime))
     sinks = [NativeSink(ch.out_fifo) for ch in cfg.channels]
     state = None
     pending = np.zeros(0, np.int16)  # flat interleaved values

@@ -33,6 +33,7 @@
 
 #include <errno.h>
 #include <fcntl.h>
+#include <pthread.h>
 #include <signal.h>
 #include <sys/stat.h>
 #include <unistd.h>
@@ -272,22 +273,35 @@ void* tsl_sink_new(const char* path) {
   int fd = open(path, O_WRONLY | O_CREAT, 0644);
   if (fd < 0) return nullptr;
   struct stat st;
-  if (fstat(fd, &st) == 0 && S_ISREG(st.st_mode)) ftruncate(fd, 0);
-  signal(SIGPIPE, SIG_IGN);
+  if (fstat(fd, &st) == 0 && S_ISREG(st.st_mode)) {
+    if (ftruncate(fd, 0) != 0) { /* best-effort; appending is still valid */ }
+  }
   auto* k = new Sink();
   k->fd = fd;
   return k;
 }
 
 // Write n values; EPIPE drops and counts instead of failing (demod.c:93-110).
+//
+// SIGPIPE is suppressed per-call by blocking it on the calling thread for
+// the duration of the writes and reaping any pending instance before
+// restoring the mask (FIFOs cannot use MSG_NOSIGNAL) — no process-global
+// signal disposition is touched.
 long tsl_sink_write(void* h, const int16_t* data, size_t n) {
   auto* k = static_cast<Sink*>(h);
   if (k->broken) {
     k->ctr.dropped_frames.fetch_add(1, std::memory_order_relaxed);
     return 0;
   }
+  sigset_t pipe_mask, old_mask;
+  sigemptyset(&pipe_mask);
+  sigaddset(&pipe_mask, SIGPIPE);
+  bool we_blocked = false;
+  if (pthread_sigmask(SIG_BLOCK, &pipe_mask, &old_mask) == 0)
+    we_blocked = !sigismember(&old_mask, SIGPIPE);
   size_t want = n * sizeof(int16_t);
   size_t done = 0;
+  long ret = (long)n;
   const auto* p = reinterpret_cast<const uint8_t*>(data);
   while (done < want) {
     ssize_t r = write(k->fd, p + done, want - done);
@@ -295,13 +309,20 @@ long tsl_sink_write(void* h, const int16_t* data, size_t n) {
     if (r < 0 && errno == EPIPE) {
       k->broken = true;
       k->ctr.dropped_frames.fetch_add(1, std::memory_order_relaxed);
-      return (long)(done / sizeof(int16_t));
+      ret = (long)(done / sizeof(int16_t));
+      break;
     }
-    if (r < 0) return -1;
+    if (r < 0) { ret = -1; break; }
     done += (size_t)r;
   }
-  k->ctr.values_out.fetch_add(n, std::memory_order_relaxed);
-  return (long)n;
+  if (we_blocked) {
+    struct timespec zero = {0, 0};
+    while (sigtimedwait(&pipe_mask, nullptr, &zero) > 0) {}
+    pthread_sigmask(SIG_SETMASK, &old_mask, nullptr);
+  }
+  if (ret == (long)n)
+    k->ctr.values_out.fetch_add(n, std::memory_order_relaxed);
+  return ret;
 }
 
 void tsl_sink_stats(void* h, uint64_t* out4) {
