@@ -221,3 +221,58 @@ def test_multifm_cli_fast_tier_native_runtime(tmp_path):
     assert len(msgs) == 1
     assert msgs[0].capcode == 424242
     assert msgs[0].data == b"FAST NATIVE"
+
+
+def test_multifm_cli_startup_mute(tmp_path):
+    """muteStartupMs discards leading input before any channel output
+    (the reference receiver's mute gate, receiver.h:98; VERDICT r1 #10)."""
+    from tsl_sdr_tpu.models.pocsag import PocsagDecoder
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    decim = 32
+    fs = 38400 * decim
+    offset = 150_000
+    bursts = [pocsag_gen.PocsagBurst(capcode=5150, function=1, kind="alpha",
+                                     content="AFTER MUTE")]
+    baseband = pocsag_gen.generate(bursts, baud=1200, amplitude=4096,
+                                   tail_bits=256)
+    dev = baseband.astype(np.float64) / 16384.0 * (38400 / 2)
+    phase = np.cumsum(np.repeat(2 * np.pi * (offset + dev) / fs, decim))
+    iq = (np.stack([np.cos(phase), np.sin(phase)], -1) * 9000).astype(np.int16)
+    # 120 ms of junk that must be muted away
+    junk = np.full((fs * 120 // 1000, 2), 12000, np.int16)
+    iq = np.concatenate([junk, iq])
+    iq_path = tmp_path / "capture.cs16"
+    iq.reshape(-1).tofile(iq_path)
+
+    lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+    out_pcm = tmp_path / "ch0.pcm"
+    cfg = {
+        "device": {"type": "file", "filename": str(iq_path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": fs,
+        "centerFreqHz": 929_500_000,
+        "decimationFactor": decim,
+        "muteStartupMs": 120,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [
+            {"outFifo": str(out_pcm), "chanCenterFreq": 929_500_000 + offset},
+        ],
+    }
+    cfg_path = tmp_path / "multifm.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    rc = multifm_cli.main([str(cfg_path)])
+    assert rc == 0
+    pcm = np.fromfile(out_pcm, dtype=np.int16)
+    # muted: output shorter than the unmuted stream by ~120ms worth
+    assert len(pcm) <= (len(iq) - len(junk)) // decim + 1
+    msgs = PocsagDecoder().on_pcm(pcm)
+    assert [m.data for m in msgs] == [b"AFTER MUTE\x00"]
+
+    # same through the native runtime
+    out_pcm.unlink()
+    rc = multifm_cli.main([str(cfg_path), "--runtime", "native"])
+    assert rc == 0
+    msgs = PocsagDecoder().on_pcm(np.fromfile(out_pcm, dtype=np.int16))
+    assert [m.data for m in msgs] == [b"AFTER MUTE\x00"]

@@ -156,3 +156,28 @@ def test_scan_noise_fast_and_empty():
     assert FlexDecoder().scan(pcm) == []
     scan_rate = len(pcm) / (time.perf_counter() - t0)
     assert scan_rate > 5 * fsm_rate, (scan_rate, fsm_rate)
+
+
+def test_extra_biw_date_time_decode():
+    """Extra BIWs (eob>0) decode into frame date/time and surface on
+    messages (pager_flex.c:1036-1086; VERDICT r1 item 6)."""
+    from tsl_sdr_tpu.testing.flex_gen import make_date_biw, make_time_biw
+
+    burst, _ = gen.generate(
+        [gen.FlexBurstMessage(capcode=424242, kind="alnum",
+                                   content="DATED MSG")],
+        baud=1600, fsk_levels=2, tail_bits=64,
+        extra_biws=[make_date_biw(2020, 8, 11), make_time_biw(19, 45, 32)])
+    noise = np.random.default_rng(3).integers(
+        -5000, 5000, 15_000, dtype=np.int64).astype(np.int16)
+    pcm = np.concatenate([noise, burst, noise])
+    msgs = FlexDecoder().on_pcm(pcm)
+    assert len(msgs) == 1
+    assert msgs[0].data == b"DATED MSG"
+    assert msgs[0].frame_date == (2020, 8, 11)
+    assert msgs[0].frame_time == (19, 45, 32)
+
+    # scan() path decodes the same frame context
+    msgs2 = FlexDecoder().scan(pcm)
+    assert msgs2[0].frame_date == (2020, 8, 11)
+    assert msgs2[0].frame_time == (19, 45, 32)

@@ -204,3 +204,25 @@ def test_ais_scan_streaming_split():
         dec = AisDecoder()
         got = dec.scan(pcm[:cut]) + dec.scan(pcm[cut:])
         assert [m.mmsi for m in got] == [m.mmsi for m in whole], frac
+
+
+@pytest.mark.parametrize("cls,mod", [
+    ("PocsagDecoder", "tsl_sdr_tpu.models.pocsag"),
+    ("FlexDecoder", "tsl_sdr_tpu.models.flex"),
+])
+def test_interleave_scan_on_pcm_raises(cls, mod):
+    """Mixing scan() and on_pcm() on one instance raises instead of silently
+    losing messages (VERDICT r1 item 10)."""
+    import importlib
+    dec = getattr(importlib.import_module(mod), cls)()
+    dec.scan(np.zeros(5000, np.int16))
+    with pytest.raises(RuntimeError, match="interleave"):
+        dec.on_pcm(np.zeros(100, np.int16))
+
+
+def test_interleave_guard_ais():
+    from tsl_sdr_tpu.models.ais import AisDemodulator
+    d = AisDemodulator()
+    d.scan(np.zeros(5000, np.int16))
+    with pytest.raises(RuntimeError, match="interleave"):
+        d.on_pcm(np.zeros(100, np.int16))

@@ -131,6 +131,7 @@ def main(argv=None):
         return _run_native(args, cfg, chain, iq_path, iq_fmt or "cs16",
                            block, counters)
 
+    mute_left = cfg.sample_rate_hz * cfg.mute_startup_ms // 1000
     sinks = [open(ch.out_fifo, "wb") for ch in cfg.channels]
     iq_dump = open(args.iq_dump, "wb") if args.iq_dump else None
     dbg_sinks = [
@@ -142,6 +143,13 @@ def main(argv=None):
     t0 = time.monotonic()
     try:
         for iq in _iq_block_iter(iq_path, iq_fmt or "cs16", block):
+            if mute_left > 0:
+                # startup mute gate (receiver.h:98, multifm/multifm.c:158)
+                drop = min(mute_left, len(iq))
+                iq = iq[drop:]
+                mute_left -= drop
+                if not len(iq):
+                    continue
             if iq_dump is not None:
                 iq.astype(np.int16).tofile(iq_dump)
             pending = np.concatenate([pending, iq])
@@ -209,9 +217,16 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
     iq_dump = open(args.iq_dump, "wb") if args.iq_dump else None
     try:
         eof = False
+        mute_vals = 2 * (cfg.sample_rate_hz * cfg.mute_startup_ms // 1000)
         while not eof:
             vals = src.read(block)  # flat interleaved int16 values
             eof = vals.size < 2 * block
+            if mute_vals > 0:
+                drop = min(mute_vals, vals.size)
+                vals = vals[drop:]
+                mute_vals -= drop
+                if not vals.size and not eof:
+                    continue
             if iq_dump is not None:
                 vals.tofile(iq_dump)
             pending = np.concatenate([pending, vals])

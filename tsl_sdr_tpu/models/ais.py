@@ -306,6 +306,8 @@ class AisDemodulator:
         self._scan_tail = np.zeros(0, np.int16)
         self._scan_prefed = 0
         self._scan_want = 0
+        self._scan_ever = False
+        self._in_scan = False
 
     def _rx_reset(self):
         self.packet = bytearray(MAX_PACKET_BITS // 8 * 5)
@@ -378,6 +380,8 @@ class AisDemodulator:
         """
         pcm = np.asarray(pcm, dtype=np.int16)
         start_msg = len(self.packets)
+        self._scan_ever = True
+        self._in_scan = True
         tail = self._scan_tail
         prefed = self._scan_prefed
         feed_until = prefed + self._scan_want
@@ -454,9 +458,14 @@ class AisDemodulator:
                 self._scan_prefed = fed_end - keep_start
                 self._scan_want = max(0, want_end - n)
             self._scan_tail = pcm[keep_start:].copy()
+        self._in_scan = False
         return self.packets[start_msg:]
 
     def on_pcm(self, pcm) -> list[bytes]:
+        if self._scan_ever and not self._in_scan:
+            raise RuntimeError(
+                "do not interleave on_pcm() with scan() on the same "
+                "decoder instance (scan carries prefilter state)")
         pcm = np.asarray(pcm, dtype=np.int16)
         start = len(self.packets)
         i = 0

@@ -27,9 +27,31 @@ from dataclasses import dataclass
 import numpy as np
 
 from tsl_sdr_tpu.models.bch import pocsag_bch
-from tsl_sdr_tpu.testing.flex_gen import CODINGS, Coding  # shared coding table
 
 BS1 = 0xAAAAAAAA
+
+
+@dataclass(frozen=True)
+class Coding:
+    """One FLEX modulation mode (pager/pager_flex.c:47-96)."""
+
+    seq_a: int              # 16-bit A-word coding id
+    baud: int
+    fsk_levels: int
+    sample_skip: int        # samples consumed per symbol - 1
+    sync_2_samples: int     # SYNC_2 pattern consumption count
+    sym_bits: int           # bits per symbol (1 for 2FSK, 2 for 4FSK)
+    sample_fudge: int       # sample-clock nudge applied entering SYNC_2
+    symbols_per_block: int  # 2816 or 5632
+    nr_phases: int          # 1, 2 or 4 interleaved phases
+
+
+CODINGS = {
+    (1600, 2): Coding(0x78F3, 1600, 2, 9, 4, 1, 0, 2816, 1),
+    (3200, 2): Coding(0x84E7, 3200, 2, 4, 24, 1, 2, 5632, 2),
+    (3200, 4): Coding(0x4F97, 3200, 4, 9, 12, 2, 0, 2816, 2),
+    (6400, 4): Coding(0x215F, 6400, 4, 4, 32, 2, 2, 5632, 4),
+}
 
 _ST_SYNC1, _ST_SYNC2, _ST_BLOCK = 0, 1, 2
 _SY_SEARCH_BS1, _SY_BS1, _SY_A, _SY_B, _SY_INV_A, _SY_FIW, _SY_SYNCED = range(7)
@@ -64,6 +86,10 @@ class FlexMessage:
     seq_num: int = 0
     siv_type: int = 0
     siv_data: int = 0
+    # frame-level context from extra BIWs (pager_flex.c:1036-1086); None
+    # when the frame carried no date/time BIW
+    frame_date: tuple | None = None    # (year, month, day)
+    frame_time: tuple | None = None    # (hour, minute, second)
 
     @property
     def text(self) -> str:
@@ -109,6 +135,8 @@ class FlexDecoder:
         self._scan_tail = np.zeros(0, np.int16)
         self._scan_prefed = 0
         self._scan_want = 0
+        self._scan_ever = False
+        self._in_scan = False
 
     # -- resets ---------------------------------------------------------------
 
@@ -120,6 +148,10 @@ class FlexDecoder:
         self.sample_delta = 0
         self.frame_id = 0
         self.cycle_id = 0
+        # frame-level extra-BIW context (pager_flex.c:1036-1086)
+        self.frame_date: tuple | None = None
+        self.frame_time: tuple | None = None
+        self.frame_local_id: int | None = None
         # sync 1
         self.sync_state = _SY_BS1
         self.sync_words = [0] * 10
@@ -337,6 +369,31 @@ class FlexDecoder:
 
     # -- word-level decode ------------------------------------------------
 
+    def _decode_extra_biw(self, raw: int):
+        """Additional BIW: local ids / date / time / system info
+        (pager_flex.c:1036-1086; bit layout per __pager_flex_decode_extra_biw).
+        """
+        word, fail = self.bch.decode_one(raw & 0x7FFFFFFF)
+        if fail or _word_checksum(word) != 0xF:
+            return
+        function = (word >> 4) & 0x7
+        if function == 0:        # local SSID word
+            self.frame_local_id = (word >> 7) & 0x3FFF
+        elif function == 1:      # date
+            self.frame_date = (
+                ((word >> 16) & 0x1F) + 1994,
+                ((word >> 11) & 0x1F) + 1,
+                (word >> 7) & 0xF,
+            )
+        elif function == 2:      # time
+            self.frame_time = (
+                (word >> 16) & 0x1F,
+                (word >> 10) & 0x3F,
+                ((word >> 7) & 0x7) << 3,
+            )
+        # functions 5 (system info) and 7 (country) are log-only in the
+        # reference and carry no decoded fields
+
     def _phase_process(self, phase_id: int):
         phs = self.phases[phase_id]
         words = phs.words
@@ -348,7 +405,10 @@ class FlexDecoder:
         if biw_eob > biw_vsw:
             return
         addr_start = 1 + biw_eob
+        for k in range(1, addr_start):
+            self._decode_extra_biw(words[k])
 
+        start_msg = len(self.messages)
         i = addr_start
         while i < biw_vsw:
             vec_offs = i + biw_vsw - addr_start
@@ -360,6 +420,10 @@ class FlexDecoder:
             )
             i += nr_words
             i += 1
+        if self.frame_date is not None or self.frame_time is not None:
+            for m in self.messages[start_msg:]:
+                m.frame_date = self.frame_date
+                m.frame_time = self.frame_time
 
     def _decode_address(self, words: list[int], i: int):
         w0, fail = self.bch.decode_one(words[i] & 0x7FFFFFFF)
@@ -609,6 +673,8 @@ class FlexDecoder:
         """
         pcm = np.asarray(pcm, dtype=np.int16)
         start_msg = len(self.messages)
+        self._scan_ever = True
+        self._in_scan = True
         tail = self._scan_tail
         prefed = self._scan_prefed
         feed_until = prefed + self._scan_want
@@ -678,9 +744,14 @@ class FlexDecoder:
                 self._scan_prefed = fed_end - keep_start
                 self._scan_want = max(0, want_end - n)
             self._scan_tail = pcm[keep_start:].copy()
+        self._in_scan = False
         return self.messages[start_msg:]
 
     def on_pcm(self, pcm) -> list[FlexMessage]:
+        if self._scan_ever and not self._in_scan:
+            raise RuntimeError(
+                "do not interleave on_pcm() with scan() on the same "
+                "decoder instance (scan carries prefilter state)")
         pcm = np.asarray(pcm, dtype=np.int16)
         start = len(self.messages)
         for s in pcm:

@@ -126,6 +126,10 @@ class PocsagDecoder:
         self._scan_tail = np.zeros(0, np.int16)
         self._scan_prefed = 0
         self._scan_want = 0
+        # interleave guard: scan() and on_pcm() must not be mixed on one
+        # instance (scan's carry bookkeeping would silently lose messages)
+        self._scan_ever = False
+        self._in_scan = False
 
     # -- state resets ---------------------------------------------------------
 
@@ -245,6 +249,8 @@ class PocsagDecoder:
         """
         pcm = np.asarray(pcm, dtype=np.int16)
         start_msg = len(self.messages)
+        self._scan_ever = True
+        self._in_scan = True
         # streaming carry: prepend the previous call's prefilter-context tail
         tail = self._scan_tail
         prefed = self._scan_prefed
@@ -332,12 +338,17 @@ class PocsagDecoder:
                 self._scan_prefed = fed_end - keep_start
                 self._scan_want = max(0, want_end - n)
             self._scan_tail = pcm[keep_start:].copy()
+        self._in_scan = False
         return self.messages[start_msg:]
 
     # -- the sample pump ------------------------------------------------------
 
     def on_pcm(self, pcm) -> list[PocsagMessage]:
         """Process a PCM block; returns messages completed during this block."""
+        if self._scan_ever and not self._in_scan:
+            raise RuntimeError(
+                "do not interleave on_pcm() with scan() on the same "
+                "decoder instance (scan carries prefilter state)")
         pcm = np.asarray(pcm, dtype=np.int16)
         bits = (pcm < 0).astype(np.uint8)
         n = pcm.shape[0]

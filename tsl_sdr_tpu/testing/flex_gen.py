@@ -25,6 +25,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from tsl_sdr_tpu.models.bch import pocsag_bch
+from tsl_sdr_tpu.models.flex import CODINGS, Coding  # the protocol coding table
 
 _BCH = pocsag_bch()
 
@@ -36,25 +37,6 @@ BS1 = 0xAAAAAAAA
 PHASE_WORDS = 88
 
 
-@dataclass(frozen=True)
-class Coding:
-    seq_a: int
-    baud: int
-    fsk_levels: int
-    sample_skip: int
-    sync_2_samples: int
-    sym_bits: int
-    sample_fudge: int
-    symbols_per_block: int
-    nr_phases: int
-
-
-CODINGS = {
-    (1600, 2): Coding(0x78F3, 1600, 2, 9, 4, 1, 0, 2816, 1),
-    (3200, 2): Coding(0x84E7, 3200, 2, 4, 24, 1, 2, 5632, 2),
-    (3200, 4): Coding(0x4F97, 3200, 4, 9, 12, 2, 0, 2816, 2),
-    (6400, 4): Coding(0x215F, 6400, 4, 4, 32, 2, 2, 5632, 4),
-}
 
 
 def word_checksum(word: int) -> int:
@@ -90,6 +72,21 @@ def make_fiw(cycle: int, frame: int, roam: bool = False, repeat: bool = False) -
 def make_biw(vsw: int, eob: int = 0, prio: int = 0, carry: int = 0, collapse: int = 0) -> int:
     payload = (prio << 4) | ((eob & 3) << 8) | ((vsw & 0x3F) << 10)
     payload |= (carry & 3) << 16 | (collapse & 7) << 18
+    return encode_word(_with_checksum(payload))
+
+
+def make_date_biw(year: int, month: int, day: int) -> int:
+    """Extra BIW function 1: date (pager_flex.c:1059-1065)."""
+    payload = (1 << 4) | ((day & 0xF) << 7) | (((month - 1) & 0x1F) << 11) \
+        | (((year - 1994) & 0x1F) << 16)
+    return encode_word(_with_checksum(payload))
+
+
+def make_time_biw(hour: int, minute: int, second: int) -> int:
+    """Extra BIW function 2: time, seconds in units of 8
+    (pager_flex.c:1066-1072)."""
+    payload = (2 << 4) | (((second >> 3) & 0x7) << 7) | ((minute & 0x3F) << 10) \
+        | ((hour & 0x1F) << 16)
     return encode_word(_with_checksum(payload))
 
 
@@ -164,14 +161,19 @@ def expected_numeric_decode(digits: str, nr_words: int) -> str:
     return out[: nr_bits // 4]
 
 
-def build_phase(messages: list[FlexBurstMessage]) -> tuple[list[int], list[dict]]:
+def build_phase(messages: list[FlexBurstMessage],
+                extra_biws: list[int] | None = None) -> tuple[list[int], list[dict]]:
     """Lay out one phase's 88 words; returns (words, expected-decode info).
 
     Long-address messages occupy two address slots and two vector slots
     (the second vector word is the "long word" = the ALN status word /
-    first NUM message word).
+    first NUM message word). ``extra_biws`` (already BCH-encoded, e.g. from
+    make_date_biw/make_time_biw) follow BIW0 with eob set accordingly.
     """
-    addr_start = 1
+    extra_biws = extra_biws or []
+    eob = len(extra_biws)
+    assert eob <= 3
+    addr_start = 1 + eob
     addr_units = sum(2 if m.long_address else 1 for m in messages)
     vsw = addr_start + addr_units
     addrs: list[int] = []
@@ -259,7 +261,7 @@ def build_phase(messages: list[FlexBurstMessage]) -> tuple[list[int], list[dict]
         else:
             raise ValueError(m.kind)
 
-    words = [make_biw(vsw)] + addrs + vectors + data
+    words = [make_biw(vsw, eob=eob)] + extra_biws + addrs + vectors + data
     assert len(words) <= PHASE_WORDS, f"phase overflow: {len(words)}"
     fill = encode_word(0)
     words += [fill] * (PHASE_WORDS - len(words))
@@ -311,6 +313,7 @@ def generate(
     amplitude: int = 8192,
     lead_in_bits: int = 40,
     tail_bits: int = 40,
+    extra_biws: list[int] | None = None,
 ):
     """Build one FLEX frame -> (pcm int16 @16 kHz, expected message dicts).
 
@@ -323,7 +326,8 @@ def generate(
     per_phase: list[list[FlexBurstMessage]] = [[] for _ in range(coding.nr_phases)]
     for i, m in enumerate(messages):
         per_phase[i % coding.nr_phases].append(m)
-    built = [build_phase(ms) for ms in per_phase]
+    built = [build_phase(ms, extra_biws=extra_biws if pi == 0 else None)
+             for pi, ms in enumerate(per_phase)]
     phase_words = [b[0] for b in built]
     # physical phase order: 1 phase -> [A]; 2 phases -> [A, C]; 4 -> [A,B,C,D]
     expected = []

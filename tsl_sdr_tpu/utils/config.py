@@ -67,6 +67,10 @@ class MultifmConfig:
     lpf_taps: list[float]
     channels: list[ChannelConfig]
     nr_samp_bufs: int = 128
+    # startup mute: samples delivered in the first N ms are discarded, the
+    # CLI analogue of the reference's receiver mute gate (the receiver starts
+    # muted and multifm.c:158 unmutes once setup is done; receiver.h:98)
+    mute_startup_ms: int = 0
     raw: dict = field(default_factory=dict)
 
     @classmethod
@@ -94,6 +98,7 @@ class MultifmConfig:
             lpf_taps=[float(t) for t in cfg["lpfTaps"]],
             channels=channels,
             nr_samp_bufs=int(cfg.get("nrSampBufs", 128)),
+            mute_startup_ms=int(cfg.get("muteStartupMs", 0)),
             raw=cfg,
         )
 
