@@ -133,3 +133,32 @@ def test_pipeline_cli(tmp_path):
     assert m["message"] == "CLI PIPE"
     assert m["freqHz"] == center + off
     assert audio_out.stat().st_size > 0
+
+
+def test_device_decode_equals_host_path():
+    """device_decode (device-side resample + sign bit-pack, VERDICT r1 #3)
+    produces the same messages as the host path."""
+    decim = 32
+    fs = 38400 * decim
+    center = 929_500_000
+    off = 250_000
+    bursts = [pocsag_gen.PocsagBurst(capcode=31415, function=0, kind="alpha",
+                                     content="PACKED BITS")]
+    p_bb = pocsag_gen.generate(bursts, baud=1200, amplitude=4096,
+                               tail_bits=256)
+    iq = _fm_mod(p_bb, 38400, off, fs)
+    rng = np.random.default_rng(9)
+    iq = (iq + rng.normal(scale=120, size=iq.shape)).astype(np.int16)
+
+    lpf = firdes_low_pass(1.0, fs, 12_000, 8_000)
+
+    def run(device_decode):
+        pipe = ReceivePipeline(
+            lpf, center, fs, decim,
+            [ChannelSpec(center + off, "pocsag")], exact=False)
+        (msgs,) = pipe.process_capture(iq, device_decode=device_decode)
+        return [(m.capcode, m.kind, m.data) for m in msgs]
+
+    on = run(True)
+    offp = run(False)
+    assert on == offp == [(31415, "alpha", b"PACKED BITS")]

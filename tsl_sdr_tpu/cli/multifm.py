@@ -139,9 +139,16 @@ def main(argv=None):
         for ch in cfg.channels
     ]
     state = None
-    pending = np.zeros((0, 2), np.int16)
     t0 = time.monotonic()
-    try:
+    prefix_holder: list = []
+
+    def _produce():
+        # host-side staging runs in the feeder's thread: file reads, 8-bit
+        # widening, mute gate, carry peel and block cutting all overlap the
+        # TPU compute of the previous block (SURVEY hard-part #4)
+        nonlocal mute_left
+        pending = np.zeros((0, 2), np.int16)
+        carry_done = chain.carry_len == 0
         for iq in _iq_block_iter(iq_path, iq_fmt or "cs16", block):
             if mute_left > 0:
                 # startup mute gate (receiver.h:98, multifm/multifm.c:158)
@@ -153,33 +160,42 @@ def main(argv=None):
             if iq_dump is not None:
                 iq.astype(np.int16).tofile(iq_dump)
             pending = np.concatenate([pending, iq])
-            if state is None:
-                c_len = chain.carry_len
-                if len(pending) < c_len:
+            if not carry_done:
+                if len(pending) < chain.carry_len:
                     continue
-                state = chain.init_state(prefix=pending[:c_len])
-                pending = pending[c_len:]
+                prefix_holder.append(pending[: chain.carry_len].copy())
+                pending = pending[chain.carry_len:]
+                carry_done = True
             while len(pending) >= block:
-                blk = pending[:block]
+                yield np.ascontiguousarray(pending[:block])
                 pending = pending[block:]
-                if debug_iq:
-                    state, pcm, ch_iq = chain.step_debug(state, blk)
-                    ch_iq = np.asarray(ch_iq)
-                    for c, dbg in enumerate(dbg_sinks):
-                        if dbg is not None:
-                            ch_iq[c].astype(np.int16).tofile(dbg)
-                else:
-                    state, pcm = chain.step(state, blk)
-                pcm = np.asarray(pcm)
-                counters.samples_in += block
-                counters.samples_out += pcm.shape[1]
-                for c, sink in enumerate(sinks):
-                    pcm[c].astype(np.int16).tofile(sink)
-                if args.realtime:
-                    target = counters.samples_in / cfg.sample_rate_hz
-                    lag = target - (time.monotonic() - t0)
-                    if lag > 0:
-                        time.sleep(lag)
+
+    from tsl_sdr_tpu.runtime.feeder import AsyncFeeder
+
+    feeder = AsyncFeeder(_produce(), depth=3)
+    try:
+        for blk in feeder:
+            if state is None:
+                state = chain.init_state(
+                    prefix=prefix_holder[0] if prefix_holder else None)
+            if debug_iq:
+                state, pcm, ch_iq = chain.step_debug(state, blk)
+                ch_iq = np.asarray(ch_iq)
+                for c, dbg in enumerate(dbg_sinks):
+                    if dbg is not None:
+                        ch_iq[c].astype(np.int16).tofile(dbg)
+            else:
+                state, pcm = chain.step(state, blk)
+            pcm = np.asarray(pcm)
+            counters.samples_in += block
+            counters.samples_out += pcm.shape[1]
+            for c, sink in enumerate(sinks):
+                pcm[c].astype(np.int16).tofile(sink)
+            if args.realtime:
+                target = counters.samples_in / cfg.sample_rate_hz
+                lag = target - (time.monotonic() - t0)
+                if lag > 0:
+                    time.sleep(lag)
     except (KeyboardInterrupt, BrokenPipeError):
         pass
     finally:

@@ -313,7 +313,17 @@ class MultifmChain:
 
     # -- whole-array API (bench / batch jobs) -------------------------------
 
-    def process_array(self, iq, block_size: int = 4_194_304):
+    def process_array_device(self, iq, block_size: int = 4_194_304):
+        """Like :meth:`process_array` but returns DEVICE-resident
+        pcm [C, K_total] (no device->host transfer). Downstream device-side
+        stages (resample, slice, bit-pack — see ReceivePipeline) chain off
+        this so only protocol-rate bits ever cross to the host."""
+        out = self.process_array(iq, block_size=block_size, _device=True)
+        if self.exact:
+            return jnp.moveaxis(out, 1, 0).reshape(self.nr_channels, -1)
+        return out.reshape(-1, self.nr_channels).T
+
+    def process_array(self, iq, block_size: int = 4_194_304, _device=False):
         """Process a whole in-memory capture. Returns pcm [C, K_total] int16.
 
         The capture is blocked and run through a jitted ``lax.scan`` so the
@@ -338,6 +348,8 @@ class MultifmChain:
             # device-side slice/copy in a fully lane-packed layout
             blocks = jnp.asarray(body.reshape(n_blocks, 2 * block_size))
         state, pcm = self.scan_fn(state, blocks)
+        if _device:
+            return pcm
         pcm = np.asarray(pcm)
         if self.exact:
             # pcm: [n_blocks, C, K] -> [C, n_blocks * K]

@@ -126,27 +126,70 @@ class ReceivePipeline:
                 _make_decoder(spec.protocol, spec.center_freq_hz)
             )
 
-    def process_capture(self, iq):
+    # protocols whose decoders consume ONLY a sign predicate of the PCM, so
+    # the device can slice + bit-pack before transfer (16x less egress than
+    # int16). FLEX is excluded: 4FSK slicing needs trained amplitude
+    # thresholds (pager_flex.c:149-171).
+    _PACK_PREDICATE = {
+        "pocsag": lambda a: a < 0,   # pager_pocsag.c:91 (and FLEX 2FSK's
+                                     # >= 0 is its complement)
+        "ais": lambda a: a > 0,      # ais_demod.c:126
+    }
+
+    def process_capture(self, iq, *, device_decode: bool = True):
         """Run a whole capture. Returns a list (one entry per channel) of
-        decoded message lists, or the raw int16 PCM for ``pcm`` channels."""
-        pcm = self.chain.process_array(np.asarray(iq, np.int16))
+        decoded message lists, or the raw int16 PCM for ``pcm`` channels.
+
+        With ``device_decode`` (default), the per-channel resampler and DC
+        blocker run device-resident chained off the channelizer output, and
+        sign-sliceable protocols (POCSAG, AIS) transfer bit-PACKED slices
+        instead of int16 PCM — the decoders only ever look at the sign
+        predicate, so the decode is unchanged while device->host egress
+        drops 16x (VERDICT r1 item 3).
+        """
+        import jax.numpy as jnp
+
+        if device_decode:
+            pcm = self.chain.process_array_device(np.asarray(iq, np.int16))
+        else:
+            pcm = self.chain.process_array(np.asarray(iq, np.int16))
         results = []
         for i, spec in enumerate(self.channels):
             audio = pcm[i]
+            xp = jnp if device_decode else np
             if spec.invert:
-                audio = (-audio.astype(np.int32)).clip(-32768, 32767)
-                audio = audio.astype(np.int16)
+                audio = xp.clip(
+                    -(audio.astype(xp.int32)), -32768, 32767
+                ).astype(xp.int16)
             rs = self._resamplers[i]
             if rs is not None:
-                audio = rs.process_array(audio)
+                if device_decode:
+                    audio = rs.process_array_device(audio)
+                else:
+                    audio = rs.process_array(audio)
             if spec.dc_block:
                 from tsl_sdr_tpu.ops import dc_blocker as dcb
 
                 st = dcb.init_dc_blocker_state()
                 p = dcb.make_pole_coeff(spec.dc_block_pole)
                 _, audio = dcb.dc_blocker_step_exact(st, audio, p)
-                audio = np.asarray(audio)
+                if not device_decode:
+                    audio = np.asarray(audio)
             dec = self._decoders[i]
+            pred = self._PACK_PREDICATE.get(spec.protocol)
+            if device_decode and dec is not None and pred is not None:
+                # device-side slice + bit-pack; host reconstructs +/-1 PCM
+                # carrying the exact predicate the decoder slices by
+                n = audio.shape[0] - audio.shape[0] % 8
+                packed = np.asarray(
+                    jnp.packbits(pred(audio[:n]).astype(jnp.uint8)))
+                bits = np.unpackbits(packed)[:n]
+                if spec.protocol == "ais":
+                    audio = np.where(bits, 1, -1).astype(np.int16)
+                else:
+                    audio = np.where(bits, -1, 1).astype(np.int16)
+            elif device_decode:
+                audio = np.asarray(audio)
             if dec is None:
                 results.append(audio)
             elif hasattr(dec, "scan"):

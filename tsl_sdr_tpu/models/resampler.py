@@ -86,6 +86,21 @@ class ResamplerChain:
         _, out = self.scan_fn(state, blocks)
         return np.asarray(out).reshape(-1)
 
+    def process_array_device(self, pcm):
+        """Device-resident variant of :meth:`process_array`: takes and
+        returns device arrays, no host round-trip (shapes are static, so
+        the slicing/reshaping traces into the same dispatch)."""
+        pcm = pcm.astype(jnp.int16)
+        c_len = self.plan.carry_len
+        n_in = self.plan.block_in
+        n_blocks = (pcm.shape[0] - c_len) // n_in
+        if n_blocks < 1:
+            raise ValueError("stream shorter than one block")
+        state = self.init_state(prefix=pcm[:c_len])
+        blocks = pcm[c_len : c_len + n_blocks * n_in].reshape(n_blocks, n_in)
+        _, out = self.scan_fn(state, blocks)
+        return out.reshape(-1)
+
     @functools.cached_property
     def scan_fn(self):
         step = self.step
