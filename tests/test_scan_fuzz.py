@@ -221,8 +221,10 @@ def test_interleave_scan_on_pcm_raises(cls, mod):
 
 
 def test_interleave_guard_ais():
+    # the guard protects the numpy scan's carry; the native FSM delegates
+    # scan() to on_pcm so interleaving is inherently safe there
     from tsl_sdr_tpu.models.ais import AisDemodulator
-    d = AisDemodulator()
+    d = AisDemodulator(native=False)
     d.scan(np.zeros(5000, np.int16))
     with pytest.raises(RuntimeError, match="interleave"):
         d.on_pcm(np.zeros(100, np.int16))

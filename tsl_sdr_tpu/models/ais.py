@@ -35,14 +35,26 @@ EPFD_NAMES = [
 ]
 
 
-def crc16_x25(data: bytes) -> int:
-    """CRC-16/X.25 (poly 0x8408 reflected, init 0xFFFF, final complement) —
-    matches ``ais_demod.c:18-36``."""
-    crc = 0xFFFF
-    for b in data:
-        crc ^= b
+def _make_crc16_x25_table():
+    tab = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = (crc >> 1) ^ 0x8408 if crc & 1 else crc >> 1
+        tab.append(crc)
+    return tab
+
+
+_CRC16_X25_TABLE = _make_crc16_x25_table()
+
+
+def crc16_x25(data: bytes) -> int:
+    """CRC-16/X.25 (poly 0x8408 reflected, init 0xFFFF, final complement) —
+    matches ``ais_demod.c:18-36`` (table-driven, same polynomial walk)."""
+    crc = 0xFFFF
+    tab = _CRC16_X25_TABLE
+    for b in data:
+        crc = (crc >> 8) ^ tab[(crc ^ b) & 0xFF]
     return (~crc) & 0xFFFF
 
 
@@ -293,13 +305,28 @@ class AisDemodulator:
 
     _SEARCH, _RECEIVING = 0, 1
 
-    def __init__(self):
+    def __init__(self, vectorized: bool = True, native: bool | None = None):
+        # vectorized RECEIVING path (exact scalar equivalent; False keeps
+        # the per-sample reference loop)
+        self._vectorized = vectorized
+        self._search_window = 512
+        # native C++ FSM fast path (tslstream.cc tsl_ais_*): auto-selected
+        # when a toolchain is available, None on fallback
+        self._nat = None
+        if native is not False:
+            try:
+                from tsl_sdr_tpu.runtime.native import AisNative
+
+                self._nat = AisNative()
+            except Exception:  # noqa: BLE001 — no toolchain: numpy path
+                if native:
+                    raise
         self.state = self._SEARCH
         self.preambles = [0] * DECIMATION
         self.prior_sample = [0] * DECIMATION
         self.next_field = 0
         self.sample_skip = 0
-        self.crc_rejects = 0
+        self._crc_rejects = 0
         self._rx_reset()
         self.packets: list[bytes] = []
         # scan() streaming carry (see PocsagDecoder)
@@ -308,6 +335,23 @@ class AisDemodulator:
         self._scan_want = 0
         self._scan_ever = False
         self._in_scan = False
+
+    @property
+    def crc_rejects(self) -> int:
+        if self._nat is not None:
+            return self._nat.crc_rejects
+        return self._crc_rejects
+
+    def _in_search(self) -> bool:
+        if self._nat is not None:
+            return self._nat.in_search
+        return self.state == self._SEARCH
+
+    def _reset_detect_any(self):
+        if self._nat is not None:
+            self._nat.detect_reset()
+        else:
+            self._detect_reset()
 
     def _rx_reset(self):
         self.packet = bytearray(MAX_PACKET_BITS // 8 * 5)
@@ -341,6 +385,19 @@ class AisDemodulator:
             self.last_sample = self.prior_sample[nf]
         self.next_field = (nf + 1) % DECIMATION
 
+    def _rx_finalize(self):
+        nbytes = self.current_bit // 8
+        if nbytes >= 4:
+            body = bytes(self.packet[: nbytes - 2])
+            rx_crc = self.packet[nbytes - 2] | (self.packet[nbytes - 1] << 8)
+            if crc16_x25(body) == rx_crc:
+                self.packets.append(body)
+            else:
+                self.crc_rejects += 1
+        self.state = self._SEARCH
+        self.sample_skip = 0
+        self._detect_reset()
+
     def _rx_sample(self, sample: int):
         raw = 1 if sample > 0 else 0
         bit = 0 if (self.last_sample ^ raw) else 1
@@ -352,17 +409,165 @@ class AisDemodulator:
         self.nr_ones = 0 if bit == 0 else self.nr_ones + 1
 
         if self.raw_shr == END_FLAG or self.current_bit == MAX_PACKET_BITS:
-            nbytes = self.current_bit // 8
-            if nbytes >= 4:
-                body = bytes(self.packet[: nbytes - 2])
-                rx_crc = self.packet[nbytes - 2] | (self.packet[nbytes - 1] << 8)
-                if crc16_x25(body) == rx_crc:
-                    self.packets.append(body)
-                else:
-                    self.crc_rejects += 1
-            self.state = self._SEARCH
-            self.sample_skip = 0
-            self._detect_reset()
+            self._rx_finalize()
+
+    def _search_vec(self, pcm, i: int, n: int) -> int:
+        """Vectorized SEARCH: evolve all five phase-interleaved preamble
+        registers over the block and find the first sample where >= 3 of 5
+        match within hamming 2 (exact equivalent of the ``_detect_sample``
+        loop; fuzz-tested). Returns the new sample index.
+
+        Works one bounded window at a time: after a packet ends the FSM
+        re-enters SEARCH mid-block, and re-scanning the whole remainder per
+        packet would be quadratic in dense traffic. The window grows while
+        nothing triggers (noise: amortize numpy overhead) and shrinks back
+        on a trigger (dense traffic: the next preamble is near). Window
+        composition is exact thanks to the end-of-window materialization."""
+        n = min(n, i + self._search_window)
+        L = n - i
+        s = (pcm[i:n] > 0).astype(np.uint8)
+        nf = self.next_field
+        D = DECIMATION
+
+        # The register freshly updated at sample j is the 32 NRZI bits at
+        # stride D ending at j; the 5 most recent samples update the 5
+        # distinct phases exactly once each, so the FSM's nr_match at j is
+        # a 5-wide moving sum of a single per-sample match stream. One
+        # 32-shift pass replaces the per-phase loops.
+        #
+        # Virtual pre-block NRZI stream reconstructed from the carried
+        # registers: at virtual sample -(d+1), phase (nf-1-d) mod D, bit
+        # (preambles[phase] >> (d // D)) & 1.
+        d_idx = np.arange(32 * D)
+        pre = np.empty(32 * D, np.uint8)
+        ph = (nf - 1 - d_idx) % D
+        pre[::-1] = (np.asarray(self.preambles, np.uint64)[ph]
+                     >> (d_idx // D).astype(np.uint64)).astype(np.uint8) & 1
+        # NRZI bits of the block: prev raw at j-D (prior_sample for j < D)
+        prev = np.empty(L, np.uint8)
+        pl = min(D, L)
+        prev[:pl] = [self.prior_sample[(nf + j) % D] for j in range(pl)]
+        prev[D:] = s[:-D] if L > D else prev[D:]
+        bits = (1 - (s ^ prev)).astype(np.uint32)
+        full = np.concatenate([pre, bits])
+        base = 32 * D
+        # registers for positions j in [-4, L): 4 virtual positions so the
+        # moving sum at j < 4 sees the carried phases' registers
+        g = 4
+        w = np.zeros(L + g, np.uint32)
+        for k in range(32):
+            lo = base - g - k * D
+            w |= full[lo : lo + L + g] << np.uint32(k)
+        v = w ^ np.uint32(PREAMBLE_PATTERN)
+        v = v - ((v >> 1) & np.uint32(0x55555555))
+        v = (v & np.uint32(0x33333333)) + ((v >> 2) & np.uint32(0x33333333))
+        v = (v + (v >> 4)) & np.uint32(0x0F0F0F0F)
+        match = (((v * np.uint32(0x01010101)) >> np.uint32(24)) <= 2)
+        csum = np.cumsum(np.concatenate([[0], match.astype(np.int32)]))
+        nr_match = csum[g + 1 + np.arange(L)] - csum[np.arange(L)]
+
+        trig = np.flatnonzero(nr_match >= 3)
+        if trig.size == 0:
+            # no trigger: materialize the exact end-of-block detector state
+            # (the last min(L, D) samples hold each phase's final register)
+            for d in range(min(L, D)):
+                j = L - 1 - d
+                q = (nf + j) % D
+                self.preambles[q] = int(w[g + j])
+                self.prior_sample[q] = int(s[j])
+            self.next_field = (nf + L) % D
+            self._search_window = min(self._search_window * 4, 1 << 20)
+            return n
+        j = int(trig[0])
+        # trigger: replicate _detect_sample's transition at sample j. The
+        # detector arrays are left stale — every path back to SEARCH goes
+        # through _rx_finalize -> _detect_reset, so they are never read.
+        self.state = self._RECEIVING
+        self.sample_skip = 2
+        self._rx_reset()
+        self.last_sample = int(s[j])
+        self.next_field = (nf + j + 1) % DECIMATION
+        self._search_window = 512
+        return i + j + 1
+
+    def _rx_vec(self, pcm, i: int, n: int) -> int:
+        """Vectorized RECEIVING: NRZI decode, HDLC destuff, flag hunt and
+        packet fill over the whole remaining block (exact equivalent of the
+        per-sample ``_rx_sample`` loop; fuzz-tested). Returns the new sample
+        index.
+
+        Bounded to a window comfortably above one max-length packet so a
+        packet ending early in a large block doesn't pay for the whole
+        remainder (windows compose exactly via the carried registers)."""
+        n = min(n, i + 2560)
+        s0 = self.sample_skip
+        k0 = (-s0) % DECIMATION
+        if i + k0 >= n:
+            self.sample_skip = s0 + (n - i)
+            return n
+        raws = (pcm[i + k0 : n : DECIMATION] > 0).astype(np.uint8)
+        m = raws.shape[0]
+        prev = np.empty(m, np.uint8)
+        prev[0] = self.last_sample
+        prev[1:] = raws[:-1]
+        bits = (1 - (raws ^ prev)).astype(np.uint8)
+
+        # end-flag positions: decoded shift register == 0x7E, i.e. the 8
+        # decoded bits ending here are 0,1,1,1,1,1,1,0 (with raw_shr carry)
+        hist = np.array([(self.raw_shr >> k) & 1 for k in range(6, -1, -1)],
+                        np.uint8)
+        full = np.concatenate([hist, bits])
+        ok = ((full[7:] == 0) & (full[6:-1] == 1) & (full[5:-2] == 1)
+              & (full[4:-3] == 1) & (full[3:-4] == 1) & (full[2:-5] == 1)
+              & (full[1:-6] == 1) & (full[:-7] == 0))
+
+        # destuff mask: a bit is appended iff < 5 consecutive ones precede it
+        pre = min(self.nr_ones, 5)
+        vb = np.concatenate([np.ones(pre, np.uint8), bits])
+        pos = np.arange(vb.shape[0])
+        lz = np.maximum.accumulate(np.where(vb == 0, pos, -1))
+        runs = np.where(vb == 1, pos - lz, 0)
+        before = np.empty(m, np.int64)
+        if pre:
+            before[:] = runs[pre - 1 : pre - 1 + m]
+        else:
+            before[0] = 0
+            before[1:] = runs[:m - 1]
+        appended = before < 5
+        cum = np.cumsum(appended)
+
+        # stop at the first flag or at the appended bit that fills the packet
+        stops = np.flatnonzero(ok | (appended & (cum + self.current_bit
+                                                 == MAX_PACKET_BITS)))
+        j_end = int(stops[0]) if stops.size else m - 1
+
+        app = bits[: j_end + 1][appended[: j_end + 1]]
+        count = app.shape[0]
+        if count:
+            cb0 = self.current_bit
+            buf = np.unpackbits(np.frombuffer(bytes(self.packet), np.uint8),
+                                bitorder="little")
+            buf[cb0 : cb0 + count] = app
+            self.packet[:] = np.packbits(buf, bitorder="little").tobytes()
+            self.current_bit = cb0 + count
+
+        if stops.size:
+            # replicate the scalar registers at the stop sample, then reuse
+            # the shared finalize (state -> SEARCH, sample_skip = 0)
+            e = 7 + j_end
+            self.raw_shr = int(np.packbits(full[e - 7 : e + 1])[0])
+            self.last_sample = int(raws[j_end])
+            self._rx_finalize()
+            return i + k0 + j_end * DECIMATION + 1
+
+        # block exhausted: advance the carries exactly as the loop would
+        trail = int(runs[-1]) if vb[-1] == 1 else 0
+        # a ones-run covering every bit extends the true carried count
+        self.nr_ones = self.nr_ones + m if trail >= m else trail
+        self.raw_shr = int(np.packbits(full[-8:])[0])
+        self.last_sample = int(raws[-1])
+        self.sample_skip = s0 + (n - i)
+        return n
 
     def scan(self, pcm) -> list[bytes]:
         """Batch decode with a vectorized preamble fast-forward.
@@ -379,6 +584,12 @@ class AisDemodulator:
         same instance.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
+        if self._nat is not None:
+            # the native FSM outruns the numpy prefilter by ~10x, so scan()
+            # is a straight delegate (all samples FSM-fed; no carry needed)
+            new = self._nat.on_pcm(pcm)
+            self.packets.extend(new)
+            return new
         start_msg = len(self.packets)
         self._scan_ever = True
         self._in_scan = True
@@ -424,7 +635,7 @@ class AisDemodulator:
         fed_end = prefed
         want_end = feed_until
         while i < n:
-            if self.state != self._SEARCH:
+            if not self._in_search():
                 self.on_pcm(pcm[i : i + chunk])
                 i += chunk
                 fed_end = min(i, n)
@@ -443,17 +654,17 @@ class AisDemodulator:
             c = int(cand_idx[ci])
             start = max(i, c - lookback)
             if start > i:
-                self._detect_reset()  # zero registers cannot match
+                self._reset_detect_any()  # zero registers cannot match
                 i = start
             end = min(n, c + 8 * DECIMATION)
             self.on_pcm(pcm[i:end])
             i = end
             fed_end = end
             want_end = max(want_end, c + 8 * DECIMATION)
-        if self.state == self._SEARCH:
+        if self._in_search():
             keep_start = max(0, n - lookback)
             if fed_end < keep_start:
-                self._detect_reset()
+                self._reset_detect_any()
             else:
                 self._scan_prefed = fed_end - keep_start
                 self._scan_want = max(0, want_end - n)
@@ -467,17 +678,27 @@ class AisDemodulator:
                 "do not interleave on_pcm() with scan() on the same "
                 "decoder instance (scan carries prefilter state)")
         pcm = np.asarray(pcm, dtype=np.int16)
+        if self._nat is not None:
+            new = self._nat.on_pcm(pcm)
+            self.packets.extend(new)
+            return new
         start = len(self.packets)
         i = 0
         n = pcm.shape[0]
         while i < n:
             if self.state == self._SEARCH:
+                if self._vectorized:
+                    i = self._search_vec(pcm, i, n)
+                    continue
                 while i < n:
                     self._detect_sample(int(pcm[i]))
                     i += 1
                     if self.state == self._RECEIVING:
                         break
             else:
+                if self._vectorized:
+                    i = self._rx_vec(pcm, i, n)
+                    continue
                 while i < n:
                     skip = self.sample_skip
                     self.sample_skip += 1
@@ -493,8 +714,8 @@ class AisDemodulator:
 class AisDecoder:
     """Full AIS receive chain: demod + field decode (48 kHz PCM in)."""
 
-    def __init__(self):
-        self.demod = AisDemodulator()
+    def __init__(self, vectorized: bool = True):
+        self.demod = AisDemodulator(vectorized=vectorized)
         self.messages = []
 
     @property

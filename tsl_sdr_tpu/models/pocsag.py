@@ -104,9 +104,12 @@ class _MessageDecode:
 class PocsagDecoder:
     """Streaming POCSAG decoder; feed 38400 Hz int16 PCM via :meth:`on_pcm`."""
 
-    def __init__(self, skip_bch: bool = False):
+    def __init__(self, skip_bch: bool = False, vectorized: bool = True):
         self.bch = pocsag_bch()
         self.skip_bch = skip_bch
+        # vectorized BATCH/SEARCH_SYNCWORD paths (exact scalar equivalents;
+        # vectorized=False keeps the per-sample reference loops)
+        self._vectorized = vectorized
         self.detectors = [
             _BaudDetect(BASE_RATE // 512, 512),
             _BaudDetect(BASE_RATE // 1200, 1200),
@@ -175,9 +178,12 @@ class PocsagDecoder:
     def _process_batch(self) -> bool:
         """Returns False when a multi-bit error aborts the batch."""
         d = self.decoder
+        # one vectorized BCH pass over the whole batch (decode is per-word
+        # independent, so pre-decoding words after an abort changes nothing)
+        batch = np.asarray(self.batch_words, np.uint64).astype(np.uint32)
+        corr_all, fail_all = self.bch.decode(batch & np.uint32(0x7FFFFFFF))
         for z in range(BATCH_WORDS):
-            word = self.batch_words[z] & 0x7FFFFFFF
-            corrected, fail = self.bch.decode_one(word)
+            corrected, fail = int(corr_all[z]), bool(fail_all[z])
             if fail:
                 if d.msg_type != "none":
                     d.early_termination = True
@@ -379,6 +385,9 @@ class PocsagDecoder:
                         break
             elif self.state in (_STATE_SYNCHRONIZED, _STATE_BATCH):
                 self.state = _STATE_BATCH
+                if self._vectorized:
+                    i = self._batch_fill_vec(bits, i, n)
+                    continue
                 while i < n:
                     self.batch_sample_skip += 1
                     if self.batch_sample_skip == self.sample_skip:
@@ -402,6 +411,9 @@ class PocsagDecoder:
                                 break
                     i += 1
             elif self.state == _STATE_SEARCH_SYNCWORD:
+                if self._vectorized:
+                    i = self._syncword_vec(bits, i, n)
+                    continue
                 while i < n:
                     self.sync_sample_skip += 1
                     if self.sync_sample_skip == self.sample_skip:
@@ -425,3 +437,77 @@ class PocsagDecoder:
                     i += 1
 
         return self.messages[start_msg:]
+
+    # -- vectorized synced paths (exact equivalents of the scalar loops) ------
+
+    def _batch_fill_vec(self, bits, i: int, n: int) -> int:
+        """Vectorized BATCH fill: the bit cadence in BATCH is fixed (one
+        sign bit per sample_skip samples), so the remaining bit positions
+        are a static slice — no per-sample Python. Exactly equivalent to
+        the scalar loop (fuzz-tested); returns the new sample index."""
+        spb = self.sample_skip
+        b = self.batch_sample_skip
+        first = i + (spb - 1 - b)
+        bc0 = self.batch_bit_count
+        need = BATCH_WORDS * 32 - bc0
+        taken = bits[first : first + need * spb : spb] if first < n else \
+            np.zeros(0, np.uint8)
+        m = taken.shape[0]
+        if m:
+            j = np.arange(bc0, bc0 + m)
+            vals = taken.astype(np.uint32) << (j & 31).astype(np.uint32)
+            w = j >> 5
+            starts = np.flatnonzero(np.diff(w, prepend=w[0] - 1))
+            contrib = np.bitwise_or.reduceat(vals, starts)
+            for wi, cv in zip(w[starts], contrib):
+                self.batch_words[int(wi)] |= int(cv)
+        if m == need:
+            # batch complete mid-block
+            self.batch_bit_count = bc0 + m
+            self._process_batch()
+            self.state = _STATE_SEARCH_SYNCWORD
+            self.batch_word_idx = 0
+            self.batch_word_bit = 0
+            self.batch_sample_skip = 0
+            self._sync_reset()
+            return first + (m - 1) * spb + 1
+        # block exhausted: advance carries exactly as the scalar loop would
+        bc = bc0 + m
+        self.batch_bit_count = bc
+        self.batch_word_idx = bc >> 5
+        self.batch_word_bit = bc & 31
+        self.batch_sample_skip = b + (n - i) - m * spb
+        return n
+
+    def _syncword_vec(self, bits, i: int, n: int) -> int:
+        """Vectorized SEARCH_SYNCWORD: gather up to the 32 sync bits at the
+        locked cadence in one slice (exact scalar-loop equivalent)."""
+        spb = self.sample_skip
+        s = self.sync_sample_skip
+        first = i + (spb - 1 - s)
+        need = 32 - self.sync_bits
+        taken = bits[first : first + need * spb : spb] if first < n else \
+            np.zeros(0, np.uint8)
+        m = taken.shape[0]
+        if m:
+            word = self.sync_word
+            packed = 0
+            for bit in taken.tolist():
+                packed = (packed << 1) | bit
+            self.sync_word = ((word << m) | packed) & 0xFFFFFFFF
+        if m == need:
+            self.sync_bits = 32
+            self.sync_sample_skip = 0
+            if not _check_sync_word(self.sync_word):
+                self.state = _STATE_SEARCH
+                self.sample_skip = 0
+                for det in self.detectors:
+                    det.reset()
+                self._deliver()
+            else:
+                self.state = _STATE_BATCH
+                self._batch_reset()
+            return first + (m - 1) * spb + 1
+        self.sync_bits += m
+        self.sync_sample_skip = s + (n - i) - m * spb
+        return n

@@ -417,3 +417,139 @@ void tsl_costas(const int16_t* x, size_t n, float alpha, float beta,
 }
 
 }  // extern "C"
+
+// ---- AIS GMSK/NRZI demodulator FSM ----------------------------------------
+//
+// Native fast path for the host-tier AIS bit FSM (same semantics as the
+// Python AisDemodulator scalar loop in models/ais.py, which replicates
+// ais/ais_demod.c:114-213): 48 kHz PCM in, 9600 bps, 5-phase preamble hunt
+// (>= 3 of 5 registers within hamming 2 of 0x5555557E), then one NRZI bit
+// per 5 samples with HDLC destuffing, ending on the 0x7E flag or 1280-bit
+// overflow; CRC-16/X.25 over all but the last two bytes. Dense burst
+// traffic runs at native FSM speed instead of per-packet numpy overhead.
+
+namespace {
+
+constexpr int kAisDecim = 5;
+constexpr uint32_t kAisPreamble = 0x5555557E;
+constexpr int kAisMaxBits = 5 * 256;
+
+struct AisState {
+  int state = 0;  // 0 = SEARCH, 1 = RECEIVING
+  uint32_t preambles[kAisDecim] = {0};
+  uint8_t prior[kAisDecim] = {0};
+  int next_field = 0;
+  uint64_t sample_skip = 0;
+  uint8_t last_sample = 0;
+  uint8_t raw_shr = 0;
+  uint32_t nr_ones = 0;
+  uint32_t current_bit = 0;
+  uint8_t packet[kAisMaxBits / 8 * 5] = {0};
+  uint64_t crc_rejects = 0;
+  uint16_t crc_tab[256];
+};
+
+uint16_t ais_crc16_x25(const AisState* st, const uint8_t* p, size_t n) {
+  uint16_t crc = 0xFFFF;
+  for (size_t i = 0; i < n; i++)
+    crc = (uint16_t)((crc >> 8) ^ st->crc_tab[(crc ^ p[i]) & 0xFF]);
+  return (uint16_t)~crc;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* tsl_ais_new(void) {
+  auto* st = new AisState();
+  for (int b = 0; b < 256; b++) {
+    uint16_t crc = (uint16_t)b;
+    for (int k = 0; k < 8; k++)
+      crc = (crc & 1) ? (uint16_t)((crc >> 1) ^ 0x8408) : (uint16_t)(crc >> 1);
+    st->crc_tab[b] = crc;
+  }
+  return st;
+}
+
+void tsl_ais_free(void* h) { delete static_cast<AisState*>(h); }
+
+void tsl_ais_detect_reset(void* h) {
+  auto* st = static_cast<AisState*>(h);
+  memset(st->preambles, 0, sizeof(st->preambles));
+  memset(st->prior, 0, sizeof(st->prior));
+  st->next_field = 0;
+}
+
+uint64_t tsl_ais_crc_rejects(void* h) {
+  return static_cast<AisState*>(h)->crc_rejects;
+}
+
+int tsl_ais_state(void* h) { return static_cast<AisState*>(h)->state; }
+
+// Process n PCM samples. Completed CRC-valid packets are serialized into
+// out as [u32 len][bytes]; returns bytes written (or -1 if out overflows;
+// state is then mid-stream and the caller should retry with a larger
+// buffer from the same offset — packets already emitted are not repeated).
+long tsl_ais_on_pcm(void* h, const int16_t* pcm, size_t n, uint8_t* out,
+                    size_t cap) {
+  auto* st = static_cast<AisState*>(h);
+  size_t w = 0;
+  for (size_t i = 0; i < n; i++) {
+    if (st->state == 0) {
+      const uint8_t s = pcm[i] > 0 ? 1 : 0;
+      const int nf = st->next_field;
+      const uint8_t last = st->prior[nf];
+      st->prior[nf] = s;
+      st->preambles[nf] = (st->preambles[nf] << 1) | ((last ^ s) ? 0u : 1u);
+      int nr_match = 0;
+      for (int q = 0; q < kAisDecim; q++)
+        nr_match += __builtin_popcount(st->preambles[q] ^ kAisPreamble) <= 2;
+      if (nr_match >= 3) {
+        st->state = 1;
+        st->sample_skip = 2;
+        memset(st->packet, 0, sizeof(st->packet));
+        st->raw_shr = 0;
+        st->current_bit = 0;
+        st->nr_ones = 0;
+        st->last_sample = st->prior[nf];
+      }
+      st->next_field = (nf + 1) % kAisDecim;
+    } else {
+      const uint64_t skip = st->sample_skip++;
+      if (skip % kAisDecim != 0) continue;
+      const uint8_t raw = pcm[i] > 0 ? 1 : 0;
+      const uint8_t bit = (st->last_sample ^ raw) ? 0 : 1;
+      st->raw_shr = (uint8_t)((st->raw_shr << 1) | bit);
+      st->last_sample = raw;
+      if (st->nr_ones < 5) {
+        st->packet[st->current_bit / 8] |=
+            (uint8_t)(bit << (st->current_bit % 8));
+        st->current_bit++;
+      }
+      st->nr_ones = bit ? st->nr_ones + 1 : 0;
+      if (st->raw_shr == 0x7E || st->current_bit == kAisMaxBits) {
+        const uint32_t nbytes = st->current_bit / 8;
+        if (nbytes >= 4) {
+          const uint16_t rx_crc =
+              (uint16_t)(st->packet[nbytes - 2] |
+                         ((uint16_t)st->packet[nbytes - 1] << 8));
+          if (ais_crc16_x25(st, st->packet, nbytes - 2) == rx_crc) {
+            const uint32_t len = nbytes - 2;
+            if (w + 4 + len > cap) return -1;
+            memcpy(out + w, &len, 4);
+            memcpy(out + w + 4, st->packet, len);
+            w += 4 + len;
+          } else {
+            st->crc_rejects++;
+          }
+        }
+        st->state = 0;
+        st->sample_skip = 0;
+        tsl_ais_detect_reset(h);
+      }
+    }
+  }
+  return (long)w;
+}
+
+}  // extern "C"

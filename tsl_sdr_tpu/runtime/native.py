@@ -82,8 +82,65 @@ def load():
             ctypes.c_float, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int16),
         ]
+        lib.tsl_ais_new.restype = ctypes.c_void_p
+        lib.tsl_ais_free.argtypes = [ctypes.c_void_p]
+        lib.tsl_ais_detect_reset.argtypes = [ctypes.c_void_p]
+        lib.tsl_ais_crc_rejects.restype = ctypes.c_uint64
+        lib.tsl_ais_crc_rejects.argtypes = [ctypes.c_void_p]
+        lib.tsl_ais_state.restype = ctypes.c_int
+        lib.tsl_ais_state.argtypes = [ctypes.c_void_p]
+        lib.tsl_ais_on_pcm.restype = ctypes.c_long
+        lib.tsl_ais_on_pcm.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ]
         _LIB = lib
         return lib
+
+
+class AisNative:
+    """Handle to the native AIS demod FSM (tslstream.cc tsl_ais_*)."""
+
+    def __init__(self):
+        self._lib = load()
+        self._h = self._lib.tsl_ais_new()
+
+    def on_pcm(self, pcm: np.ndarray) -> list[bytes]:
+        pcm = np.ascontiguousarray(pcm, np.int16)
+        cap = pcm.size // 8 + 4096  # dense-traffic worst case, with margin
+        out = np.empty(cap, np.uint8)
+        ret = self._lib.tsl_ais_on_pcm(
+            self._h, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            pcm.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if ret < 0:
+            raise RuntimeError("tsl_ais_on_pcm output buffer overflow")
+        pkts = []
+        o = 0
+        buf = out.tobytes()
+        while o < ret:
+            ln = int.from_bytes(buf[o:o + 4], "little")
+            pkts.append(buf[o + 4 : o + 4 + ln])
+            o += 4 + ln
+        return pkts
+
+    def detect_reset(self):
+        self._lib.tsl_ais_detect_reset(self._h)
+
+    @property
+    def in_search(self) -> bool:
+        return self._lib.tsl_ais_state(self._h) == 0
+
+    @property
+    def crc_rejects(self) -> int:
+        return int(self._lib.tsl_ais_crc_rejects(self._h))
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.tsl_ais_free(self._h)
+                self._h = None
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
 
 
 def costas_native(x: np.ndarray, params, state=None):
