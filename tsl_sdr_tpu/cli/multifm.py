@@ -100,20 +100,50 @@ def main(argv=None):
             print(f"multifm-tpu: E4000 IF gain plan {stages} "
                   f"(total {total / 10:.1f} dB)", file=sys.stderr)
         if rtl.test_mode:
-            raw = test_mode_pattern(2 * args.test_samples)
-            tmp = tempfile.NamedTemporaryFile(suffix=".cs16", delete=False)
-            iqio.rtl_u8_to_q14(raw).astype(np.int16).tofile(tmp)
-            tmp.close()
-            iq_path, iq_fmt = tmp.name, "cs16"
+            # with librtlsdr present, test mode runs on the device itself
+            # (the hw path below); synthesize only when no library exists
+            from tsl_sdr_tpu.sources import hw as hwmod
+
+            try:
+                hwmod._dlopen("TSL_RTLSDR_LIB", "rtlsdr", "rtlsdr")
+            except hwmod.HwLibraryMissing:
+                raw = test_mode_pattern(2 * args.test_samples)
+                tmp = tempfile.NamedTemporaryFile(suffix=".cs16", delete=False)
+                iqio.rtl_u8_to_q14(raw).astype(np.int16).tofile(tmp)
+                tmp.close()
+                iq_path, iq_fmt = tmp.name, "cs16"
+    hw_source = None
     if iq_path is None:
-        if dev_type == "airspy":
-            from tsl_sdr_tpu.sources.airspy import AirspyConfig
+        # real hardware: dlopen-gated ctypes ingest (sources/hw.py). The
+        # gated error below only fires when no library exists.
+        from tsl_sdr_tpu.sources.hw import HwLibraryMissing
 
-            AirspyConfig.from_dict(cfg.device.params)  # validate gains
-        elif dev_type == "usrp":
-            from tsl_sdr_tpu.sources.uhd import UhdConfig
+        try:
+            if dev_type == "rtlsdr":
+                from tsl_sdr_tpu.sources.hw import RtlSdrSource
+                from tsl_sdr_tpu.sources.rtl_sdr import RtlSdrConfig
 
-            UhdConfig.from_dict(cfg.device.params)
+                rtl = RtlSdrConfig.from_dict(
+                    cfg.device.params, {"sdrTestMode": cfg.raw.get("sdrTestMode")}
+                )
+                hw_source = RtlSdrSource(rtl, depth=max(2, cfg.nr_samp_bufs))
+            elif dev_type == "airspy":
+                from tsl_sdr_tpu.sources.airspy import AirspyConfig
+                from tsl_sdr_tpu.sources.hw import AirspySource
+
+                hw_source = AirspySource(
+                    AirspyConfig.from_dict(cfg.device.params),
+                    depth=max(2, cfg.nr_samp_bufs))
+            elif dev_type == "usrp":
+                from tsl_sdr_tpu.sources.hw import UhdSource
+                from tsl_sdr_tpu.sources.uhd import UhdConfig
+
+                hw_source = UhdSource(UhdConfig.from_dict(cfg.device.params),
+                                      depth=max(2, cfg.nr_samp_bufs))
+        except HwLibraryMissing as e:
+            print(f"multifm-tpu: {e}", file=sys.stderr)
+            return 2
+    if iq_path is None and hw_source is None:
         print(
             f"multifm-tpu: device type '{dev_type}' needs attached hardware; "
             "use a 'file' device or --iq-file to stream a capture",
@@ -127,9 +157,14 @@ def main(argv=None):
     counters = StreamCounters()
 
     debug_iq = any(ch.signal_debug_file for ch in cfg.channels)
-    if args.runtime == "native" and not debug_iq:
+    if args.runtime == "native" and not debug_iq and hw_source is None:
         return _run_native(args, cfg, chain, iq_path, iq_fmt or "cs16",
                            block, counters)
+    if hw_source is not None:
+        # reference order: unmute, then start the receiver (multifm.c:158)
+        hw_source.open(cfg.sample_rate_hz, cfg.center_freq_hz)
+        hw_source.set_mute(False)
+        hw_source.start()
 
     mute_left = cfg.sample_rate_hz * cfg.mute_startup_ms // 1000
     sinks = [open(ch.out_fifo, "wb") for ch in cfg.channels]
@@ -149,7 +184,12 @@ def main(argv=None):
         nonlocal mute_left
         pending = np.zeros((0, 2), np.int16)
         carry_done = chain.carry_len == 0
-        for iq in _iq_block_iter(iq_path, iq_fmt or "cs16", block):
+        if hw_source is not None:
+            raw_iter = (b[: b.size // 2 * 2].reshape(-1, 2)
+                        for b in hw_source.blocks())
+        else:
+            raw_iter = _iq_block_iter(iq_path, iq_fmt or "cs16", block)
+        for iq in raw_iter:
             if mute_left > 0:
                 # startup mute gate (receiver.h:98, multifm/multifm.c:158)
                 drop = min(mute_left, len(iq))
@@ -199,6 +239,10 @@ def main(argv=None):
     except (KeyboardInterrupt, BrokenPipeError):
         pass
     finally:
+        if hw_source is not None:
+            hw_source.stop()
+            print(f"multifm-tpu: hw source {hw_source.stats}",
+                  file=sys.stderr)
         for s in sinks:
             s.close()
         if iq_dump is not None:
