@@ -200,3 +200,54 @@ def test_packed_odd_configs_match_oracle():
         diff = np.abs(got[:, 1:m].astype(np.int32) - want[:, 1:m].astype(np.int32))
         diff = np.minimum(diff, 32768 - diff)
         assert diff.max() <= 2, (fs, d, taps, diff.max())
+
+
+def test_exact_packed_streaming_step_bitexact():
+    """The streaming exact-packed step (VERDICT r1 item 5) produces the
+    same bits as the whole-capture path and the scan tier, across
+    arbitrary block boundaries."""
+    from scipy.signal import firwin
+
+    from tsl_sdr_tpu.models.channelizer import MultifmChain
+
+    rng = np.random.default_rng(31)
+    fs, d = 256_000, 8
+    offsets = [32_000, -24_000]
+    n = 80_000
+    iq = rng.integers(-12000, 12000, size=(n, 2),
+                      dtype=np.int64).astype(np.int16)
+    lpf = firwin(97, 12_500 / (fs / 2))
+
+    chain = MultifmChain(lpf, offsets, fs, d, exact=True)  # packed default
+    want = chain.process_array_exact_packed(iq, block_size=16_384)
+
+    # streaming: same capture in uneven block_quantum-aligned slices
+    q = chain.block_quantum
+    c_len = chain.carry_len
+    state = chain.init_state(prefix=iq[:c_len])
+    outs = []
+    pos = c_len
+    for mult in (130, 37, 211, 64, 155, 99, 178, 41, 250, 86):
+        take = mult * q
+        if pos + take > n:
+            break
+        st2, pcm = chain.step(state, iq[pos:pos + take])
+        state = st2
+        outs.append(pcm)
+        pos += take
+    got = np.concatenate(outs, axis=1)
+    m = min(got.shape[1], want.shape[1])
+    assert m > 1000
+    np.testing.assert_array_equal(got[:, :m], want[:, :m])
+
+    # the scan tier agrees except for its documented f32-vs-double FM
+    # scaling divergence (+-1 LSB on <0.1% of outputs; the packed tier is
+    # the C-exact one — see test_exact_packed_matches_exact_tier)
+    chain_scan = MultifmChain(lpf, offsets, fs, d, exact=True,
+                              exact_tier="scan")
+    want_scan = np.asarray(chain_scan.process_array(iq, block_size=16_000))
+    m2 = min(m, want_scan.shape[1])
+    diff = np.abs(got[:, :m2].astype(np.int32)
+                  - want_scan[:, :m2].astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-3
