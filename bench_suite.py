@@ -199,6 +199,34 @@ def bench_decoder_scans() -> dict:
     return out
 
 
+def bench_decoder_dense() -> dict:
+    """100%-duty burst traffic (VERDICT r1 item 9's >= 20 Msps target)."""
+    from tsl_sdr_tpu.models.ais import AisDemodulator
+    from tsl_sdr_tpu.models.pocsag import PocsagDecoder
+    from tsl_sdr_tpu.testing import ais_gen, pocsag_gen
+
+    out = {}
+    bursts = [pocsag_gen.PocsagBurst(capcode=1000 + k, function=1,
+                                     kind="alpha",
+                                     content="DENSE TRAFFIC %03d " % k * 3)
+              for k in range(40)]
+    pcm = pocsag_gen.generate(bursts, baud=2400, tail_bits=16)
+    d = PocsagDecoder()
+    t0 = time.perf_counter()
+    msgs = d.scan(pcm)
+    out["pocsag"] = len(pcm) / (time.perf_counter() - t0) / 1e6
+    assert len(msgs) == 40
+
+    pkts = [ais_gen.make_position_report(366000000 + k) for k in range(600)]
+    sig = ais_gen.generate(pkts)
+    a = AisDemodulator()
+    t0 = time.perf_counter()
+    a.on_pcm(sig)
+    out["ais"] = len(sig) / (time.perf_counter() - t0) / 1e6
+    assert len(a.packets) == 600
+    return out
+
+
 def bench_costas_native() -> float:
     from tsl_sdr_tpu.ops import costas
     from tsl_sdr_tpu.runtime.native import costas_native
@@ -231,52 +259,81 @@ def cpu_baseline(nr_channels, taps, decim) -> float:
 
 def main():
     import jax
+    from tsl_sdr_tpu.utils import roofline
 
     platform = jax.devices()[0].platform
     rows = []
 
     r = bench_multifm(1)
+    b = roofline.channelizer(1, 128, 40)
     rows.append(("multifm 1-channel NBFM (128 taps, decim 40)",
-                 f"{r:,.0f} Msps/chip"))
+                 f"{r:,.0f} Msps/chip", b.describe(r)))
     r8 = bench_multifm(8)
     cpu8 = cpu_baseline(8, 128, 40)
+    b = roofline.channelizer(8, 128, 40)
     rows.append(("multifm 8-channel channelizer (etc/multifm.json shape)",
                  f"{r8:,.0f} Msps/chip ({r8 / cpu8:,.0f}x the scalar C "
-                 f"baseline at {cpu8:.1f} Msps)"))
+                 f"baseline at {cpu8:.1f} Msps)", b.describe(r8)))
     r64 = bench_multifm(64)
+    b64 = roofline.channelizer(64, 128, 40)
     rows.append(("multifm 64-channel channelizer (8x the reference's "
                  "flagship width)",
                  f"{r64:,.0f} Msps/chip = {r64 * 64 / 1e3:,.1f} G "
-                 "channel-samples/s"))
+                 "channel-samples/s", b64.describe(r64)))
     r = bench_exact_fir()
+    b = roofline.channelizer(8, 128, 40)
     rows.append(("BIT-EXACT integer FIR bank (== C arithmetic, 8ch/128tap)",
-                 f"{r:,.0f} Msps/chip on-device"))
+                 f"{r:,.0f} Msps/chip on-device", b.describe(r)))
     r = bench_resampler()
-    rows.append(("rational resampler 16/25 (821 taps)", f"{r:,.0f} Msps/chip"))
+    b = roofline.resampler(821, 16, 25)
+    rows.append(("rational resampler 16/25 (821 taps)",
+                 f"{r:,.0f} Msps/chip", b.describe(r)))
     p = bench_pocsag_chain()
     rows.append(("POCSAG chain: wideband 1.2288 Msps -> channelize+demod "
                  "(TPU) -> scan decode (host)",
-                 f"{p['msps']:,.1f} Msps end-to-end, messages verified"))
+                 f"{p['msps']:,.1f} Msps end-to-end, messages verified", "-"))
     scans = bench_decoder_scans()
     rows.append(("decoder batch scans on sync-free PCM (host)",
                  f"POCSAG {scans['pocsag']:.1f} / FLEX {scans['flex']:.0f} / "
-                 f"AIS {scans['ais']:.1f} Msps"))
+                 f"AIS {scans['ais']:.0f} Msps", "-"))
+    dense = bench_decoder_dense()
+    rows.append(("decoder 100%-duty burst traffic (host)",
+                 f"POCSAG {dense['pocsag']:.1f} / AIS {dense['ais']:.0f} "
+                 "Msps", "-"))
     r = bench_costas_native()
     rows.append(("Costas loop (native serial PLL, host)",
-                 f"{r:,.0f} Msps"))
+                 f"{r:,.0f} Msps", "-"))
 
     md = ["# Benchmark suite", "",
           f"Platform: {platform} ({jax.devices()[0]})", "",
-          "| Config | Result |", "|---|---|"]
-    for name, result in rows:
-        md.append(f"| {name} | {result} |")
+          "| Config | Result | % of single-chip speed-of-light |",
+          "|---|---|---|"]
+    for name, result, sol in rows:
+        md.append(f"| {name} | {result} | {sol} |")
     md.append("")
     md.append("Methodology: device numbers use the state-threaded "
               "differential harness (see bench.py); best of "
-              f"{TRIALS} trials. The POCSAG end-to-end row includes pulling "
-              "the decoded-rate PCM to the host, which on this development "
-              "box crosses a tunnel moving <3 MB/s — on a real TPU host the "
-              "same transfer is PCIe-speed. Generated by bench_suite.py.")
+              f"{TRIALS} trials. Speed-of-light bounds are algorithmic "
+              "(useful MACs at 98.5e12 MAC/s, minimal stream bytes at "
+              "819 GB/s — tsl_sdr_tpu/utils/roofline.py); 100% would mean "
+              "zero overhead and perfect overlap. The POCSAG end-to-end row "
+              "includes pulling the decoded-rate PCM to the host across this "
+              "box's <3 MB/s tunnel — on a real TPU host that transfer is "
+              "PCIe-speed. Generated by bench_suite.py.")
+    md.append("")
+    md.append("64-channel scaling: at 64ch the chain attains "
+              f"{b64.pct(r64):.1f}% of its "
+              f"{b64.sol_msps/1e3:,.0f} Gsps bound. Neither resource "
+              "saturates (MXU bound "
+              f"{b64.mxu_msps/1e3:,.0f} Gsps, HBM bound "
+              f"{b64.hbm_msps/1e3:,.0f} Gsps): measured FIR-only throughput "
+              "is ~1.5x the full chain, so ~1/3 of the time is the FM "
+              "discriminator section's f32 conversion/elementwise traffic "
+              "and the rest is XLA pass overhead on the int16->int32->f32 "
+              "pipeline, not a saturated unit. The Pallas backend closes "
+              "part of the gap at this width (it avoids the int32 "
+              "accumulator HBM round-trip); Mosaic cannot lower integer "
+              "matmuls on this toolchain, which caps further fusion.")
     (REPO / "BENCH_SUITE.md").write_text("\n".join(md) + "\n")
     print("\n".join(md))
     print(json.dumps({n: r for n, r in rows}), file=sys.stderr)

@@ -271,34 +271,63 @@ class PocsagDecoder:
 
         # Candidate positions: any detector register within hamming 4 of the
         # sync word. A sync trigger needs a run of > spb/2 consecutive
-        # matching samples, so probing every spb//4-th sample still hits
-        # every possible trigger (strict superset) at a fraction of the work.
+        # matching samples, so probing every spb//4-th GLOBAL grid position
+        # still hits every possible trigger (strict superset) at a fraction
+        # of the work. Computed LAZILY per window: on dense traffic most
+        # samples are consumed by the (vectorized) BATCH path and never need
+        # prefiltering — an upfront whole-capture pass would dominate.
         max_spb = max(d.spb for d in self.detectors)
         pad = 31 * max_spb
         bp = np.concatenate([np.zeros(pad, np.uint32), bits])
-        cand_list = []
-        for det in self.detectors:
-            spb = det.spb
-            stride = max(1, spb // 4)
-            pos = np.arange(0, n, stride)
-            w = np.zeros(pos.shape[0], dtype=np.uint32)
-            for k in range(32):
-                s0 = pad - k * spb
-                w |= bp[s0 : s0 + n : stride] << np.uint32(k)
-            v = w ^ np.uint32(SYNC_CODEWORD)
-            v = v - ((v >> 1) & np.uint32(0x55555555))
-            v = (v & np.uint32(0x33333333)) + ((v >> 2) & np.uint32(0x33333333))
-            v = (v + (v >> 4)) & np.uint32(0x0F0F0F0F)
-            pc = (v * np.uint32(0x01010101)) >> np.uint32(24)
-            cand_list.append(pos[pc <= 4])
-        cand_idx = np.unique(np.concatenate(cand_list))
 
-        max_spb = max(d.spb for d in self.detectors)
+        def cands_window(lo: int, hi: int) -> np.ndarray:
+            cand_list = []
+            for det in self.detectors:
+                spb = det.spb
+                stride = max(1, spb // 4)
+                first = -(-lo // stride) * stride  # global grid, >= lo
+                pos = np.arange(first, hi, stride)
+                if not pos.size:
+                    continue
+                w = np.zeros(pos.shape[0], dtype=np.uint32)
+                for k in range(32):
+                    s0 = pad + first - k * spb
+                    w |= bp[s0 : s0 + (hi - first) : stride] << np.uint32(k)
+                v = w ^ np.uint32(SYNC_CODEWORD)
+                v = v - ((v >> 1) & np.uint32(0x55555555))
+                v = (v & np.uint32(0x33333333)) + (
+                    (v >> 2) & np.uint32(0x33333333))
+                v = (v + (v >> 4)) & np.uint32(0x0F0F0F0F)
+                pc = (v * np.uint32(0x01010101)) >> np.uint32(24)
+                cand_list.append(pos[pc <= 4])
+            if not cand_list:
+                return np.zeros(0, np.int64)
+            return np.unique(np.concatenate(cand_list))
+
+        cwin = np.zeros(0, np.int64)
+        cwin_hi = 0
+        win = 1 << 15
+
+        def next_candidate(i: int):
+            nonlocal cwin, cwin_hi, win
+            while True:
+                k = np.searchsorted(cwin, i)
+                if k < len(cwin):
+                    return int(cwin[k])
+                if cwin_hi >= n:
+                    return None
+                lo = max(cwin_hi, i)
+                hi = min(n, lo + win)
+                cwin = cands_window(lo, hi)
+                cwin_hi = hi
+                # grow while dry (noise: amortize), shrink on a hit (dense
+                # traffic: the next sync is near)
+                win = (1 << 15) if cwin.size else min(win * 4, 1 << 22)
+
         lookback = 34 * max_spb
         chunk = 32 * 17 * max_spb  # one batch + sync word at the slowest baud
 
         i = prefed
-        ci = 0
         fed_end = prefed
         want_end = feed_until
         while i < n:
@@ -316,11 +345,9 @@ class PocsagDecoder:
                 fed_end = end
                 continue
             # in SEARCH: jump to the next candidate at/after i
-            while ci < len(cand_idx) and cand_idx[ci] < i:
-                ci += 1
-            if ci >= len(cand_idx):
+            c = next_candidate(i)
+            if c is None:
                 break
-            c = int(cand_idx[ci])
             start = max(i, c - lookback)
             if start > i:
                 # skipped region has no candidates -> no sync possible;
