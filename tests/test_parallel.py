@@ -12,14 +12,16 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_sharded_matches_single_device():
+def _equality_case(nr_channels, time_shards, ch_shards, taps=33, seed=60):
+    """Sharded output == primed single-device run, element-for-element
+    (within the documented f32-reassociation 1-LSB slack), at the given
+    mesh shape and channel count."""
     fs, d = 128_000, 4
-    lpf = firdes_low_pass(1.0, fs, 12_000, 8_000)[:33]
-    offsets = [8_000, -24_000]
+    lpf = firdes_low_pass(1.0, fs, 12_000, 8_000)[:taps]
+    rng = np.random.default_rng(seed)
+    offsets = rng.integers(-fs // 3, fs // 3, size=nr_channels)
     chain = MultifmChain(lpf, offsets, fs, d, exact=False)
 
-    rng = np.random.default_rng(60)
-    time_shards, ch_shards = 4, 2
     seg = 512 * d
     s = seg * time_shards
     iq = rng.integers(-12000, 12000, size=(s, 2), dtype=np.int64).astype(np.int16)
@@ -31,7 +33,8 @@ def test_sharded_matches_single_device():
     _, pcm_single = chain.step(state, iq[c_len:][: (s - c_len) // q * q])
     pcm_single = np.asarray(pcm_single)
 
-    mesh = make_mesh(time=time_shards, channels=ch_shards, devices=jax.devices()[:8])
+    mesh = make_mesh(time=time_shards, channels=ch_shards,
+                     devices=jax.devices()[: time_shards * ch_shards])
     fn = make_sharded_multifm(chain.packed_plan, mesh)
     pcm_sharded = np.asarray(fn(iq))
 
@@ -43,6 +46,82 @@ def test_sharded_matches_single_device():
     diff = np.abs(a - b)
     assert (diff <= 1).mean() > 0.999, (diff.max(), (diff > 1).mean())
     assert (diff == 0).mean() > 0.98
+
+
+@pytest.mark.parametrize("time_shards,ch_shards", [(4, 2), (2, 4), (8, 1)])
+def test_sharded_matches_single_device(time_shards, ch_shards):
+    _equality_case(nr_channels=8, time_shards=time_shards,
+                   ch_shards=ch_shards)
+
+
+def test_sharded_matches_single_device_64ch():
+    """64-channel bank (8x the reference flagship) across 2 mesh shapes."""
+    _equality_case(nr_channels=64, time_shards=2, ch_shards=4, taps=17,
+                   seed=61)
+    _equality_case(nr_channels=64, time_shards=4, ch_shards=2, taps=17,
+                   seed=62)
+
+
+def test_sharded_pallas_matches_single_device():
+    """The fused PALLAS kernel under shard_map (time sharding + carry halo)
+    equals the primed single-device pallas chain."""
+    from tsl_sdr_tpu.parallel.channelizer import make_sharded_multifm_pallas
+
+    fs, d = 128_000, 4
+    lpf = firdes_low_pass(1.0, fs, 12_000, 8_000)[:33]
+    rng = np.random.default_rng(63)
+    offsets = rng.integers(-fs // 3, fs // 3, size=8)
+    chain = MultifmChain(lpf, offsets, fs, d, exact=False, backend="pallas")
+
+    time_shards = 8
+    seg = 512 * d
+    s = seg * time_shards
+    iq = rng.integers(-12000, 12000, size=(s, 2),
+                      dtype=np.int64).astype(np.int16)
+
+    c_len = chain.carry_len
+    q = chain.block_quantum
+    state = chain.init_state(prefix=iq[:c_len])
+    _, pcm_single = chain.step(state, iq[c_len:][: (s - c_len) // q * q])
+    pcm_single = np.asarray(pcm_single)
+
+    mesh = make_mesh(time=time_shards, channels=1, devices=jax.devices()[:8])
+    fn = make_sharded_multifm_pallas(chain.packed_plan, mesh)
+    pcm_sharded = np.asarray(fn(iq))
+
+    m0 = 2
+    m1 = pcm_single.shape[1] - 2
+    a = pcm_single[:, m0:m1].astype(np.int32)
+    b = pcm_sharded[:, m0:m1].astype(np.int32)
+    diff = np.abs(a - b)
+    assert (diff <= 1).mean() > 0.999, (diff.max(), (diff > 1).mean())
+    assert (diff == 0).mean() > 0.98
+
+
+def test_multihost_device_layout():
+    """make_global_mesh's layout math: channel rows never cross a host and
+    the time axis walks hosts in process order (multihost.py claims)."""
+    from tsl_sdr_tpu.parallel.multihost import layout_devices
+
+    class Dev:
+        def __init__(self, proc, idx):
+            self.process_index = proc
+            self.id = proc * 100 + idx
+
+    # 4 hosts x 8 local devices, 2-channel shards per host
+    devs = [Dev(p, i) for p in range(4) for i in range(8)]
+    arr = layout_devices(devs, n_local=8, channels_per_host=2)
+    assert arr.shape == (16, 2)
+    for row in arr:
+        assert len({d.process_index for d in row}) == 1  # one host per row
+    # time order == process order: rows 0-3 host 0, 4-7 host 1, ...
+    assert [arr[t, 0].process_index for t in range(16)] == [
+        t // 4 for t in range(16)]
+    # every device appears exactly once
+    assert len({d.id for d in arr.reshape(-1)}) == 32
+
+    with pytest.raises(ValueError):
+        layout_devices(devs, n_local=8, channels_per_host=3)
 
 
 def test_dryrun_multichip():

@@ -44,6 +44,28 @@ def init(coordinator_address: str | None = None, num_processes: int | None = Non
     )
 
 
+def layout_devices(devs, n_local: int, channels_per_host: int):
+    """Pure device-layout math behind :func:`make_global_mesh`.
+
+    ``devs``: all devices in jax's global (process-major) order. Returns a
+    [time, channels] array where every channel row lives on one host (no
+    DCN inside the channel bank) and the time axis walks hosts in process
+    order, so each host's IQ span is contiguous in stream time.
+    """
+    devs = np.asarray(devs, dtype=object)
+    if n_local % channels_per_host:
+        raise ValueError(
+            f"{n_local} local devices not divisible by {channels_per_host}"
+        )
+    if devs.size % n_local:
+        raise ValueError(
+            f"{devs.size} devices not divisible by {n_local} per host"
+        )
+    time_per_host = n_local // channels_per_host
+    n_proc = devs.size // n_local
+    return devs.reshape(n_proc * time_per_host, channels_per_host)
+
+
 def make_global_mesh(channels_per_host: int = 1) -> Mesh:
     """(time, channels) mesh over ALL processes' devices.
 
@@ -51,15 +73,9 @@ def make_global_mesh(channels_per_host: int = 1) -> Mesh:
     channel bank); the time axis spans hosts in process order so each
     host's IQ span is contiguous in stream time.
     """
-    devs = np.asarray(jax.devices())
-    n_local = jax.local_device_count()
-    if n_local % channels_per_host:
-        raise ValueError(
-            f"{n_local} local devices not divisible by {channels_per_host}"
-        )
-    time_per_host = n_local // channels_per_host
-    dev_array = devs.reshape(jax.process_count() * time_per_host,
-                             channels_per_host)
+    dev_array = layout_devices(
+        jax.devices(), jax.local_device_count(), channels_per_host
+    )
     return Mesh(dev_array, (TIME_AXIS, CHANNEL_AXIS))
 
 
