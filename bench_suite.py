@@ -217,6 +217,21 @@ def bench_decoder_dense() -> dict:
     out["pocsag"] = len(pcm) / (time.perf_counter() - t0) / 1e6
     assert len(msgs) == 40
 
+    from tsl_sdr_tpu.models.flex import FlexDecoder
+    from tsl_sdr_tpu.testing import flex_gen
+
+    fmsgs = [flex_gen.FlexBurstMessage(capcode=10000 + k, kind="alnum",
+                                       content="DENSE FLEX %03d" % k)
+             for k in range(4)]
+    frames = [flex_gen.generate(fmsgs, baud=6400, fsk_levels=4,
+                                tail_bits=16)[0] for _ in range(6)]
+    fpcm = np.concatenate(frames)
+    f = FlexDecoder()
+    t0 = time.perf_counter()
+    fout = f.scan(fpcm)
+    out["flex"] = len(fpcm) / (time.perf_counter() - t0) / 1e6
+    assert len(fout) == 24
+
     pkts = [ais_gen.make_position_report(366000000 + k) for k in range(600)]
     sig = ais_gen.generate(pkts)
     a = AisDemodulator()
@@ -298,8 +313,8 @@ def main():
                  f"AIS {scans['ais']:.0f} Msps", "-"))
     dense = bench_decoder_dense()
     rows.append(("decoder 100%-duty burst traffic (host)",
-                 f"POCSAG {dense['pocsag']:.1f} / AIS {dense['ais']:.0f} "
-                 "Msps", "-"))
+                 f"POCSAG {dense['pocsag']:.1f} / FLEX {dense['flex']:.1f} / "
+                 f"AIS {dense['ais']:.0f} Msps", "-"))
     r = bench_costas_native()
     rows.append(("Costas loop (native serial PLL, host)",
                  f"{r:,.0f} Msps", "-"))

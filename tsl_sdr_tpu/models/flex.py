@@ -126,9 +126,13 @@ class _Phase:
 class FlexDecoder:
     """Streaming FLEX decoder; feed 16 kHz int16 PCM via :meth:`on_pcm`."""
 
-    def __init__(self, freq_hz: int = 0):
+    def __init__(self, freq_hz: int = 0, vectorized: bool = True):
         self.bch = pocsag_bch()
         self.freq_hz = freq_hz
+        # vectorized BLOCK stage (exact scalar equivalent; False keeps the
+        # per-sample reference loop)
+        self._vectorized = vectorized
+        self._bch_cache: dict = {}
         self.messages: list[FlexMessage] = []
         self._reset_sync()
         # scan() streaming carry (see PocsagDecoder)
@@ -333,6 +337,97 @@ class FlexDecoder:
 
     # -- BLOCK ---------------------------------------------------------------
 
+    def _append_bits_vec(self, pid: int, bits: np.ndarray):
+        """Vectorized _Phase.append_bit over a bit array.
+
+        The scalar append shifts each word right and inserts at bit 31, so
+        after a word's full 32 appends, append t sits at bit t; composing
+        with OR at the final positions gives the same full-block words
+        (mid-word transients differ, but words are only read at block end,
+        when every word has its 32 bits)."""
+        ph = self.phases[pid]
+        m = bits.shape[0]
+        if m == 0:
+            return
+        t0 = ph.base_word * 32 + ph.cur_bit * 8 + ph.cur_word
+        k = t0 + np.arange(m)
+        w = (k >> 8) * 8 + (k & 7)        # 8-word round-robin interleave
+        bitpos = ((k >> 3) & 31).astype(np.uint32)
+        vals = bits.astype(np.uint32) << bitpos
+        order = np.argsort(w, kind="stable")
+        ws = w[order]
+        vs = vals[order]
+        starts = np.flatnonzero(np.diff(ws, prepend=ws[0] - 1))
+        merged = np.bitwise_or.reduceat(vs, starts)
+        words = ph.words
+        for wi, mv in zip(ws[starts], merged):
+            words[int(wi)] |= int(mv)
+        tn = t0 + m
+        ph.base_word = (tn >> 8) * 8
+        ph.cur_word = tn & 7
+        ph.cur_bit = (tn >> 3) & 31
+
+    def _block_vec(self, pcm, i: int, n: int) -> int:
+        """Vectorized BLOCK stage: symbols arrive at a fixed cadence (one
+        per skip+1 samples), so slicing, 4FSK thresholding and the phase
+        de-interleave are plain array ops (exact scalar-loop equivalent;
+        fuzz-tested). Returns the new sample index."""
+        c = self.coding
+        period = self.skip + 1
+        k0 = self.skip_count
+        first = i + k0
+        remaining = c.symbols_per_block - self.nr_symbols
+        s = (pcm[first : first + remaining * period : period]
+             if first < n else pcm[:0])
+        m = s.shape[0]
+        if m == 0:
+            self.skip_count = (k0 - (n - i)) % period
+            return n
+        if c.fsk_levels == 2:
+            syms = (s >= 0).astype(np.uint8)
+        else:
+            sd = s.astype(np.int32) - self.sample_delta
+            thr = self.sample_range // 4
+            syms = np.where(sd < 0, np.where(-sd > thr, 0, 1),
+                            np.where(sd > thr, 2, 3)).astype(np.uint8)
+
+        ff0 = self.phase_ff
+        if c.nr_phases == 1:
+            self._append_bits_vec(0, (syms == 1).astype(np.uint8))
+        elif c.nr_phases == 2 and c.fsk_levels == 2:
+            b = (syms == 1).astype(np.uint8)
+            a0 = 1 if ff0 else 0
+            self._append_bits_vec(0, b[a0::2])
+            self._append_bits_vec(2, b[1 - a0 :: 2])
+            self.phase_ff = bool(ff0 ^ (m & 1))
+        elif c.nr_phases == 2:
+            self._append_bits_vec(0, (syms >> 1) & 1)
+            self._append_bits_vec(2, syms & 1)
+        else:
+            hi = (syms >> 1) & 1
+            lo = syms & 1
+            a0 = 1 if ff0 else 0
+            self._append_bits_vec(0, hi[a0::2])
+            self._append_bits_vec(1, lo[a0::2])
+            self._append_bits_vec(2, hi[1 - a0 :: 2])
+            self._append_bits_vec(3, lo[1 - a0 :: 2])
+            self.phase_ff = bool(ff0 ^ (m & 1))
+        self.nr_symbols += m
+
+        if m == remaining:
+            if c.nr_phases == 1:
+                self._phase_process(0)
+            elif c.nr_phases == 2:
+                self._phase_process(0)
+                self._phase_process(2)
+            else:
+                for p in range(4):
+                    self._phase_process(p)
+            self._reset_sync()
+            return first + (m - 1) * period + 1
+        self.skip_count = (k0 - (n - i)) % period
+        return n
+
     def _block_update(self, sample: int):
         c = self.coding
         symbol = self._slice(sample)
@@ -373,7 +468,7 @@ class FlexDecoder:
         """Additional BIW: local ids / date / time / system info
         (pager_flex.c:1036-1086; bit layout per __pager_flex_decode_extra_biw).
         """
-        word, fail = self.bch.decode_one(raw & 0x7FFFFFFF)
+        word, fail = self._bch_word(raw)
         if fail or _word_checksum(word) != 0xF:
             return
         function = (word >> 4) & 0x7
@@ -397,7 +492,17 @@ class FlexDecoder:
     def _phase_process(self, phase_id: int):
         phs = self.phases[phase_id]
         words = phs.words
-        biw, fail = self.bch.decode_one(words[0] & 0x7FFFFFFF)
+        # one vectorized BCH pass over the phase's 88 words; decode is a
+        # pure per-word function, so the value-keyed cache stays correct
+        # even though address decode mutates entries in place
+        raws = np.asarray(words, np.uint64).astype(np.uint32) & np.uint32(
+            0x7FFFFFFF)
+        corr_all, fail_all = self.bch.decode(raws)
+        self._bch_cache = {
+            int(r): (int(c), bool(f))
+            for r, c, f in zip(raws, corr_all, fail_all)
+        }
+        biw, fail = self._bch_word(words[0])
         if fail or _word_checksum(biw) != 0xF:
             return
         biw_vsw = (biw >> 10) & 0x3F
@@ -426,7 +531,7 @@ class FlexDecoder:
                 m.frame_time = self.frame_time
 
     def _decode_address(self, words: list[int], i: int):
-        w0, fail = self.bch.decode_one(words[i] & 0x7FFFFFFF)
+        w0, fail = self._bch_word(words[i])
         if fail:
             return False, 0, 0
         addr_first = w0 & 0x1FFFFF
@@ -435,7 +540,7 @@ class FlexDecoder:
             0x1F0000 < addr_first < 0x1F7FFF
         ):
             return True, addr_first - 32768, 0
-        w1, fail = self.bch.decode_one(words[i + 1] & 0x7FFFFFFF)
+        w1, fail = self._bch_word(words[i + 1])
         if fail:
             return False, 0, 0
         addr_second = w1 & 0x1FFFFF
@@ -444,7 +549,11 @@ class FlexDecoder:
         return True, capcode, 1
 
     def _bch_word(self, raw: int):
-        return self.bch.decode_one(raw & 0x7FFFFFFF)
+        raw &= 0x7FFFFFFF
+        hit = self._bch_cache.get(raw)
+        if hit is not None:
+            return hit
+        return self.bch.decode_one(raw)
 
     def _decode_vector(self, phase_id, capcode, base, vec_offs, nr_vec_words):
         vec = []
@@ -754,8 +863,14 @@ class FlexDecoder:
                 "decoder instance (scan carries prefilter state)")
         pcm = np.asarray(pcm, dtype=np.int16)
         start = len(self.messages)
-        for s in pcm:
-            s = int(s)
+        i = 0
+        n = pcm.shape[0]
+        while i < n:
+            if self._vectorized and self.state == _ST_BLOCK:
+                i = self._block_vec(pcm, i, n)
+                continue
+            s = int(pcm[i])
+            i += 1
             if self.skip_count == 0:
                 self.skip_count = self.skip
                 if self.state == _ST_SYNC1:
