@@ -172,11 +172,12 @@ class TestPocsagFastScan:
         rng = np.random.default_rng(78)
         pcm = rng.integers(-8000, 8000, size=1_000_000, dtype=np.int64).astype(np.int16)
         import time
-        # calibrate the per-sample FSM rate on THIS box so the bound is
-        # load-robust (ADVICE r1: absolute wall-clock bounds flake on
-        # loaded CI machines)
+        # calibrate the per-sample python FSM rate on THIS box so the bound
+        # is load-robust (ADVICE r1); the default decoder (native FSM or
+        # windowed-prefilter scan) must beat it comfortably
+        ref = PocsagDecoder(native=False, vectorized=False)
         t0 = time.perf_counter()
-        PocsagDecoder().on_pcm(pcm[:50_000])
+        ref.on_pcm(pcm[:50_000])
         fsm_rate = 50_000 / (time.perf_counter() - t0)
         t0 = time.perf_counter()
         msgs = PocsagDecoder().scan(pcm)

@@ -206,15 +206,18 @@ def test_ais_scan_streaming_split():
         assert [m.mmsi for m in got] == [m.mmsi for m in whole], frac
 
 
-@pytest.mark.parametrize("cls,mod", [
-    ("PocsagDecoder", "tsl_sdr_tpu.models.pocsag"),
-    ("FlexDecoder", "tsl_sdr_tpu.models.flex"),
+@pytest.mark.parametrize("make", [
+    # the guard protects the numpy scan's carry; native FSMs delegate
+    # scan() to on_pcm so interleaving is inherently safe there
+    lambda: __import__("tsl_sdr_tpu.models.pocsag",
+                       fromlist=["PocsagDecoder"]).PocsagDecoder(native=False),
+    lambda: __import__("tsl_sdr_tpu.models.flex",
+                       fromlist=["FlexDecoder"]).FlexDecoder(),
 ])
-def test_interleave_scan_on_pcm_raises(cls, mod):
-    """Mixing scan() and on_pcm() on one instance raises instead of silently
-    losing messages (VERDICT r1 item 10)."""
-    import importlib
-    dec = getattr(importlib.import_module(mod), cls)()
+def test_interleave_scan_on_pcm_raises(make):
+    """Mixing scan() and on_pcm() on one numpy-tier instance raises instead
+    of silently losing messages (VERDICT r1 item 10)."""
+    dec = make()
     dec.scan(np.zeros(5000, np.int16))
     with pytest.raises(RuntimeError, match="interleave"):
         dec.on_pcm(np.zeros(100, np.int16))

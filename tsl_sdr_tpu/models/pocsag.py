@@ -104,12 +104,24 @@ class _MessageDecode:
 class PocsagDecoder:
     """Streaming POCSAG decoder; feed 38400 Hz int16 PCM via :meth:`on_pcm`."""
 
-    def __init__(self, skip_bch: bool = False, vectorized: bool = True):
+    def __init__(self, skip_bch: bool = False, vectorized: bool = True,
+                 native: bool | None = None):
         self.bch = pocsag_bch()
         self.skip_bch = skip_bch
         # vectorized BATCH/SEARCH_SYNCWORD paths (exact scalar equivalents;
         # vectorized=False keeps the per-sample reference loops)
         self._vectorized = vectorized
+        # native C++ sample FSM (tslstream.cc tsl_pocsag_*): auto-selected
+        # when a toolchain is available; BCH + message assembly stay here
+        self._nat = None
+        if native is not False:
+            try:
+                from tsl_sdr_tpu.runtime.native import PocsagNative
+
+                self._nat = PocsagNative()
+            except Exception:  # noqa: BLE001 — no toolchain: numpy paths
+                if native:
+                    raise
         self.detectors = [
             _BaudDetect(BASE_RATE // 512, 512),
             _BaudDetect(BASE_RATE // 1200, 1200),
@@ -254,6 +266,10 @@ class PocsagDecoder:
         scan() and on_pcm() on the same instance.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
+        if self._nat is not None:
+            # the native FSM outruns the numpy prefilter; scan() is a
+            # straight delegate (all samples FSM-fed; no carry needed)
+            return self.on_pcm(pcm)
         start_msg = len(self.messages)
         self._scan_ever = True
         self._in_scan = True
@@ -383,6 +399,16 @@ class PocsagDecoder:
                 "do not interleave on_pcm() with scan() on the same "
                 "decoder instance (scan carries prefilter state)")
         pcm = np.asarray(pcm, dtype=np.int16)
+        if self._nat is not None:
+            start_nat = len(self.messages)
+            for ev in self._nat.on_pcm(pcm):
+                if ev[0] == "batch":
+                    self.baud_rate = ev[1]
+                    self.batch_words = [int(v) for v in ev[2]]
+                    self._process_batch()
+                else:  # sync_lost
+                    self._deliver()
+            return self.messages[start_nat:]
         bits = (pcm < 0).astype(np.uint8)
         n = pcm.shape[0]
         start_msg = len(self.messages)

@@ -418,6 +418,153 @@ void tsl_costas(const int16_t* x, size_t n, float alpha, float beta,
 
 }  // extern "C"
 
+// ---- POCSAG sample-level FSM -----------------------------------------------
+//
+// Native fast path for the POCSAG bit FSM (same semantics as the Python
+// PocsagDecoder scalar loop in models/pocsag.py, replicating
+// pager/pager_pocsag.c:434-540): 38400 Hz PCM, three parallel baud
+// detectors (512/1200/2400 bps) with phase-interleaved 32-bit registers and
+// eye voting; once synchronized, one sign bit per sample_skip samples fills
+// 16x32-bit batches; SEARCH_SYNCWORD re-acquires at the locked cadence.
+//
+// The FSM's TRANSITIONS never depend on BCH, so the native side emits
+// events — BATCH(baud, 16 words) and SYNC_LOST — and the Python side does
+// BCH correction + message assembly (vectorized) on the event stream.
+
+namespace {
+
+constexpr uint32_t kPocsagSync = 0x7CD215D8;
+constexpr int kPocsagBauds[3] = {512, 1200, 2400};
+constexpr int kPocsagSpb[3] = {75, 32, 16};  // 38400 / baud
+
+struct PocsagState {
+  // detectors
+  uint32_t eye[3][75] = {};
+  int cur_word[3] = {0, 0, 0};
+  int nr_eye_matches[3] = {0, 0, 0};
+  // fsm
+  int state = 0;  // 0 SEARCH, 1 BATCH, 2 SEARCH_SYNCWORD
+  int sample_skip = 0;
+  int baud_rate = 0;
+  // batch
+  uint32_t batch_words[16] = {};
+  int batch_word_idx = 0;
+  int batch_word_bit = 0;
+  int batch_sample_skip = 0;
+  uint32_t batch_bit_count = 0;
+  // syncword re-acquire
+  int sync_sample_skip = 0;
+  int sync_bits = 0;
+  uint32_t sync_word = 0;
+};
+
+inline bool pocsag_sync_match(uint32_t reg) {
+  return __builtin_popcount(reg ^ kPocsagSync) <= 4;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* tsl_pocsag_new(void) { return new PocsagState(); }
+void tsl_pocsag_free(void* h) { delete static_cast<PocsagState*>(h); }
+int tsl_pocsag_state(void* h) { return static_cast<PocsagState*>(h)->state; }
+
+void tsl_pocsag_detect_reset(void* h) {
+  auto* st = static_cast<PocsagState*>(h);
+  memset(st->eye, 0, sizeof(st->eye));
+  memset(st->cur_word, 0, sizeof(st->cur_word));
+  memset(st->nr_eye_matches, 0, sizeof(st->nr_eye_matches));
+}
+
+// Process n PCM samples. Events are serialized into out:
+//   BATCH:     u8 'B', u16 baud, 16 x u32 words
+//   SYNC_LOST: u8 'L'
+// Returns bytes written, or -1 on out overflow (state then mid-stream).
+long tsl_pocsag_on_pcm(void* h, const int16_t* pcm, size_t n, uint8_t* out,
+                       size_t cap) {
+  auto* st = static_cast<PocsagState*>(h);
+  size_t w = 0;
+  for (size_t i = 0; i < n; i++) {
+    const uint32_t bit = pcm[i] < 0 ? 1u : 0u;
+    if (st->state == 0) {  // SEARCH
+      for (int d = 0; d < 3; d++) {
+        const int spb = kPocsagSpb[d];
+        uint32_t reg = (st->eye[d][st->cur_word[d]] << 1) | bit;
+        st->eye[d][st->cur_word[d]] = reg;
+        if (pocsag_sync_match(reg)) {
+          st->nr_eye_matches[d]++;
+        } else {
+          if (st->nr_eye_matches[d] > spb / 2) {
+            st->sample_skip = spb;
+            st->baud_rate = kPocsagBauds[d];
+            memset(st->batch_words, 0, sizeof(st->batch_words));
+            st->batch_word_idx = 0;
+            st->batch_word_bit = 0;
+            st->batch_bit_count = 0;
+            st->batch_sample_skip = st->nr_eye_matches[d] / 2;
+            st->state = 1;
+          } else {
+            st->nr_eye_matches[d] = 0;
+          }
+        }
+        st->cur_word[d] = (st->cur_word[d] + 1) % spb;
+      }
+    } else if (st->state == 1) {  // BATCH fill
+      if (++st->batch_sample_skip == st->sample_skip) {
+        st->batch_sample_skip = 0;
+        st->batch_words[st->batch_word_idx] |=
+            bit << (st->batch_bit_count & 31);
+        st->batch_bit_count++;
+        if (++st->batch_word_bit == 32) {
+          st->batch_word_bit = 0;
+          if (++st->batch_word_idx == 16) {
+            if (w + 3 + 16 * 4 > cap) return -1;
+            out[w++] = 'B';
+            const uint16_t baud = (uint16_t)st->baud_rate;
+            memcpy(out + w, &baud, 2);
+            w += 2;
+            memcpy(out + w, st->batch_words, 16 * 4);
+            w += 16 * 4;
+            memset(st->batch_words, 0, sizeof(st->batch_words));
+            st->batch_word_idx = 0;
+            st->batch_word_bit = 0;
+            st->batch_bit_count = 0;
+            st->sync_sample_skip = 0;
+            st->sync_bits = 0;
+            st->sync_word = 0;
+            st->state = 2;
+          }
+        }
+      }
+    } else {  // SEARCH_SYNCWORD
+      if (++st->sync_sample_skip == st->sample_skip) {
+        st->sync_sample_skip = 0;
+        st->sync_word = (st->sync_word << 1) | bit;
+        if (++st->sync_bits == 32) {
+          if (!pocsag_sync_match(st->sync_word)) {
+            st->state = 0;
+            st->sample_skip = 0;
+            tsl_pocsag_detect_reset(h);
+            if (w + 1 > cap) return -1;
+            out[w++] = 'L';
+          } else {
+            st->state = 1;
+            memset(st->batch_words, 0, sizeof(st->batch_words));
+            st->batch_word_idx = 0;
+            st->batch_word_bit = 0;
+            st->batch_bit_count = 0;
+            st->batch_sample_skip = 0;
+          }
+        }
+      }
+    }
+  }
+  return (long)w;
+}
+
+}  // extern "C"
+
 // ---- AIS GMSK/NRZI demodulator FSM ----------------------------------------
 //
 // Native fast path for the host-tier AIS bit FSM (same semantics as the

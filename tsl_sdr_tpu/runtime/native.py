@@ -82,6 +82,16 @@ def load():
             ctypes.c_float, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int16),
         ]
+        lib.tsl_pocsag_new.restype = ctypes.c_void_p
+        lib.tsl_pocsag_free.argtypes = [ctypes.c_void_p]
+        lib.tsl_pocsag_state.restype = ctypes.c_int
+        lib.tsl_pocsag_state.argtypes = [ctypes.c_void_p]
+        lib.tsl_pocsag_detect_reset.argtypes = [ctypes.c_void_p]
+        lib.tsl_pocsag_on_pcm.restype = ctypes.c_long
+        lib.tsl_pocsag_on_pcm.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ]
         lib.tsl_ais_new.restype = ctypes.c_void_p
         lib.tsl_ais_free.argtypes = [ctypes.c_void_p]
         lib.tsl_ais_detect_reset.argtypes = [ctypes.c_void_p]
@@ -96,6 +106,58 @@ def load():
         ]
         _LIB = lib
         return lib
+
+
+class PocsagNative:
+    """Handle to the native POCSAG sample FSM (tslstream.cc tsl_pocsag_*).
+
+    Emits ('batch', baud, words[16]) and ('sync_lost',) events; BCH and
+    message assembly stay on the Python side (the FSM's transitions never
+    depend on BCH, pager_pocsag.c:451-540)."""
+
+    def __init__(self):
+        self._lib = load()
+        self._h = self._lib.tsl_pocsag_new()
+
+    def on_pcm(self, pcm: np.ndarray) -> list[tuple]:
+        pcm = np.ascontiguousarray(pcm, np.int16)
+        # one batch per 512*spb(>=16) samples max, 67 bytes per event
+        cap = pcm.size // 64 + 4096
+        out = np.empty(cap, np.uint8)
+        ret = self._lib.tsl_pocsag_on_pcm(
+            self._h, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            pcm.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if ret < 0:
+            raise RuntimeError("tsl_pocsag_on_pcm output buffer overflow")
+        events = []
+        buf = out.tobytes()
+        o = 0
+        while o < ret:
+            tag = buf[o]
+            o += 1
+            if tag == ord("B"):
+                baud = int.from_bytes(buf[o:o + 2], "little")
+                words = np.frombuffer(buf, np.uint32, 16, o + 2)
+                events.append(("batch", baud, words))
+                o += 2 + 64
+            else:
+                events.append(("sync_lost",))
+        return events
+
+    def detect_reset(self):
+        self._lib.tsl_pocsag_detect_reset(self._h)
+
+    @property
+    def in_search(self) -> bool:
+        return self._lib.tsl_pocsag_state(self._h) == 0
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.tsl_pocsag_free(self._h)
+                self._h = None
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
 
 
 class AisNative:
