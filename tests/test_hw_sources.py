@@ -279,3 +279,17 @@ def test_multifm_cli_gated_error_without_lib(tmp_path, monkeypatch):
     cfg_path = tmp_path / "multifm.json"
     cfg_path.write_text(json.dumps(cfg))
     assert multifm_cli.main([str(cfg_path)]) == 2
+
+
+def test_uhd_missing_lib_gated(monkeypatch):
+    monkeypatch.delenv("TSL_UHD_LIB", raising=False)
+    # no libuhd on this host: building the real shim must fail with the
+    # stream-a-capture hint, never a raw compiler error
+    import tsl_sdr_tpu.sources.hw as hw
+    from pathlib import Path
+    so = (Path(hw.__file__).resolve().parents[1] / "native"
+          / "_tsl_uhd_shim.so")
+    if so.exists():
+        pytest.skip("real libuhd shim built on this host")
+    with pytest.raises(HwLibraryMissing, match="stream a capture"):
+        UhdSource(UhdConfig())

@@ -357,11 +357,39 @@ class UhdSource(_HwSourceBase):
 
     MAX_BUF_SAMPS = 16384  # uhd_if.c:18
 
+    @staticmethod
+    def _shim_lib() -> ctypes.CDLL:
+        """Locate or build the tsl_uhd_* shim: env override (mocks) first,
+        then an on-demand gcc build of native/tsl_uhd_shim.c against the
+        REAL libuhd when it is installed."""
+        import subprocess
+        from pathlib import Path
+
+        path = os.environ.get("TSL_UHD_LIB")
+        if path is not None:
+            try:
+                return ctypes.CDLL(path)
+            except OSError as e:
+                raise HwLibraryMissing(f"failed to load {path}: {e}") from e
+        src = Path(__file__).resolve().parents[1] / "native" / "tsl_uhd_shim.c"
+        so = src.with_name("_tsl_uhd_shim.so")
+        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            r = subprocess.run(
+                ["gcc", "-O2", "-shared", "-fPIC", str(src), "-o", str(so),
+                 "-luhd"],
+                capture_output=True, text=True)
+            if r.returncode != 0:
+                raise HwLibraryMissing(
+                    "usrp hardware source requires libuhd (+ headers) and an "
+                    "attached radio; on this host stream a capture instead "
+                    "(device type 'file' or --iq-file), or point TSL_UHD_LIB "
+                    f"at a shim library. Shim build said: {r.stderr[-200:]}")
+        return ctypes.CDLL(str(so))
+
     def __init__(self, cfg: UhdConfig, *, depth: int = 128):
         super().__init__(depth)
         self.cfg = cfg
-        lib = self._lib = _dlopen("TSL_UHD_LIB", "tsl_uhd_shim",
-                                  "usrp hardware source")
+        lib = self._lib = self._shim_lib()
         lib.tsl_uhd_make.restype = ctypes.c_void_p
         lib.tsl_uhd_make.argtypes = [ctypes.c_char_p]
         lib.tsl_uhd_set_rate.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
