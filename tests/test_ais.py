@@ -212,3 +212,45 @@ def test_static_data_report_roundtrip():
     assert (b.dim_to_bow, b.dim_to_stern) == (12, 4)
     assert '"staticDataReportA"' in ais_message_json(a)
     assert '"staticDataReportB"' in ais_message_json(b)
+
+
+def test_aid_to_navigation_roundtrip():
+    """Type 21 (beyond-reference extension)."""
+    from tsl_sdr_tpu.models.ais import AisAidToNavigationReport
+    from tsl_sdr_tpu.utils.jsonout import ais_message_json
+
+    pkt = gen.make_aid_to_navigation(
+        993672085, aid_type=19, name="RACON BUOY 7", longitude=-70.25,
+        latitude=42.125, dims=(3, 3, 2, 2), timestamp=61, off_position=True,
+        virtual_aid=False)
+    msgs = AisDecoder().on_pcm(gen.generate([pkt]))
+    assert len(msgs) == 1
+    m = msgs[0]
+    assert isinstance(m, AisAidToNavigationReport)
+    assert m.mmsi == 993672085 and m.aid_type == 19
+    assert m.name.rstrip("@ ") == "RACON BUOY 7"
+    assert abs(m.longitude - (-70.25)) < 1e-5
+    assert abs(m.latitude - 42.125) < 1e-5
+    assert m.off_position and not m.virtual_aid
+    j = ais_message_json(m)
+    assert '"type":"aidToNavigation"' in j and '"offPosition":true' in j
+
+
+def test_long_range_position_roundtrip():
+    """Type 27 (beyond-reference extension)."""
+    from tsl_sdr_tpu.models.ais import AisLongRangePositionReport
+    from tsl_sdr_tpu.utils.jsonout import ais_message_json
+
+    pkt = gen.make_long_range_position(
+        366999000, nav_stat=3, longitude=-145.5, latitude=-38.25,
+        speed_over_ground=17, course=305, raim=True)
+    msgs = AisDecoder().on_pcm(gen.generate([pkt]))
+    assert len(msgs) == 1
+    m = msgs[0]
+    assert isinstance(m, AisLongRangePositionReport)
+    assert m.mmsi == 366999000 and m.nav_stat == 3 and m.raim
+    assert abs(m.longitude - (-145.5)) < 1e-3
+    assert abs(m.latitude - (-38.25)) < 1e-3
+    assert m.speed_over_ground == 17 and m.course == 305
+    j = ais_message_json(m)
+    assert '"type":"longRangePosition"' in j

@@ -194,6 +194,47 @@ class AisStaticDataReport:
     raw: str = ""
 
 
+@dataclass
+class AisAidToNavigationReport:
+    """Type 21 (aid-to-navigation report) — beyond-reference extension;
+    layout per ITU-R M.1371-5 table 74."""
+
+    mmsi: int
+    aid_type: int
+    name: str
+    position_acc: int
+    longitude: float
+    latitude: float
+    dim_to_bow: int
+    dim_to_stern: int
+    dim_to_port: int
+    dim_to_starboard: int
+    epfd_type: int
+    timestamp: int
+    off_position: bool
+    virtual_aid: bool
+    repeat: int = 0
+    raw: str = ""
+
+
+@dataclass
+class AisLongRangePositionReport:
+    """Type 27 (long-range broadcast position report) — beyond-reference
+    extension; layout per ITU-R M.1371-5 table 96. Coarse 1/10-minute
+    position, 6-bit SOG, 9-degree-resolution COG."""
+
+    mmsi: int
+    position_acc: int
+    raim: bool
+    nav_stat: int
+    longitude: float
+    latitude: float
+    speed_over_ground: float
+    course: int
+    repeat: int = 0
+    raw: str = ""
+
+
 def decode_fields(packet: bytes):
     """Packet bytes (CRC stripped) -> typed report, or None for other types."""
     msg_id = (packet[0] >> 2) & 0x3F
@@ -290,6 +331,38 @@ def decode_fields(packet: bytes):
             draught=get_bitfield(packet, 294, 8) / 10.0,
             destination=get_string(packet, 302, 20),
             epfd_name=EPFD_NAMES[fix & 0xF],
+            raw=raw,
+        )
+    if msg_id == 21:
+        return AisAidToNavigationReport(
+            mmsi=mmsi,
+            aid_type=get_bitfield(packet, 38, 5),
+            name=get_string(packet, 43, 20),
+            position_acc=get_bitfield(packet, 163, 1),
+            longitude=get_bitfield_signed(packet, 164, 28) / 600000.0,
+            latitude=get_bitfield_signed(packet, 192, 27) / 600000.0,
+            dim_to_bow=get_bitfield(packet, 219, 9),
+            dim_to_stern=get_bitfield(packet, 228, 9),
+            dim_to_port=get_bitfield(packet, 237, 6),
+            dim_to_starboard=get_bitfield(packet, 243, 6),
+            epfd_type=get_bitfield(packet, 249, 4),
+            timestamp=get_bitfield(packet, 253, 6),
+            off_position=bool(get_bitfield(packet, 259, 1)),
+            virtual_aid=bool(get_bitfield(packet, 269, 1)),
+            repeat=repeat,
+            raw=raw,
+        )
+    if msg_id == 27:
+        return AisLongRangePositionReport(
+            mmsi=mmsi,
+            position_acc=get_bitfield(packet, 38, 1),
+            raim=bool(get_bitfield(packet, 39, 1)),
+            nav_stat=get_bitfield(packet, 40, 4),
+            longitude=get_bitfield_signed(packet, 44, 18) / 600.0,
+            latitude=get_bitfield_signed(packet, 62, 17) / 600.0,
+            speed_over_ground=float(get_bitfield(packet, 79, 6)),
+            course=get_bitfield(packet, 85, 9),
+            repeat=repeat,
             raw=raw,
         )
     return None

@@ -167,6 +167,47 @@ def make_static_voyage(
     return bytes(p)
 
 
+def make_aid_to_navigation(
+    mmsi: int, *, aid_type=1, name="SAFE WATER", longitude=0.0, latitude=0.0,
+    dims=(2, 2, 2, 2), epfd_type=1, timestamp=60, off_position=False,
+    virtual_aid=False,
+) -> bytes:
+    """Type 21 (aid-to-navigation), ITU-R M.1371-5 table 74 (272 bits)."""
+    p = bytearray(34)
+    set_bitfield(p, 0, 6, 21)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 38, 5, aid_type)
+    set_string(p, 43, 20, name)
+    set_bitfield(p, 164, 28, int(round(longitude * 600000)) & ((1 << 28) - 1))
+    set_bitfield(p, 192, 27, int(round(latitude * 600000)) & ((1 << 27) - 1))
+    set_bitfield(p, 219, 9, dims[0])
+    set_bitfield(p, 228, 9, dims[1])
+    set_bitfield(p, 237, 6, dims[2])
+    set_bitfield(p, 243, 6, dims[3])
+    set_bitfield(p, 249, 4, epfd_type)
+    set_bitfield(p, 253, 6, timestamp)
+    set_bitfield(p, 259, 1, 1 if off_position else 0)
+    set_bitfield(p, 269, 1, 1 if virtual_aid else 0)
+    return bytes(p)
+
+
+def make_long_range_position(
+    mmsi: int, *, nav_stat=0, longitude=0.0, latitude=0.0,
+    speed_over_ground=0, course=0, raim=False,
+) -> bytes:
+    """Type 27 (long-range position), ITU-R M.1371-5 table 96 (96 bits)."""
+    p = bytearray(12)
+    set_bitfield(p, 0, 6, 27)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 39, 1, 1 if raim else 0)
+    set_bitfield(p, 40, 4, nav_stat)
+    set_bitfield(p, 44, 18, int(round(longitude * 600)) & ((1 << 18) - 1))
+    set_bitfield(p, 62, 17, int(round(latitude * 600)) & ((1 << 17) - 1))
+    set_bitfield(p, 79, 6, int(round(speed_over_ground)))
+    set_bitfield(p, 85, 9, course)
+    return bytes(p)
+
+
 def packet_to_bits(packet: bytes) -> list[int]:
     """Payload + CRC -> stuffed HDLC bit stream with preamble + flags.
 

@@ -91,8 +91,10 @@ def pocsag_message_json(m, now=None) -> str:
 def ais_message_json(m, now=None) -> str:
     """AIS report dataclasses -> reference JSON line."""
     from tsl_sdr_tpu.models.ais import (
+        AisAidToNavigationReport,
         AisBaseStationReport,
         AisClassBPositionReport,
+        AisLongRangePositionReport,
         AisPositionReport,
         AisStaticDataReport,
         AisStaticVoyageData,
@@ -109,6 +111,24 @@ def ais_message_json(m, now=None) -> str:
             f'"geoPosition":{{"lon":{m.longitude:f},"lat":{m.latitude:f}}},'
             f'"course":{m.course},"heading":{m.heading},'
             f'"seconds":{m.timestamp},"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisAidToNavigationReport):
+        return (
+            f'{{"proto":"ais","type":"aidToNavigation","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},"aidType":{m.aid_type},'
+            f'"name":"{escape_message(m.name.encode("latin-1"))}",'
+            f'"geoPosition":{{"lon":{m.longitude:f},"lat":{m.latitude:f}}},'
+            f'"offPosition":{str(m.off_position).lower()},'
+            f'"virtualAid":{str(m.virtual_aid).lower()},'
+            f'"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisLongRangePositionReport):
+        return (
+            f'{{"proto":"ais","type":"longRangePosition","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},"navStat":{m.nav_stat},'
+            f'"speedOverGround":{m.speed_over_ground:f},'
+            f'"geoPosition":{{"lon":{m.longitude:f},"lat":{m.latitude:f}}},'
+            f'"course":{m.course},"rawAscii":"{raw}"}}'
         )
     if isinstance(m, AisStaticDataReport):
         if m.part == "A":
