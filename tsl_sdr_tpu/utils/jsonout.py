@@ -47,14 +47,29 @@ def _ts(now=None) -> str:
     )
 
 
+def _flex_frame_ctx(m) -> str:
+    """Frame date/time decoded from extra BIWs (pager_flex.c:1036-1086);
+    empty when the frame carried none."""
+    out = ""
+    if m.frame_date is not None:
+        y, mo, d = m.frame_date
+        out += f'"frameDate":"{y:04d}-{mo:02d}-{d:02d}",'
+    if m.frame_time is not None:
+        h, mi, sec = m.frame_time
+        out += f'"frameTime":"{h:02d}:{mi:02d}:{sec:02d}",'
+    return out
+
+
 def flex_message_json(m, now=None) -> str:
     """tsl_sdr_tpu.models.flex.FlexMessage -> reference JSON line."""
     ts = _ts(now)
+    ctx = _flex_frame_ctx(m)
     if m.kind == "alnum":
         return (
             f'{{"proto":"flex","type":"alphanumeric","timestamp":"{ts}",'
             f'"baud":{m.baud},"syncLevel":0,"frameNo":{m.frame},'
             f'"cycleNo":{m.cycle},"phaseNo":"{m.phase}","capCode":{m.capcode},'
+            f'{ctx}'
             f'"fragment":{"true" if m.fragment else "false"},'
             f'"maildrop":{"true" if m.maildrop else "false"},'
             f'"fragSeq":{m.seq_num},"message":"{escape_message(m.data)}"}}'
@@ -64,6 +79,7 @@ def flex_message_json(m, now=None) -> str:
             f'{{"proto":"flex","type":"numeric","timestamp":"{ts}",'
             f'"baud":{m.baud},"syncLevel":0,"frameNo":{m.frame},'
             f'"cycleNo":{m.cycle},"phaseNo":"{m.phase}","capCode":{m.capcode},'
+            f'{ctx}'
             f'"message":"{escape_message(m.data)}"}}'
         )
     if m.kind == "siv" and m.siv_type == 0:  # temp address activation
