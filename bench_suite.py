@@ -351,7 +351,7 @@ def main():
               "matmuls on this toolchain, which caps further fusion.")
     (REPO / "BENCH_SUITE.md").write_text("\n".join(md) + "\n")
     print("\n".join(md))
-    print(json.dumps({n: r for n, r in rows}), file=sys.stderr)
+    print(json.dumps({n: r for n, r, _ in rows}), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -251,3 +251,21 @@ def test_exact_packed_streaming_step_bitexact():
                   - want_scan[:, :m2].astype(np.int32))
     assert diff.max() <= 1
     assert (diff != 0).mean() < 1e-3
+
+
+def test_exact_packed_process_array_device_multichannel():
+    """Regression (r2 self-review): process_array_device must not scramble
+    channels in the packed exact tier (it already returns [C, K])."""
+    from scipy.signal import firwin
+
+    from tsl_sdr_tpu.models.channelizer import MultifmChain
+
+    rng = np.random.default_rng(41)
+    fs, d = 256_000, 8
+    iq = rng.integers(-12000, 12000, size=(40_000, 2),
+                      dtype=np.int64).astype(np.int16)
+    chain = MultifmChain(firwin(97, 12_500 / (fs / 2)),
+                         [32_000, -24_000, 56_000], fs, d, exact=True)
+    host = np.asarray(chain.process_array(iq, block_size=16_384))
+    dev = np.asarray(chain.process_array_device(iq, block_size=16_384))
+    np.testing.assert_array_equal(host, dev)

@@ -119,11 +119,13 @@ def test_pocsag_scan_streaming_split(split_frac):
     )
     noise = rng.integers(-8000, 8000, size=60_000, dtype=np.int64).astype(np.int16)
     pcm = np.concatenate([noise, burst, noise])
-    whole = PocsagDecoder().scan(pcm)
+    # native=False: this guards the NUMPY scan carry (the native FSM
+    # delegates scan() to on_pcm and needs no carry)
+    whole = PocsagDecoder(native=False).scan(pcm)
 
     # split INSIDE the burst region
     cut = len(noise) + int(len(burst) * split_frac)
-    dec = PocsagDecoder()
+    dec = PocsagDecoder(native=False)
     got = dec.scan(pcm[:cut]) + dec.scan(pcm[cut:])
     assert [(m.capcode, m.data) for m in got] == [
         (m.capcode, m.data) for m in whole
@@ -161,16 +163,17 @@ def test_pocsag_scan_split_sweep_across_sync():
     )
     noise = rng.integers(-8000, 8000, size=60_000, dtype=np.int64).astype(np.int16)
     pcm = np.concatenate([noise, burst, noise])
-    whole = [(m.capcode, m.data) for m in PocsagDecoder().scan(pcm)]
+    whole = [(m.capcode, m.data)
+             for m in PocsagDecoder(native=False).scan(pcm)]
     assert len(whole) == 1
     # sweep cuts across the preamble+sync region at sub-bit granularity
     for cut in range(60_000, 62_000, 7):
-        dec = PocsagDecoder()
+        dec = PocsagDecoder(native=False)
         got = dec.scan(pcm[:cut]) + dec.scan(pcm[cut:])
         assert [(m.capcode, m.data) for m in got] == whole, f"cut {cut}"
     # and the exact offsets from the advisor repro
     for cut in (79428, 79440, 79444):
-        dec = PocsagDecoder()
+        dec = PocsagDecoder(native=False)
         got = dec.scan(pcm[:cut]) + dec.scan(pcm[cut:])
         assert [(m.capcode, m.data) for m in got] == whole, f"cut {cut}"
 
@@ -185,8 +188,9 @@ def test_pocsag_scan_three_way_split():
     )
     noise = rng.integers(-8000, 8000, size=30_000, dtype=np.int64).astype(np.int16)
     pcm = np.concatenate([noise, burst, noise])
-    whole = [(m.capcode, m.data) for m in PocsagDecoder().scan(pcm)]
-    dec = PocsagDecoder()
+    whole = [(m.capcode, m.data)
+             for m in PocsagDecoder(native=False).scan(pcm)]
+    dec = PocsagDecoder(native=False)
     got = []
     for off in range(0, len(pcm), 4096):
         got += dec.scan(pcm[off:off + 4096])
@@ -198,10 +202,10 @@ def test_ais_scan_streaming_split():
     sig = ais_gen.generate([ais_gen.make_position_report(366777888)])
     noise = rng.integers(-8000, 8000, size=80_000, dtype=np.int64).astype(np.int16)
     pcm = np.concatenate([noise, sig, noise])
-    whole = AisDecoder().scan(pcm)
+    whole = AisDecoder(vectorized=True).scan(pcm)
     for frac in (0.1, 0.5, 0.95):
         cut = len(noise) + int(len(sig) * frac)
-        dec = AisDecoder()
+        dec = AisDecoder(native=False)
         got = dec.scan(pcm[:cut]) + dec.scan(pcm[cut:])
         assert [m.mmsi for m in got] == [m.mmsi for m in whole], frac
 

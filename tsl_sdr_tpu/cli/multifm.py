@@ -212,7 +212,11 @@ def main(argv=None):
 
     from tsl_sdr_tpu.runtime.feeder import AsyncFeeder
 
-    feeder = AsyncFeeder(_produce(), depth=3)
+    # the packed exact tier's step starts with host-side staging (native
+    # rotator), so eager device_put would only force a bulk device->host
+    # fetch back across this box's slow tunnel
+    stage_on_device = not (chain.exact and chain.exact_tier == "packed")
+    feeder = AsyncFeeder(_produce(), depth=3, device_put=stage_on_device)
     try:
         for blk in feeder:
             if state is None:
@@ -239,6 +243,7 @@ def main(argv=None):
     except (KeyboardInterrupt, BrokenPipeError):
         pass
     finally:
+        feeder.close()
         if hw_source is not None:
             hw_source.stop()
             print(f"multifm-tpu: hw source {hw_source.stats}",

@@ -466,7 +466,7 @@ class AisDemodulator:
             if crc16_x25(body) == rx_crc:
                 self.packets.append(body)
             else:
-                self.crc_rejects += 1
+                self._crc_rejects += 1
         self.state = self._SEARCH
         self.sample_skip = 0
         self._detect_reset()
@@ -787,8 +787,8 @@ class AisDemodulator:
 class AisDecoder:
     """Full AIS receive chain: demod + field decode (48 kHz PCM in)."""
 
-    def __init__(self, vectorized: bool = True):
-        self.demod = AisDemodulator(vectorized=vectorized)
+    def __init__(self, vectorized: bool = True, native: bool | None = None):
+        self.demod = AisDemodulator(vectorized=vectorized, native=native)
         self.messages = []
 
     @property

@@ -412,6 +412,8 @@ class MultifmChain:
         stages (resample, slice, bit-pack — see ReceivePipeline) chain off
         this so only protocol-rate bits ever cross to the host."""
         out = self.process_array(iq, block_size=block_size, _device=True)
+        if self.exact and self.exact_tier == "packed":
+            return out  # the packed exact tier already returns [C, K]
         if self.exact:
             return jnp.moveaxis(out, 1, 0).reshape(self.nr_channels, -1)
         return out.reshape(-1, self.nr_channels).T

@@ -180,9 +180,10 @@ class ReceivePipeline:
             if device_decode and dec is not None and pred is not None:
                 # device-side slice + bit-pack; host reconstructs +/-1 PCM
                 # carrying the exact predicate the decoder slices by
-                n = audio.shape[0] - audio.shape[0] % 8
+                # (packbits zero-pads the final byte, so no samples drop)
+                n = audio.shape[0]
                 packed = np.asarray(
-                    jnp.packbits(pred(audio[:n]).astype(jnp.uint8)))
+                    jnp.packbits(pred(audio).astype(jnp.uint8)))
                 bits = np.unpackbits(packed)[:n]
                 if spec.protocol == "ais":
                     audio = np.where(bits, 1, -1).astype(np.int16)

@@ -33,7 +33,13 @@ _SENTINEL = object()
 class AsyncFeeder:
     """Iterate device-resident blocks, staged ahead by a producer thread."""
 
-    def __init__(self, block_iterator, depth: int = 3, device=None):
+    def __init__(self, block_iterator, depth: int = 3, device=None,
+                 device_put: bool = True):
+        """``device_put=False`` stages plain numpy blocks (still overlapping
+        the producer's host-side work with compute) — for consumers whose
+        step runs host-side stages first (e.g. the packed exact tier's
+        native rotator), where an eager upload would only force a bulk
+        device->host fetch right back."""
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._device = device or jax.devices()[0]
         self._err = None
@@ -41,7 +47,9 @@ class AsyncFeeder:
         def run():
             try:
                 for blk in block_iterator:
-                    self._q.put(jax.device_put(blk, self._device))
+                    if device_put:
+                        blk = jax.device_put(blk, self._device)
+                    self._q.put(blk)
             except Exception as e:  # noqa: BLE001
                 self._err = e
             finally:

@@ -331,13 +331,16 @@ class AirspySource(_HwSourceBase):
         return self
 
     def stop(self):
+        # stop_rx -> join the monitor -> close: the monitor polls
+        # airspy_is_streaming, so the handle must outlive it
         if self._dev:
             self._lib.airspy_stop_rx(self._dev)
-            self._lib.airspy_close(self._dev)
-            self._dev = ctypes.c_void_p()
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
+        if self._dev:
+            self._lib.airspy_close(self._dev)
+            self._dev = ctypes.c_void_p()
         self.ingest.eof()
 
 
