@@ -354,3 +354,68 @@ def test_mm_parity_and_sync_anchor(lib):
     # "9 syncs in pocsag_hospital_25khz_long.raw" assertion)
     assert _count_syncs(ref_dec) == 7
     assert _count_syncs(our_dec) == 7
+
+
+# ---- adversarial noise parity --------------------------------------------
+
+
+def test_noise_path_parity_all_protocols(lib):
+    """Heavy-noise captures (spurious syncs, CRC rejects, BCH-noise
+    decodes): the running reference and every tier here (scalar python,
+    vectorized, native FSM) must produce the SAME junk — transcription
+    errors hide in exactly these garbage paths."""
+    from tsl_sdr_tpu.models.ais import AisDemodulator
+    from tsl_sdr_tpu.models.flex import FlexDecoder
+    from tsl_sdr_tpu.models.pocsag import PocsagDecoder
+
+    r = np.random.default_rng(90_001)
+    parts = [r.integers(-20000, 20000, size=150_000,
+                        dtype=np.int64).astype(np.int16)]
+    b = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=123456, function=1, kind="alpha",
+                                content="NZ")],
+        baud=1200, amplitude=3000, tail_bits=32).astype(np.int32)
+    parts.append(np.clip(b + r.normal(scale=2500, size=b.shape),
+                         -32768, 32767).astype(np.int16))
+    pcm = np.concatenate(parts)
+    ref = [(m.kind, m.baud, m.capcode, m.function, m.data)
+           for m in refc.pocsag_run(pcm, block=1024)]
+    for dec in (PocsagDecoder(native=False, vectorized=False),
+                PocsagDecoder(native=False), PocsagDecoder()):
+        got = [(m.kind, m.baud, m.capcode, m.function, m.data)
+               for m in dec.on_pcm(pcm)]
+        assert got == ref
+
+    r = np.random.default_rng(91_003)
+    sig = ais_gen.generate(
+        [ais_gen.make_position_report(366070809)],
+        amplitude=4000).astype(np.int32)
+    pcm = np.concatenate([
+        r.integers(-25000, 25000, size=120_000,
+                   dtype=np.int64).astype(np.int16),
+        np.clip(sig + r.normal(scale=2800, size=sig.shape),
+                -32768, 32767).astype(np.int16)])
+    ref_pk = [p for p, ok in refc.ais_demod_run(pcm, block=1024) if ok]
+    for d in (AisDemodulator(native=False, vectorized=False),
+              AisDemodulator(native=False), AisDemodulator()):
+        d.on_pcm(pcm)
+        assert d.packets == ref_pk
+
+    r = np.random.default_rng(92_002)
+    burst, _ = flex_gen.generate(
+        [flex_gen.FlexBurstMessage(capcode=54321, kind="alnum",
+                                   content="NZF")],
+        baud=3200, fsk_levels=4, amplitude=5000, tail_bits=32)
+    pcm = np.concatenate([
+        r.integers(-15000, 15000, size=100_000,
+                   dtype=np.int64).astype(np.int16),
+        np.clip(burst.astype(np.int32)
+                + r.normal(scale=1800, size=burst.shape),
+                -32768, 32767).astype(np.int16)])
+    ref = [(m.kind, m.baud, m.phase, m.capcode, m.data)
+           for m in refc.flex_run(pcm, block=1024)]
+    kindmap = {"alnum": "alnum", "numeric": "num", "siv": "siv"}
+    for dec in (FlexDecoder(vectorized=False), FlexDecoder()):
+        got = [(kindmap[m.kind], m.baud, _FLEX_PHASE_INDEX[m.phase], m.capcode,
+                m.data) for m in dec.on_pcm(pcm)]
+        assert got == ref
