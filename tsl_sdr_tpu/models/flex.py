@@ -337,6 +337,87 @@ class FlexDecoder:
 
     # -- BLOCK ---------------------------------------------------------------
 
+    def _sync_tail_vec(self, pcm, i: int, n: int) -> int:
+        """Accelerated A/B/INV_A/FIW stages: these consume one bit per 10
+        samples (sample_counter == 0), so stride-slice the active samples
+        and run the exact per-bit stage logic over <= 112 items instead of
+        a per-sample loop over ~1120 (exact scalar equivalent; fuzz-tested).
+        Returns the new sample index."""
+        c0 = self.sample_counter
+        j0 = (9 - c0) % 10
+        first = i + j0
+        if first >= n:
+            self.sample_counter = (c0 + (n - i)) % 10
+            return n
+        acts = pcm[first::10]
+        k = 0
+        left = False
+        for sv in acts:
+            s = int(sv)
+            symbol = 1 if s >= 0 else 0
+            st = self.sync_state
+            k += 1
+            if st == _SY_A:
+                self.a = ((self.a << 1) | symbol) & 0xFFFFFFFF
+                self._accumulate_range(s)
+                self.bit_counter += 1
+                if self.bit_counter == 32:
+                    self.sync_state = _SY_B
+                    self.bit_counter = 0
+            elif st == _SY_B:
+                self.b = ((self.b << 1) | symbol) & 0xFFFF
+                self._accumulate_range(s)
+                self.bit_counter += 1
+                if self.bit_counter == 16:
+                    self.sync_state = _SY_INV_A
+                    self.bit_counter = 0
+            elif st == _SY_INV_A:
+                self.inv_a = ((self.inv_a << 1) | symbol) & 0xFFFFFFFF
+                self._accumulate_range(s)
+                self.bit_counter += 1
+                if self.bit_counter == 32:
+                    if self._check_baud():
+                        self.sync_state = _SY_FIW
+                    else:
+                        self._sync_reset_only()
+                        left = True
+                    self.bit_counter = 0
+            else:  # _SY_FIW
+                self.fiw = (self.fiw >> 1) | (symbol << 31)
+                self._accumulate_range(s)
+                self.bit_counter += 1
+                if self.bit_counter == 32:
+                    def _cdiv(a, b):
+                        if not b:
+                            return 0
+                        q = abs(a) // abs(b)
+                        return q if (a < 0) == (b < 0) else -q
+
+                    hi = _cdiv(self.rng_sum_hi, self.rng_cnt_hi)
+                    lo = _cdiv(self.rng_sum_lo, self.rng_cnt_lo)
+                    self.sample_range = hi - lo
+                    self.sample_delta = hi - self.sample_range // 2
+                    self.sync_state = _SY_SYNCED
+                    left = True
+            if left:
+                break
+        if left:
+            last = first + (k - 1) * 10
+            # the active sample had sample_counter == 0 (scalar semantics);
+            # _sync_reset_only already re-zeroed it on the failure path
+            if self.sync_state == _SY_SYNCED:
+                self.sample_counter = 0
+                # replicate on_pcm's post-update FIW handling in place
+                if self._handle_fiw():
+                    self.state = _ST_SYNC2
+                    self.skip = self.coding.sample_skip
+                    self.skip_count = self.skip + self.coding.sample_fudge
+                else:
+                    self._reset_sync()
+            return last + 1
+        self.sample_counter = (c0 + (n - i)) % 10
+        return n
+
     def _append_bits_vec(self, pid: int, bits: np.ndarray):
         """Vectorized _Phase.append_bit over a bit array.
 
@@ -868,6 +949,11 @@ class FlexDecoder:
         while i < n:
             if self._vectorized and self.state == _ST_BLOCK:
                 i = self._block_vec(pcm, i, n)
+                continue
+            if (self._vectorized and self.state == _ST_SYNC1
+                    and self.sync_state in (_SY_A, _SY_B, _SY_INV_A, _SY_FIW)
+                    and self.skip == 0 and self.skip_count == 0):
+                i = self._sync_tail_vec(pcm, i, n)
                 continue
             s = int(pcm[i])
             i += 1

@@ -107,6 +107,9 @@ class PocsagDecoder:
     def __init__(self, skip_bch: bool = False, vectorized: bool = True,
                  native: bool | None = None):
         self.bch = pocsag_bch()
+        # stored-but-unused, matching the reference exactly: pager_pocsag_new
+        # takes skip_bch_decode and stores it (pager_pocsag.c:145,185) but no
+        # code path ever reads it
         self.skip_bch = skip_bch
         # vectorized BATCH/SEARCH_SYNCWORD paths (exact scalar equivalents;
         # vectorized=False keeps the per-sample reference loops)
