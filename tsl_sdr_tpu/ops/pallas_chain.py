@@ -266,15 +266,21 @@ class PallasChain:
     ``1 + cr`` rows (the extra row is the FM look-back seed).
     """
 
-    def __init__(self, plan: PackedFirPlan, omega_reduced, tile_rows: int = 256,
+    def __init__(self, plan: PackedFirPlan, omega_reduced,
+                 tile_rows: int | None = None,
                  interpret: bool | None = None):
         if plan.opr * plan.nr_channels % 128:
             # keep the FM lane-roll on full registers; pad channels upstream
             # if this ever fires for a real config
             pass
         self.plan = plan
-        self.tr = int(tile_rows)
         self.halfcols = plan.opr * plan.nr_channels
+        if tile_rows is None:
+            # measured on v5e: wide banks (64ch) run ~13% faster with taller
+            # tiles (more row reuse per tap-matrix load); narrow banks lose
+            # from the reduced grid parallelism. 1024 exceeds VMEM.
+            tile_rows = 512 if self.halfcols >= 512 else 256
+        self.tr = int(tile_rows)
         # quantized-tap values in f32 (the int-valued products stay well
         # within f32's exact range per-term; the HIGHEST-precision MXU sum
         # tracks the integer path to ~1 PCM LSB). Keeps the same filter
