@@ -163,3 +163,16 @@ def test_async_feeder_orders_and_propagates():
 
     with pytest.raises(RuntimeError, match="producer broke"):
         next(it)
+
+
+def test_async_feeder_host_staging():
+    """device_put=False stages plain numpy blocks (packed exact tier)."""
+    import numpy as np
+
+    from tsl_sdr_tpu.runtime.feeder import AsyncFeeder
+
+    blocks = [np.full(16, k, np.int16) for k in range(5)]
+    feeder = AsyncFeeder(iter(blocks), depth=2, device_put=False)
+    got = list(feeder)
+    assert all(isinstance(b, np.ndarray) for b in got)
+    assert [int(b[0]) for b in got] == [0, 1, 2, 3, 4]
