@@ -148,9 +148,12 @@ def test_scan_noise_fast_and_empty():
     rng = np.random.default_rng(98)
     pcm = rng.integers(-8000, 8000, size=2_000_000, dtype=np.int64).astype(np.int16)
     import time
-    # load-robust bound: calibrate the FSM rate on this box (ADVICE r1)
+    # load-robust bound: calibrate the per-sample python FSM rate on this
+    # box (ADVICE r1); the default decoder (native FSM or vectorized scan)
+    # must beat it comfortably
+    ref = FlexDecoder(native=False, vectorized=False)
     t0 = time.perf_counter()
-    FlexDecoder().on_pcm(pcm[:50_000])
+    ref.on_pcm(pcm[:50_000])
     fsm_rate = 50_000 / (time.perf_counter() - t0)
     t0 = time.perf_counter()
     assert FlexDecoder().scan(pcm) == []

@@ -142,10 +142,11 @@ def test_flex_scan_streaming_split():
     )
     noise = rng.integers(-6000, 6000, size=40_000, dtype=np.int64).astype(np.int16)
     pcm = np.concatenate([noise, burst, noise])
-    whole = FlexDecoder().scan(pcm)
+    # native=False: guards the NUMPY scan carry (native delegates scan)
+    whole = FlexDecoder(native=False).scan(pcm)
     for frac in (0.2, 0.6):
         cut = len(noise) + int(len(burst) * frac)
-        dec = FlexDecoder()
+        dec = FlexDecoder(native=False)
         got = dec.scan(pcm[:cut]) + dec.scan(pcm[cut:])
         assert [(m.capcode, m.data) for m in got] == [
             (m.capcode, m.data) for m in whole
@@ -216,7 +217,7 @@ def test_ais_scan_streaming_split():
     lambda: __import__("tsl_sdr_tpu.models.pocsag",
                        fromlist=["PocsagDecoder"]).PocsagDecoder(native=False),
     lambda: __import__("tsl_sdr_tpu.models.flex",
-                       fromlist=["FlexDecoder"]).FlexDecoder(),
+                       fromlist=["FlexDecoder"]).FlexDecoder(native=False),
 ])
 def test_interleave_scan_on_pcm_raises(make):
     """Mixing scan() and on_pcm() on one numpy-tier instance raises instead

@@ -126,13 +126,26 @@ class _Phase:
 class FlexDecoder:
     """Streaming FLEX decoder; feed 16 kHz int16 PCM via :meth:`on_pcm`."""
 
-    def __init__(self, freq_hz: int = 0, vectorized: bool = True):
+    def __init__(self, freq_hz: int = 0, vectorized: bool = True,
+                 native: bool | None = None):
         self.bch = pocsag_bch()
         self.freq_hz = freq_hz
         # vectorized BLOCK stage (exact scalar equivalent; False keeps the
         # per-sample reference loop)
         self._vectorized = vectorized
         self._bch_cache: dict = {}
+        # native C++ sample FSM (tslstream.cc tsl_flex_*): auto-selected
+        # when a toolchain is available. The FSM pauses at each FIW for
+        # this side's BCH verdict; BCH + message assembly stay here.
+        self._nat = None
+        if native is not False:
+            try:
+                from tsl_sdr_tpu.runtime.native import FlexNative
+
+                self._nat = FlexNative()
+            except Exception:  # noqa: BLE001 — no toolchain: numpy paths
+                if native:
+                    raise
         self.messages: list[FlexMessage] = []
         self._reset_sync()
         # scan() streaming carry (see PocsagDecoder)
@@ -334,6 +347,38 @@ class FlexDecoder:
             self.s2_nr_c += c.sym_bits
             if self.s2_nr_c == 16:
                 self.s2_state = _S2_SYNCED
+
+    # -- native FSM event pump ------------------------------------------------
+
+    _CODING_LIST = list(CODINGS.values())
+
+    def _on_pcm_native(self, pcm: np.ndarray):
+        off = 0
+        n = pcm.shape[0]
+        while off < n:
+            events, consumed = self._nat.on_pcm(pcm[off:])
+            off += consumed
+            for ev in events:
+                if ev[0] == "fiw":
+                    _, idx, rng, delta, fiw_raw = ev
+                    self.coding = self._CODING_LIST[idx]
+                    self.sample_range = rng
+                    self.sample_delta = delta
+                    self.fiw = fiw_raw
+                    self._nat.verdict(self._handle_fiw())
+                else:  # completed frame: vectorized BCH + message assembly
+                    _, idx, phases = ev
+                    self.coding = self._CODING_LIST[idx]
+                    for pid, words in phases:
+                        self.phases[pid].words = [int(wv) for wv in words]
+                        self._phase_process(int(pid))
+                        self.phases[pid].reset()
+                    # end-of-frame context reset (_reset_sync equivalent)
+                    self.frame_date = None
+                    self.frame_time = None
+                    self.frame_local_id = None
+            if consumed == 0 and not events:
+                break  # defensive: no progress
 
     # -- BLOCK ---------------------------------------------------------------
 
@@ -862,6 +907,12 @@ class FlexDecoder:
         same instance.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
+        if self._nat is not None:
+            # the native FSM outruns the numpy prefilter; straight delegate
+            # (all samples FSM-fed; no carry needed)
+            start_n = len(self.messages)
+            self._on_pcm_native(pcm)
+            return self.messages[start_n:]
         start_msg = len(self.messages)
         self._scan_ever = True
         self._in_scan = True
@@ -944,6 +995,9 @@ class FlexDecoder:
                 "decoder instance (scan carries prefilter state)")
         pcm = np.asarray(pcm, dtype=np.int16)
         start = len(self.messages)
+        if self._nat is not None:
+            self._on_pcm_native(pcm)
+            return self.messages[start:]
         i = 0
         n = pcm.shape[0]
         while i < n:

@@ -565,6 +565,338 @@ long tsl_pocsag_on_pcm(void* h, const int16_t* pcm, size_t n, uint8_t* out,
 
 }  // extern "C"
 
+// ---- FLEX sample-level FSM --------------------------------------------------
+//
+// Native fast path for the FLEX receiver (same semantics as the Python
+// FlexDecoder loops in models/flex.py, replicating pager/pager_flex.c):
+// SYNC_1 BS1 eye hunt + A/B/INV_A/FIW register fills + 4FSK slicer range
+// training, SYNC_2 cadence, BLOCK symbol slicing and round-robin phase
+// de-interleave. Unlike POCSAG, this FSM's transitions DO depend on BCH
+// (the FIW verdict), so the C side PAUSES after emitting the FIW event
+// ('F': coding idx, trained range/delta, raw FIW) and resumes after
+// tsl_flex_verdict(); completed frames emit 'K' with each phase's 88
+// words for the Python side's vectorized BCH + message assembly.
+
+namespace {
+
+struct FlexCoding {
+  uint32_t seq_a;
+  int baud, fsk, sample_skip, sync2_samples, sym_bits, fudge;
+  int symbols_per_block, nr_phases;
+};
+
+// same table/order as models/flex.py CODINGS
+constexpr FlexCoding kFlexCodings[4] = {
+    {0x78F3, 1600, 2, 9, 4, 1, 0, 2816, 1},
+    {0x84E7, 3200, 2, 4, 24, 1, 2, 5632, 2},
+    {0x4F97, 3200, 4, 9, 12, 2, 0, 2816, 2},
+    {0x215F, 6400, 4, 4, 32, 2, 2, 5632, 4},
+};
+
+struct FlexState {
+  // 0 SYNC1, 1 SYNC2, 2 BLOCK, 3 AWAIT_VERDICT
+  int state = 0;
+  int skip = 0, skip_count = 0;
+  int32_t sample_range = 0, sample_delta = 0;
+  // sync1: 0 SEARCH_BS1, 1 BS1, 2 A, 3 B, 4 INV_A, 5 FIW
+  int sync_state = 1;
+  uint32_t sync_words[10] = {};
+  int sample_counter = 0, bit_counter = 0;
+  uint32_t a = 0, b = 0, inv_a = 0, fiw = 0;
+  int64_t rng_sum_hi = 0, rng_sum_lo = 0;
+  int64_t rng_cnt_hi = 0, rng_cnt_lo = 0;
+  int coding = -1;
+  // sync2: 0 COMMA, 1 C, 2 INV_COMMA, 3 INV_C
+  int s2_state = 0, s2_dots = 0, s2_nr_c = 0;
+  uint32_t s2_c = 0, s2_inv_c = 0;
+  // block
+  uint32_t words[4][88] = {};
+  int cur_bit[4] = {}, cur_word[4] = {}, base_word[4] = {};
+  int nr_symbols = 0, phase_ff = 0;
+};
+
+void flex_sync_reset_only(FlexState* st) {
+  st->sync_state = 1;
+  memset(st->sync_words, 0, sizeof(st->sync_words));
+  st->sample_counter = 0;
+  st->bit_counter = 0;
+  st->a = st->b = st->inv_a = st->fiw = 0;
+  st->coding = -1;
+  st->rng_sum_hi = st->rng_sum_lo = 0;
+  st->rng_cnt_hi = st->rng_cnt_lo = 0;
+}
+
+void flex_reset_sync(FlexState* st) {
+  st->state = 0;
+  st->skip = 0;
+  st->skip_count = 0;
+  st->sample_range = 0;
+  st->sample_delta = 0;
+  flex_sync_reset_only(st);
+  st->s2_state = 0;
+  st->s2_dots = 0;
+  st->s2_nr_c = 0;
+  st->s2_c = st->s2_inv_c = 0;
+  memset(st->words, 0, sizeof(st->words));
+  memset(st->cur_bit, 0, sizeof(st->cur_bit));
+  memset(st->cur_word, 0, sizeof(st->cur_word));
+  memset(st->base_word, 0, sizeof(st->base_word));
+  st->nr_symbols = 0;
+  st->phase_ff = 0;
+}
+
+inline void flex_accumulate(FlexState* st, int s) {
+  if (s > 0) {
+    st->rng_sum_hi += s;
+    st->rng_cnt_hi++;
+  } else {
+    st->rng_sum_lo += s;
+    st->rng_cnt_lo++;
+  }
+}
+
+inline int flex_check_baud(FlexState* st) {
+  const uint32_t coding_a = (st->a >> 16) & 0xFFFF;
+  const uint32_t inv_coding_a = (st->inv_a >> 16) & 0xFFFF;
+  for (int k = 0; k < 4; k++) {
+    if (__builtin_popcount(kFlexCodings[k].seq_a ^ coding_a) < 4) {
+      st->coding = k;
+      return 1;
+    }
+    // the reference's inverted clause (unreachable in practice; kept)
+    if (__builtin_popcount((~kFlexCodings[k].seq_a & 0xFFFFFFFFu) ^
+                           inv_coding_a) < 4) {
+      st->coding = k;
+      return 1;
+    }
+  }
+  return 0;
+}
+
+inline int flex_slice(const FlexState* st, int s) {
+  if (kFlexCodings[st->coding].fsk == 2) return s >= 0 ? 1 : 0;
+  const int32_t sd = s - st->sample_delta;
+  const int32_t thr = st->sample_range / 4;
+  if (sd < 0) return (-sd > thr) ? 0 : 1;
+  return (sd > thr) ? 2 : 3;
+}
+
+inline void flex_append_bit(FlexState* st, int p, int bit) {
+  const int w = st->base_word[p] + st->cur_word[p];
+  st->words[p][w] = (st->words[p][w] >> 1) | ((uint32_t)(bit & 1) << 31);
+  st->cur_word[p] = (st->cur_word[p] + 1) % 8;
+  if (st->cur_word[p] == 0) st->cur_bit[p]++;
+  if (st->cur_bit[p] == 32) {
+    st->base_word[p] += 8;
+    st->cur_bit[p] = 0;
+    st->cur_word[p] = 0;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* tsl_flex_new(void) {
+  auto* st = new FlexState();
+  flex_reset_sync(st);
+  return st;
+}
+void tsl_flex_free(void* h) { delete static_cast<FlexState*>(h); }
+int tsl_flex_state(void* h) { return static_cast<FlexState*>(h)->state; }
+
+void tsl_flex_sync_reset_only(void* h) {
+  flex_sync_reset_only(static_cast<FlexState*>(h));
+}
+
+// FIW verdict from the Python BCH: ok -> SYNC_2 at the matched coding's
+// cadence; fail -> full sync reset (models/flex.py on_pcm FIW handling).
+void tsl_flex_verdict(void* h, int ok) {
+  auto* st = static_cast<FlexState*>(h);
+  if (st->state != 3) return;
+  if (ok) {
+    const FlexCoding& c = kFlexCodings[st->coding];
+    st->state = 1;
+    st->skip = c.sample_skip;
+    st->skip_count = st->skip + c.fudge;
+    st->s2_state = 0;
+    st->s2_dots = 0;
+    st->s2_nr_c = 0;
+    st->s2_c = st->s2_inv_c = 0;
+  } else {
+    flex_reset_sync(st);
+  }
+}
+
+// Process up to n samples. Events serialized into out:
+//   FIW:   u8 'F', u8 coding_idx, i32 range, i32 delta, u32 fiw
+//          (processing PAUSES; call tsl_flex_verdict then re-enter)
+//   FRAME: u8 'K', u8 coding_idx, then per processed phase in order:
+//          u8 phase_id + 88 x u32 words
+// *consumed receives the number of samples eaten. Returns bytes written
+// or -1 on out overflow.
+long tsl_flex_on_pcm(void* h, const int16_t* pcm, size_t n, uint8_t* out,
+                     size_t cap, size_t* consumed) {
+  auto* st = static_cast<FlexState*>(h);
+  size_t w = 0;
+  size_t i = 0;
+  for (; i < n; i++) {
+    if (st->state == 3) break;  // awaiting the FIW verdict
+    if (st->skip_count != 0) {
+      st->skip_count--;
+      continue;
+    }
+    st->skip_count = st->skip;
+    const int s = pcm[i];
+    if (st->state == 0) {  // SYNC_1
+      st->sample_counter = (st->sample_counter + 1) % 10;
+      const int symbol = s >= 0 ? 1 : 0;
+      const int sy = st->sync_state;
+      if (sy == 0 || sy == 1) {  // SEARCH_BS1 / BS1
+        const int p = st->sample_counter;
+        st->sync_words[p] = (st->sync_words[p] << 1) | (uint32_t)symbol;
+        if (sy == 0) {
+          if (st->sync_words[p] == 0xAAAAAAAAu) {
+            st->bit_counter = 1;
+            st->sync_state = 1;
+          }
+        } else {
+          if (st->sync_words[p] == 0xAAAAAAAAu) {
+            st->bit_counter++;
+          } else {
+            if (st->bit_counter < 3) {
+              st->sync_state = 0;
+            } else {
+              st->sync_state = 2;
+              st->sample_counter = st->bit_counter / 2;
+            }
+            st->bit_counter = 0;
+          }
+        }
+        continue;
+      }
+      if (st->sample_counter != 0) continue;
+      if (sy == 2) {  // A
+        st->a = (st->a << 1) | (uint32_t)symbol;
+        flex_accumulate(st, s);
+        if (++st->bit_counter == 32) {
+          st->sync_state = 3;
+          st->bit_counter = 0;
+        }
+      } else if (sy == 3) {  // B
+        st->b = ((st->b << 1) | (uint32_t)symbol) & 0xFFFF;
+        flex_accumulate(st, s);
+        if (++st->bit_counter == 16) {
+          st->sync_state = 4;
+          st->bit_counter = 0;
+        }
+      } else if (sy == 4) {  // INV_A
+        st->inv_a = (st->inv_a << 1) | (uint32_t)symbol;
+        flex_accumulate(st, s);
+        if (++st->bit_counter == 32) {
+          if (flex_check_baud(st))
+            st->sync_state = 5;
+          else
+            flex_sync_reset_only(st);
+          st->bit_counter = 0;
+        }
+      } else {  // FIW
+        st->fiw = (st->fiw >> 1) | ((uint32_t)symbol << 31);
+        flex_accumulate(st, s);
+        if (++st->bit_counter == 32) {
+          const int32_t hi =
+              st->rng_cnt_hi ? (int32_t)(st->rng_sum_hi / st->rng_cnt_hi) : 0;
+          const int32_t lo =
+              st->rng_cnt_lo ? (int32_t)(st->rng_sum_lo / st->rng_cnt_lo) : 0;
+          st->sample_range = hi - lo;
+          st->sample_delta = hi - st->sample_range / 2;
+          if (w + 14 > cap) return -1;
+          out[w++] = 'F';
+          out[w++] = (uint8_t)st->coding;
+          memcpy(out + w, &st->sample_range, 4);
+          w += 4;
+          memcpy(out + w, &st->sample_delta, 4);
+          w += 4;
+          // fiw is 4 bytes after the two i32s
+          memcpy(out + w, &st->fiw, 4);
+          w += 4;
+          st->state = 3;  // pause for the verdict
+          i++;            // the FIW-completing sample is consumed
+          break;
+        }
+      }
+    } else if (st->state == 1) {  // SYNC_2
+      const FlexCoding& c = kFlexCodings[st->coding];
+      if (st->s2_state == 0) {
+        if (++st->s2_dots == c.sync2_samples) st->s2_state = 1;
+      } else if (st->s2_state == 1) {
+        st->s2_c = ((st->s2_c << c.sym_bits) | (uint32_t)flex_slice(st, s)) &
+                   0xFFFF;
+        st->s2_nr_c += c.sym_bits;
+        if (st->s2_nr_c == 16) {
+          st->s2_state = 2;
+          st->s2_dots = 0;
+        }
+      } else if (st->s2_state == 2) {
+        if (++st->s2_dots == c.sync2_samples) {
+          st->s2_state = 3;
+          st->s2_nr_c = 0;
+        }
+      } else {
+        st->s2_inv_c =
+            ((st->s2_inv_c << c.sym_bits) | (uint32_t)flex_slice(st, s)) &
+            0xFFFF;
+        st->s2_nr_c += c.sym_bits;
+        if (st->s2_nr_c == 16) st->state = 2;  // -> BLOCK
+      }
+    } else {  // BLOCK
+      const FlexCoding& c = kFlexCodings[st->coding];
+      const int symbol = flex_slice(st, s);
+      if (c.nr_phases == 1) {
+        flex_append_bit(st, 0, symbol == 1 ? 1 : 0);
+      } else if (c.nr_phases == 2 && c.fsk == 2) {
+        flex_append_bit(st, st->phase_ff ? 2 : 0, symbol == 1 ? 1 : 0);
+        st->phase_ff = !st->phase_ff;
+      } else if (c.nr_phases == 2) {
+        flex_append_bit(st, 0, (symbol >> 1) & 1);
+        flex_append_bit(st, 2, symbol & 1);
+      } else {
+        if (!st->phase_ff) {
+          flex_append_bit(st, 0, (symbol >> 1) & 1);
+          flex_append_bit(st, 1, symbol & 1);
+        } else {
+          flex_append_bit(st, 2, (symbol >> 1) & 1);
+          flex_append_bit(st, 3, symbol & 1);
+        }
+        st->phase_ff = !st->phase_ff;
+      }
+      if (++st->nr_symbols == c.symbols_per_block) {
+        static const int kOrder[3][4] = {{0, -1, -1, -1},
+                                         {0, 2, -1, -1},
+                                         {0, 1, 2, 3}};
+        const int* order =
+            c.nr_phases == 1 ? kOrder[0] : (c.nr_phases == 2 ? kOrder[1]
+                                                             : kOrder[2]);
+        const size_t need = 2 + (size_t)c.nr_phases * (1 + 88 * 4);
+        if (w + need > cap) return -1;
+        out[w++] = 'K';
+        out[w++] = (uint8_t)st->coding;
+        for (int k = 0; k < c.nr_phases; k++) {
+          const int p = order[k];
+          out[w++] = (uint8_t)p;
+          memcpy(out + w, st->words[p], 88 * 4);
+          w += 88 * 4;
+        }
+        flex_reset_sync(st);
+      }
+    }
+  }
+  *consumed = i;
+  return (long)w;
+}
+
+}  // extern "C"
+
 // ---- AIS GMSK/NRZI demodulator FSM ----------------------------------------
 //
 // Native fast path for the host-tier AIS bit FSM (same semantics as the

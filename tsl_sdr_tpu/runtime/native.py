@@ -82,6 +82,18 @@ def load():
             ctypes.c_float, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int16),
         ]
+        lib.tsl_flex_new.restype = ctypes.c_void_p
+        lib.tsl_flex_free.argtypes = [ctypes.c_void_p]
+        lib.tsl_flex_state.restype = ctypes.c_int
+        lib.tsl_flex_state.argtypes = [ctypes.c_void_p]
+        lib.tsl_flex_sync_reset_only.argtypes = [ctypes.c_void_p]
+        lib.tsl_flex_verdict.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.tsl_flex_on_pcm.restype = ctypes.c_long
+        lib.tsl_flex_on_pcm.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
         lib.tsl_pocsag_new.restype = ctypes.c_void_p
         lib.tsl_pocsag_free.argtypes = [ctypes.c_void_p]
         lib.tsl_pocsag_state.restype = ctypes.c_int
@@ -106,6 +118,76 @@ def load():
         ]
         _LIB = lib
         return lib
+
+
+class FlexNative:
+    """Handle to the native FLEX sample FSM (tslstream.cc tsl_flex_*).
+
+    Pauses at each FIW for the caller's BCH verdict (the FLEX FSM's
+    transitions depend on BCH there, unlike POCSAG); frame events carry
+    each phase's 88 words for vectorized BCH + message assembly."""
+
+    def __init__(self):
+        self._lib = load()
+        self._h = self._lib.tsl_flex_new()
+
+    def on_pcm(self, pcm: np.ndarray):
+        """Returns (events, consumed). Events: ('fiw', coding_idx, range,
+        delta, fiw_raw) — processing paused, call verdict() — or
+        ('frame', coding_idx, [(phase_id, words[88])...])."""
+        pcm = np.ascontiguousarray(pcm, np.int16)
+        cap = pcm.size // 8 + 8192
+        out = np.empty(cap, np.uint8)
+        consumed = ctypes.c_size_t(0)
+        ret = self._lib.tsl_flex_on_pcm(
+            self._h, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            pcm.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap, ctypes.byref(consumed))
+        if ret < 0:
+            raise RuntimeError("tsl_flex_on_pcm output buffer overflow")
+        events = []
+        buf = out.tobytes()
+        o = 0
+        while o < ret:
+            tag = buf[o]
+            o += 1
+            if tag == ord("F"):
+                idx = buf[o]
+                rng = int.from_bytes(buf[o+1:o+5], "little", signed=True)
+                delta = int.from_bytes(buf[o+5:o+9], "little", signed=True)
+                fiw = int.from_bytes(buf[o+9:o+13], "little")
+                events.append(("fiw", idx, rng, delta, fiw))
+                o += 13
+            else:
+                idx = buf[o]
+                o += 1
+                nr = (1, 2, 2, 4)[idx]
+                phases = []
+                for _ in range(nr):
+                    pid = buf[o]
+                    words = np.frombuffer(buf, np.uint32, 88, o + 1)
+                    phases.append((pid, words))
+                    o += 1 + 88 * 4
+                events.append(("frame", idx, phases))
+        return events, int(consumed.value)
+
+    def verdict(self, ok: bool):
+        self._lib.tsl_flex_verdict(self._h, 1 if ok else 0)
+
+    def sync_reset_only(self):
+        self._lib.tsl_flex_sync_reset_only(self._h)
+
+    @property
+    def state(self) -> int:
+        return self._lib.tsl_flex_state(self._h)
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.tsl_flex_free(self._h)
+                self._h = None
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
 
 
 class PocsagNative:
