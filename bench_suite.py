@@ -228,7 +228,7 @@ def bench_decoder_dense() -> dict:
     fpcm = np.concatenate(frames)
     f = FlexDecoder()
     t0 = time.perf_counter()
-    fout = f.scan(fpcm)
+    fout = f.on_pcm(fpcm)  # streaming API -> native FSM
     out["flex"] = len(fpcm) / (time.perf_counter() - t0) / 1e6
     assert len(fout) == 24
 

@@ -907,12 +907,6 @@ class FlexDecoder:
         same instance.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
-        if self._nat is not None:
-            # the native FSM outruns the numpy prefilter; straight delegate
-            # (all samples FSM-fed; no carry needed)
-            start_n = len(self.messages)
-            self._on_pcm_native(pcm)
-            return self.messages[start_n:]
         start_msg = len(self.messages)
         self._scan_ever = True
         self._in_scan = True
@@ -995,7 +989,11 @@ class FlexDecoder:
                 "decoder instance (scan carries prefilter state)")
         pcm = np.asarray(pcm, dtype=np.int16)
         start = len(self.messages)
-        if self._nat is not None:
+        if self._nat is not None and not self._in_scan:
+            # streaming API -> native FSM. scan() keeps the numpy
+            # prefilter+vectorized machinery (its BS1 AND-tree outruns even
+            # the native FSM on sync-free input) and reaches here with
+            # _in_scan set, so its internal feeds stay on the numpy tiers.
             self._on_pcm_native(pcm)
             return self.messages[start:]
         i = 0
