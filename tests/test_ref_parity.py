@@ -415,7 +415,8 @@ def test_noise_path_parity_all_protocols(lib):
     ref = [(m.kind, m.baud, m.phase, m.capcode, m.data)
            for m in refc.flex_run(pcm, block=1024)]
     kindmap = {"alnum": "alnum", "numeric": "num", "siv": "siv"}
-    for dec in (FlexDecoder(vectorized=False), FlexDecoder()):
+    for dec in (FlexDecoder(native=False, vectorized=False),
+                FlexDecoder(native=False), FlexDecoder()):
         got = [(kindmap[m.kind], m.baud, _FLEX_PHASE_INDEX[m.phase], m.capcode,
                 m.data) for m in dec.on_pcm(pcm)]
         assert got == ref

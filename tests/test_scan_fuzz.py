@@ -142,7 +142,9 @@ def test_flex_scan_streaming_split():
     )
     noise = rng.integers(-6000, 6000, size=40_000, dtype=np.int64).astype(np.int16)
     pcm = np.concatenate([noise, burst, noise])
-    # native=False: guards the NUMPY scan carry (native delegates scan)
+    # native=False so a toolchain-less host and CI cover the same numpy
+    # carry (FLEX scan() runs the numpy machinery either way; fresh
+    # instances only — a native instance mid-stream stays on its FSM)
     whole = FlexDecoder(native=False).scan(pcm)
     for frac in (0.2, 0.6):
         cut = len(noise) + int(len(burst) * frac)

@@ -69,6 +69,14 @@ def _word_checksum(word: int) -> int:
     return ck & 0xF
 
 
+def _cdiv(a: int, b: int) -> int:
+    """C-style truncating integer division (the FIW range averages)."""
+    if not b:
+        return 0
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
 _NUM_LUT = "0123456789XU -]["
 
 
@@ -154,6 +162,7 @@ class FlexDecoder:
         self._scan_want = 0
         self._scan_ever = False
         self._in_scan = False
+        self._nat_used = False
 
     # -- resets ---------------------------------------------------------------
 
@@ -250,7 +259,15 @@ class FlexDecoder:
 
         if self.sample_counter != 0:
             return
+        self._sync_bit(sample)
 
+    def _sync_bit(self, sample: int) -> bool:
+        """One A/B/INV_A/FIW stage bit (a sample where sample_counter hit 0).
+        Shared by the per-sample cadence loop and the strided fast path so
+        the exactness-critical stage logic is single-sourced. Returns True
+        when the stage family was left (SYNCED or reset to BS1)."""
+        symbol = 1 if sample >= 0 else 0
+        st = self.sync_state
         if st == _SY_A:
             self.a = ((self.a << 1) | symbol) & 0xFFFFFFFF
             self._accumulate_range(sample)
@@ -280,15 +297,12 @@ class FlexDecoder:
             self._accumulate_range(sample)
             self.bit_counter += 1
             if self.bit_counter == 32:
-                # C int division truncates toward zero
-                def _cdiv(a, b):
-                    return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1) if b else 0
-
                 hi = _cdiv(self.rng_sum_hi, self.rng_cnt_hi)
                 lo = _cdiv(self.rng_sum_lo, self.rng_cnt_lo)
                 self.sample_range = hi - lo
                 self.sample_delta = hi - self.sample_range // 2
                 self.sync_state = _SY_SYNCED
+        return self.sync_state in (_SY_SEARCH_BS1, _SY_BS1, _SY_SYNCED)
 
     def _accumulate_range(self, sample: int):
         if sample > 0:
@@ -353,6 +367,7 @@ class FlexDecoder:
     _CODING_LIST = list(CODINGS.values())
 
     def _on_pcm_native(self, pcm: np.ndarray):
+        self._nat_used = True
         off = 0
         n = pcm.shape[0]
         while off < n:
@@ -385,9 +400,9 @@ class FlexDecoder:
     def _sync_tail_vec(self, pcm, i: int, n: int) -> int:
         """Accelerated A/B/INV_A/FIW stages: these consume one bit per 10
         samples (sample_counter == 0), so stride-slice the active samples
-        and run the exact per-bit stage logic over <= 112 items instead of
-        a per-sample loop over ~1120 (exact scalar equivalent; fuzz-tested).
-        Returns the new sample index."""
+        and run the exact per-bit stage logic (shared ``_sync_bit``) over
+        <= 112 items instead of a per-sample loop over ~1120 (exact scalar
+        equivalent; fuzz-tested). Returns the new sample index."""
         c0 = self.sample_counter
         j0 = (9 - c0) % 10
         first = i + j0
@@ -398,53 +413,9 @@ class FlexDecoder:
         k = 0
         left = False
         for sv in acts:
-            s = int(sv)
-            symbol = 1 if s >= 0 else 0
-            st = self.sync_state
             k += 1
-            if st == _SY_A:
-                self.a = ((self.a << 1) | symbol) & 0xFFFFFFFF
-                self._accumulate_range(s)
-                self.bit_counter += 1
-                if self.bit_counter == 32:
-                    self.sync_state = _SY_B
-                    self.bit_counter = 0
-            elif st == _SY_B:
-                self.b = ((self.b << 1) | symbol) & 0xFFFF
-                self._accumulate_range(s)
-                self.bit_counter += 1
-                if self.bit_counter == 16:
-                    self.sync_state = _SY_INV_A
-                    self.bit_counter = 0
-            elif st == _SY_INV_A:
-                self.inv_a = ((self.inv_a << 1) | symbol) & 0xFFFFFFFF
-                self._accumulate_range(s)
-                self.bit_counter += 1
-                if self.bit_counter == 32:
-                    if self._check_baud():
-                        self.sync_state = _SY_FIW
-                    else:
-                        self._sync_reset_only()
-                        left = True
-                    self.bit_counter = 0
-            else:  # _SY_FIW
-                self.fiw = (self.fiw >> 1) | (symbol << 31)
-                self._accumulate_range(s)
-                self.bit_counter += 1
-                if self.bit_counter == 32:
-                    def _cdiv(a, b):
-                        if not b:
-                            return 0
-                        q = abs(a) // abs(b)
-                        return q if (a < 0) == (b < 0) else -q
-
-                    hi = _cdiv(self.rng_sum_hi, self.rng_cnt_hi)
-                    lo = _cdiv(self.rng_sum_lo, self.rng_cnt_lo)
-                    self.sample_range = hi - lo
-                    self.sample_delta = hi - self.sample_range // 2
-                    self.sync_state = _SY_SYNCED
-                    left = True
-            if left:
+            if self._sync_bit(int(sv)):
+                left = True
                 break
         if left:
             last = first + (k - 1) * 10
@@ -907,6 +878,13 @@ class FlexDecoder:
         same instance.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
+        if self._nat is not None and self._nat_used:
+            # the instance is mid-stream in the NATIVE FSM (on_pcm was used
+            # first); running the fresh numpy FSM here would silently lose
+            # the in-flight frame — stay on the native streaming path
+            start_n = len(self.messages)
+            self._on_pcm_native(pcm)
+            return self.messages[start_n:]
         start_msg = len(self.messages)
         self._scan_ever = True
         self._in_scan = True

@@ -276,10 +276,13 @@ class PallasChain:
         self.plan = plan
         self.halfcols = plan.opr * plan.nr_channels
         if tile_rows is None:
-            # measured on v5e: wide banks (64ch) run ~13% faster with taller
-            # tiles (more row reuse per tap-matrix load); narrow banks lose
-            # from the reduced grid parallelism. 1024 exceeds VMEM.
-            tile_rows = 512 if self.halfcols >= 512 else 256
+            # measured on v5e: wide banks (64ch, halfcols=1024) run ~13%
+            # faster with 512-row tiles (more row reuse per tap-matrix
+            # load); narrow banks lose from the reduced grid parallelism,
+            # and the f32 working tile (~tr * halfcols * 4B) must stay
+            # within VMEM — 1024 rows already fails at 64ch, so banks wider
+            # than 64ch fall back to 256 rather than doubling the footprint
+            tile_rows = 512 if 512 <= self.halfcols <= 2048 else 256
         self.tr = int(tile_rows)
         # quantized-tap values in f32 (the int-valued products stay well
         # within f32's exact range per-term; the HIGHEST-precision MXU sum

@@ -146,7 +146,7 @@ class FlexNative:
         if ret < 0:
             raise RuntimeError("tsl_flex_on_pcm output buffer overflow")
         events = []
-        buf = out.tobytes()
+        buf = bytes(out[:ret])
         o = 0
         while o < ret:
             tag = buf[o]
@@ -212,7 +212,7 @@ class PocsagNative:
         if ret < 0:
             raise RuntimeError("tsl_pocsag_on_pcm output buffer overflow")
         events = []
-        buf = out.tobytes()
+        buf = bytes(out[:ret])
         o = 0
         while o < ret:
             tag = buf[o]
@@ -260,7 +260,7 @@ class AisNative:
             raise RuntimeError("tsl_ais_on_pcm output buffer overflow")
         pkts = []
         o = 0
-        buf = out.tobytes()
+        buf = bytes(out[:ret])
         while o < ret:
             ln = int.from_bytes(buf[o:o + 4], "little")
             pkts.append(buf[o + 4 : o + 4 + ln])
