@@ -420,3 +420,61 @@ def test_noise_path_parity_all_protocols(lib):
         got = [(kindmap[m.kind], m.baud, _FLEX_PHASE_INDEX[m.phase], m.capcode,
                 m.data) for m in dec.on_pcm(pcm)]
         assert got == ref
+
+
+def test_dc_blocker_parity(lib):
+    """Reference dc_blocker_apply == our exact tier sample-for-sample."""
+    from tsl_sdr_tpu.ops import dc_blocker as dcb
+
+    rng = np.random.default_rng(13)
+    pcm = (rng.integers(-12000, 12000, size=50_000, dtype=np.int64)
+           + 1500).astype(np.int16)  # DC offset to actually remove
+    for pole in (0.9999, 0.999, 0.95):
+        want = refc.dc_blocker_run(pcm, pole)
+        st = dcb.init_dc_blocker_state()
+        p = dcb.make_pole_coeff(pole)
+        _, got = dcb.dc_blocker_step_exact(st, pcm, p)
+        np.testing.assert_array_equal(np.asarray(got), want, err_msg=str(pole))
+
+
+def test_decoder_chain_parity(lib):
+    """The full decoder-CLI chain (polyphase resample -> DC block ->
+    POCSAG decode) == the same composition of the running reference."""
+    from tsl_sdr_tpu.models.pocsag import PocsagDecoder
+    from tsl_sdr_tpu.models.resampler import ResamplerChain
+    from tsl_sdr_tpu.ops import q14
+    from tsl_sdr_tpu.utils.filter_design import design_rational_resampler_filter
+
+    # a 38400 Hz burst delivered at 25 kHz: decoder resamples 192/125 back
+    rng = np.random.default_rng(14)
+    burst = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=246810, function=1, kind="alpha",
+                                content="CHAIN PARITY")],
+        baud=1200, tail_bits=128)
+    idx = (np.arange(int(len(burst) * 125 / 192)) * 192) // 125
+    pcm25 = np.concatenate([
+        rng.integers(-4000, 4000, 20_000, dtype=np.int64).astype(np.int16),
+        (burst[idx].astype(np.int32)
+         + rng.normal(scale=120, size=idx.shape).astype(np.int32))
+        .clip(-32768, 32767).astype(np.int16),
+        np.zeros(30_000, np.int16)])
+
+    coeffs = design_rational_resampler_filter(192, 125, 0.4)
+    taps_q14 = q14.quantize_q14(coeffs)
+    pole = 0.9999
+
+    # reference composition
+    ref_rs = refc.polyphase_run(taps_q14, 192, 125, pcm25, buf_samples=1024)
+    ref_dc = refc.dc_blocker_run(ref_rs, pole)
+    ref_msgs = [(m.kind, m.capcode, m.data)
+                for m in refc.pocsag_run(ref_dc, block=1024)]
+    assert len(ref_msgs) == 1
+
+    # our chain (exact tier, like decoder-tpu --exact)
+    rs = ResamplerChain(coeffs, 192, 125, dc_block_pole=pole, exact=True)
+    ours = np.asarray(rs.process_array(pcm25))
+    m = min(len(ours), len(ref_dc))
+    np.testing.assert_array_equal(ours[:m], ref_dc[:m])
+    got = [(m2.kind, m2.capcode, m2.data)
+           for m2 in PocsagDecoder().on_pcm(ours)]
+    assert got == ref_msgs

@@ -107,6 +107,10 @@ def load():
         lib.refc_fm_demod_run.argtypes = [
             i16p, ctypes.c_size_t, ctypes.c_size_t, i16p, ctypes.c_size_t,
         ]
+        lib.refc_dc_blocker_run.restype = ctypes.c_long
+        lib.refc_dc_blocker_run.argtypes = [
+            ctypes.c_double, i16p, ctypes.c_size_t, i16p,
+        ]
         lib.refc_mm_run.restype = ctypes.c_long
         lib.refc_mm_run.argtypes = [
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
@@ -336,6 +340,16 @@ def fm_demod_run(iq, block: int = 1024) -> np.ndarray:
     if ret < 0:
         raise RuntimeError(f"refc_fm_demod_run failed: {ret}")
     return out[:ret]
+
+
+def dc_blocker_run(pcm, pole: float) -> np.ndarray:
+    """Reference DC blocker (filter/dc_blocker.h, header-only)."""
+    pcm = np.ascontiguousarray(pcm, np.int16)
+    out = np.empty_like(pcm)
+    ret = load().refc_dc_blocker_run(pole, _i16p(pcm), pcm.size, _i16p(out))
+    if ret < 0:
+        raise RuntimeError("refc_dc_blocker_run failed")
+    return out
 
 
 def mm_run(pcm, *, kw: float, km: float, samples_per_bit: float,

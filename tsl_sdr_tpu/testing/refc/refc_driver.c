@@ -444,6 +444,19 @@ long refc_fm_demod_run(const int16_t *iq, size_t nr_samples, size_t block,
     return (long)total;
 }
 
+/* ---- DC blocker (header-only in the reference) -------------------------- */
+
+#include <filter/dc_blocker.h>
+
+long refc_dc_blocker_run(double pole, const int16_t *in, size_t n,
+                         int16_t *out) {
+    struct dc_blocker blk;
+    if (FAILED(dc_blocker_init(&blk, pole))) return -1;
+    memcpy(out, in, n * sizeof(int16_t));
+    if (FAILED(dc_blocker_apply(&blk, out, n))) return -1;
+    return (long)n;
+}
+
 /* ---- Mueller-Müller clock recovery -------------------------------------- */
 
 long refc_mm_run(float kw, float km, float samples_per_bit, float error_min,
