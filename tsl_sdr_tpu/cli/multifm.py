@@ -157,6 +157,13 @@ def main(argv=None):
     counters = StreamCounters()
 
     debug_iq = any(ch.signal_debug_file for ch in cfg.channels)
+    if debug_iq and args.backend == "pallas" and not args.exact:
+        # the fused pallas kernel never materializes the baseband, so the
+        # signalDebugFile tap needs the xla fast tier — switch instead of
+        # crashing in step_debug
+        print("multifm-tpu: signalDebugFile tap requires the xla backend; "
+              "switching backends for this run", file=sys.stderr)
+        chain = MultifmChain.from_config(cfg, exact=args.exact, backend="xla")
     if args.runtime == "native" and not debug_iq and hw_source is None:
         return _run_native(args, cfg, chain, iq_path, iq_fmt or "cs16",
                            block, counters)
