@@ -182,6 +182,49 @@ def bench_pocsag_chain() -> dict:
     return {"msps": best, "messages": len(msgs)}
 
 
+def bench_pipeline_8ch() -> dict:
+    """The reference's flagship deployment shape, end-to-end in one call:
+    1.2288 Msps wideband -> 8 POCSAG channels channelized on TPU ->
+    device-side sign bit-pack -> 8 host decoders."""
+    from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+    from tsl_sdr_tpu.testing import pocsag_gen
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    decim = 32
+    fs = 38400 * decim
+    center = 929_500_000
+    offsets = [-450_000, -320_000, -190_000, -60_000,
+               60_000, 190_000, 320_000, 450_000]
+    rng = np.random.default_rng(6)
+    parts = None
+    for k, off in enumerate(offsets):
+        bb = pocsag_gen.generate(
+            [pocsag_gen.PocsagBurst(capcode=100000 + k, function=1,
+                                    kind="alpha", content=f"CH{k} MSG")],
+            baud=1200, tail_bits=256)
+        dev = bb.astype(np.float64) / 16384.0 * 19200
+        ph = np.cumsum(np.repeat(2 * np.pi * (off + dev) / fs, decim))
+        sig = np.stack([np.cos(ph), np.sin(ph)], -1) * 4000
+        if parts is None:
+            parts = np.zeros((len(sig) + 2_000_000, 2))
+        parts[200_000:200_000 + len(sig)] += sig
+    iq = (parts + rng.normal(scale=80, size=parts.shape)).astype(np.int16)
+
+    pipe = ReceivePipeline(
+        firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
+        [ChannelSpec(center + o, "pocsag") for o in offsets], exact=False)
+    pipe.process_capture(iq)  # warm the exact measurement shape
+    best = 0.0
+    res = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = pipe.process_capture(iq)
+        best = max(best, len(iq) / (time.perf_counter() - t0) / 1e6)
+    caps = sorted(m.capcode for msgs in res for m in msgs)
+    assert caps == [100000 + k for k in range(8)], caps
+    return {"msps": best}
+
+
 def bench_decoder_scans() -> dict:
     from tsl_sdr_tpu.models.ais import AisDecoder
     from tsl_sdr_tpu.models.flex import FlexDecoder
@@ -307,6 +350,11 @@ def main():
     rows.append(("POCSAG chain: wideband 1.2288 Msps -> channelize+demod "
                  "(TPU) -> scan decode (host)",
                  f"{p['msps']:,.1f} Msps end-to-end, messages verified", "-"))
+    p8 = bench_pipeline_8ch()
+    rows.append(("pipeline: 8-channel POCSAG deployment, wideband -> "
+                 "8 decoded channels in one call",
+                 f"{p8['msps']:,.1f} Msps end-to-end, all 8 messages "
+                 "verified", "-"))
     scans = bench_decoder_scans()
     rows.append(("decoder batch scans on sync-free PCM (host)",
                  f"POCSAG {scans['pocsag']:.1f} / FLEX {scans['flex']:.0f} / "

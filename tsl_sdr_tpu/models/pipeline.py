@@ -153,7 +153,9 @@ class ReceivePipeline:
             pcm = self.chain.process_array_device(np.asarray(iq, np.int16))
         else:
             pcm = self.chain.process_array(np.asarray(iq, np.int16))
-        results = []
+
+        # stage 1: per-channel device-side front-end (invert/resample/DC)
+        audios = []
         for i, spec in enumerate(self.channels):
             audio = pcm[i]
             xp = jnp if device_decode else np
@@ -175,16 +177,42 @@ class ReceivePipeline:
                 _, audio = dcb.dc_blocker_step_exact(st, audio, p)
                 if not device_decode:
                     audio = np.asarray(audio)
-            dec = self._decoders[i]
-            pred = self._PACK_PREDICATE.get(spec.protocol)
-            if device_decode and dec is not None and pred is not None:
-                # device-side slice + bit-pack; host reconstructs +/-1 PCM
-                # carrying the exact predicate the decoder slices by
-                # (packbits zero-pads the final byte, so no samples drop)
-                n = audio.shape[0]
+            audios.append(audio)
+
+        # stage 2: slice + bit-pack sign-sliceable channels in BATCHES
+        # grouped by (predicate, length) — one device dispatch and ONE
+        # device->host fetch per group instead of per channel (each fetch
+        # pays tunnel latency on this box)
+        host_bits: dict[int, np.ndarray] = {}
+        if device_decode:
+            groups: dict[tuple, list[int]] = {}
+            for i, spec in enumerate(self.channels):
+                if (self._decoders[i] is not None
+                        and spec.protocol in self._PACK_PREDICATE):
+                    key = (spec.protocol in ("ais",), audios[i].shape[0])
+                    groups.setdefault(key, []).append(i)
+            for (is_gt, n), idxs in groups.items():
+                stack = jnp.stack([audios[i] for i in idxs])
+                pred = (stack > 0) if is_gt else (stack < 0)
+                # pad rows to byte multiples and pack FLAT (row boundaries
+                # stay byte-aligned; one kernel shape for any group)
+                n8 = -(-n // 8) * 8
+                if n8 != n:
+                    pred = jnp.pad(pred, ((0, 0), (0, n8 - n)))
                 packed = np.asarray(
-                    jnp.packbits(pred(audio).astype(jnp.uint8)))
-                bits = np.unpackbits(packed)[:n]
+                    jnp.packbits(pred.astype(jnp.uint8).reshape(-1))
+                ).reshape(len(idxs), n8 // 8)
+                for row, i in enumerate(idxs):
+                    bits = np.unpackbits(packed[row])[:n]
+                    host_bits[i] = bits
+
+        results = []
+        for i, spec in enumerate(self.channels):
+            audio = audios[i]
+            dec = self._decoders[i]
+            if i in host_bits:
+                # reconstruct +/-1 PCM carrying the exact slice predicate
+                bits = host_bits[i]
                 if spec.protocol == "ais":
                     audio = np.where(bits, 1, -1).astype(np.int16)
                 else:
