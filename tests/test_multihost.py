@@ -1,0 +1,62 @@
+"""Executed multi-process (DCN-path) tests: real OS processes running
+``jax.distributed`` on the CPU backend.
+
+Covers what `tests/test_parallel.py::test_multihost_device_layout` could
+not: ``multihost.init`` + ``make_global_mesh`` + ``distribute_iq`` actually
+executing across process boundaries, with cross-process collectives (gloo)
+carrying the halo exchange, and the global result matching a
+single-process run of the identical capture bit-for-bit.
+
+Reference context: the reference is single-host by design
+(/root/reference/multifm/multifm.c); SURVEY §2.2 row 5 makes scale-out a
+new obligation for this framework.
+"""
+
+import numpy as np
+import pytest
+
+from tsl_sdr_tpu.parallel import multihost
+from tsl_sdr_tpu.parallel.mesh import make_mesh
+
+
+def _expected_pcm(n_time: int, channels_per_host: int) -> np.ndarray:
+    """Single-process run of the self-test capture on an identically-shaped
+    mesh (same shard partitioning => bit-identical f32 math)."""
+    from tsl_sdr_tpu.parallel.channelizer import make_sharded_multifm
+
+    chain = multihost.selftest_chain(nr_channels=2 * channels_per_host)
+    plan = chain.packed_plan
+    mesh = make_mesh(time=n_time, channels=channels_per_host)
+    fn = make_sharded_multifm(plan, mesh)
+    vals = multihost.selftest_capture(plan, n_time)
+    return np.asarray(fn(vals))
+
+
+@pytest.mark.parametrize(
+    "n_processes,n_local",
+    [(2, 4), (4, 2)],
+    ids=["2proc_x4dev", "4proc_x2dev"],
+)
+def test_multiprocess_channelizer_matches_single_process(n_processes, n_local):
+    channels_per_host = 2
+    res = multihost.run_multiprocess_selftest(
+        n_processes, n_local, channels_per_host
+    )
+    n_time = n_processes * (n_local // channels_per_host)
+    assert res["mesh_shape"] == (n_time, channels_per_host)
+
+    expected = _expected_pcm(n_time, channels_per_host)
+    assert res["pcm"].shape == expected.shape
+    assert np.array_equal(res["pcm"], expected), (
+        np.abs(res["pcm"].astype(np.int32) - expected.astype(np.int32)).max()
+    )
+
+    # the DCN halo really is a few KB per block, as multihost.py promises
+    chain = multihost.selftest_chain(nr_channels=2 * channels_per_host)
+    plan = chain.packed_plan
+    assert res["dcn_halo_bytes"] == (
+        (n_processes - 1) * (plan.cr_rows + 1) * plan.row * 2
+    )
+    # tiny test capture; production blocks are MBs so the ratio only shrinks
+    block_bytes = multihost.selftest_capture(plan, n_time).nbytes
+    assert res["dcn_halo_bytes"] < block_bytes / 20

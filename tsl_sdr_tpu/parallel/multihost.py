@@ -32,11 +32,28 @@ from tsl_sdr_tpu.parallel.mesh import CHANNEL_AXIS, TIME_AXIS
 def init(coordinator_address: str | None = None, num_processes: int | None = None,
          process_id: int | None = None):
     """Initialize jax.distributed (no-op when already initialized or
-    single-process)."""
-    if jax.process_count() > 1:
-        return
+    single-process).
+
+    Must run before any JAX computation touches a backend — so the
+    already-initialized check reads the distributed client state directly
+    instead of calling ``jax.process_count()`` (which would itself
+    initialize the backend and make ``jax.distributed.initialize`` fail).
+    On the CPU platform cross-process collectives need an explicit
+    implementation; gloo ships in jaxlib and is selected here.
+    """
     if coordinator_address is None:
         return  # single host
+    from jax._src import distributed as _distributed
+
+    if getattr(_distributed.global_state, "client", None) is not None:
+        return  # already initialized
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # older jaxlib picks its own default
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -87,3 +104,130 @@ def distribute_iq(mesh: Mesh, local_vals: np.ndarray):
     """
     sharding = NamedSharding(mesh, P(TIME_AXIS))
     return jax.make_array_from_process_local_data(sharding, local_vals)
+
+
+def dcn_halo_bytes(plan, n_processes: int) -> int:
+    """Bytes per block that cross the host (DCN) boundary in the sharded
+    channelizer's halo exchange.
+
+    Each time-shard boundary moves one look-back row forward and
+    ``cr_rows`` window-spill rows backward (see
+    :func:`tsl_sdr_tpu.parallel.channelizer._local_packed_fm`); only the
+    ``n_processes - 1`` boundaries between hosts ride DCN — the rest stay
+    on ICI.
+    """
+    return (n_processes - 1) * (plan.cr_rows + 1) * plan.row * 2
+
+
+# ---------------------------------------------------------------------------
+# Executed multi-process self-test (CPU backend, one box, real processes).
+# Spawns N python processes that each jax.distributed.initialize, build the
+# global mesh, feed their own IQ span and run the sharded channelizer; the
+# caller then recomputes the same capture single-process and diffs.
+# ---------------------------------------------------------------------------
+
+_SELFTEST = dict(fs=64_000, decim=4, taps=17, rows_per_shard=64, seed=7)
+
+
+def selftest_chain(nr_channels: int = 4):
+    """Deterministic tiny flagship chain shared by the worker processes and
+    the single-process expected computation."""
+    from tsl_sdr_tpu.models.channelizer import MultifmChain
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    fs = _SELFTEST["fs"]
+    lpf = firdes_low_pass(1.0, fs, 12_500, 9_000)[: _SELFTEST["taps"]]
+    rng = np.random.default_rng(0)
+    offsets = rng.integers(-fs // 3, fs // 3, size=nr_channels)
+    return MultifmChain(lpf, offsets, fs, _SELFTEST["decim"], exact=False)
+
+
+def selftest_capture(plan, n_time_shards: int) -> np.ndarray:
+    """The full deterministic capture as flat interleaved int16 values."""
+    rows_total = _SELFTEST["rows_per_shard"] * n_time_shards
+    rng = np.random.default_rng(_SELFTEST["seed"])
+    return rng.integers(
+        -8000, 8000, size=rows_total * plan.row, dtype=np.int64
+    ).astype(np.int16)
+
+
+def run_multiprocess_selftest(
+    n_processes: int,
+    n_local: int,
+    channels_per_host: int = 2,
+    timeout: float = 600.0,
+):
+    """Launch ``n_processes`` real OS processes (CPU backend, gloo
+    collectives), run the time+channel-sharded channelizer across them, and
+    verify every process reports the identical global result. Returns
+    ``{"pcm": np.ndarray, "dcn_halo_bytes": int, "mesh_shape": (t, c)}``.
+
+    The caller (test / dryrun) is expected to diff ``pcm`` against a
+    single-process run of the same capture.
+    """
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    with tempfile.TemporaryDirectory() as td:
+        procs = []
+        for pid in range(n_processes):
+            env = {
+                k: v
+                for k, v in __import__("os").environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+            }
+            procs.append(
+                subprocess.Popen(
+                    [
+                        sys.executable,
+                        "-m",
+                        "tsl_sdr_tpu.parallel._mh_worker",
+                        "--pid", str(pid),
+                        "--nproc", str(n_processes),
+                        "--n-local", str(n_local),
+                        "--channels-per-host", str(channels_per_host),
+                        "--port", str(port),
+                        "--outdir", td,
+                    ],
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                )
+            )
+        logs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            logs.append(out.decode(errors="replace"))
+        for p, log in zip(procs, logs):
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"multihost worker rc={p.returncode}:\n{log[-4000:]}"
+                )
+        outs = [
+            np.load(Path(td) / f"mh_out_{pid}.npz")
+            for pid in range(n_processes)
+        ]
+        pcm0 = outs[0]["pcm"]
+        for pid in range(1, n_processes):
+            if not np.array_equal(pcm0, outs[pid]["pcm"]):
+                raise AssertionError(
+                    f"process {pid} allgathered a different global result"
+                )
+        n_time = n_processes * (n_local // channels_per_host)
+        return {
+            "pcm": pcm0,
+            "dcn_halo_bytes": int(outs[0]["halo_bytes"]),
+            "mesh_shape": (n_time, channels_per_host),
+        }
