@@ -220,3 +220,36 @@ class TestPocsagExactPackedChain:
         assert [(m.capcode, m.function, m.kind, m.data) for m in msgs] == [
             _expected(b) for b in BURSTS[:2]
         ]
+
+
+def test_native_bch_matches_numpy_oracle():
+    """The native C corrector (tslstream.cc tsl_bch3121_decode) is
+    word-for-word identical to the numpy tier on random words, on valid
+    codewords with 0-4 injected errors, and on bit-31-set words."""
+    from tsl_sdr_tpu.models.bch import _NativeBch3121
+
+    try:
+        nat = _NativeBch3121()
+    except Exception:
+        pytest.skip("no native toolchain")
+    ref = pocsag_bch(native=False)
+    rng = np.random.default_rng(7)
+
+    words = rng.integers(0, 1 << 32, size=50_000, dtype=np.int64).astype(
+        np.uint32
+    )
+    cn, fn = nat.decode(words)
+    cr, fr = ref.decode(words)
+    assert np.array_equal(cn, cr) and np.array_equal(fn, fr)
+
+    data = rng.integers(0, 1 << 21, size=10_000, dtype=np.int64)
+    cw = ref.encode(data).astype(np.uint32)
+    for nerr in range(5):
+        w = cw.copy()
+        for _ in range(nerr):
+            w ^= np.uint32(1) << rng.integers(0, 31, size=w.size).astype(
+                np.uint32
+            )
+        cn, fn = nat.decode(w)
+        cr, fr = ref.decode(w)
+        assert np.array_equal(cn, cr) and np.array_equal(fn, fr), nerr

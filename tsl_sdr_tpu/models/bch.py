@@ -227,6 +227,37 @@ class BchCode:
         return int(c[0]), bool(f[0])
 
 
-def pocsag_bch() -> BchCode:
-    """The BCH(31,21,t=2) instance both pager protocols use."""
+class _NativeBch3121(BchCode):
+    """BCH(31,21,t=2) with the batch decode routed to the native corrector
+    (native/tslstream.cc tsl_bch3121_decode) — same contract, ~50x less
+    per-call overhead than the numpy tier at pager word-batch sizes.
+    Encode and table construction stay on the numpy base."""
+
+    def __init__(self):
+        super().__init__([1, 0, 1, 0, 0, 1], 5, 31, 21, 2)
+        from tsl_sdr_tpu.runtime.native import bch3121_decode_native
+
+        self._native = bch3121_decode_native
+        self._native(np.zeros(1, np.uint32))  # build + smoke-check
+
+    def decode(self, words):
+        return self._native(np.atleast_1d(np.asarray(words, np.uint32)))
+
+    def decode_one(self, word: int):
+        c, f = self._native(np.asarray([word], np.uint32))
+        return int(c[0]), bool(f[0])
+
+
+def pocsag_bch(native: bool | None = None) -> BchCode:
+    """The BCH(31,21,t=2) instance both pager protocols use.
+
+    ``native=None`` auto-selects the native-backed decoder when a toolchain
+    is available; ``native=False`` forces the pure-numpy tier (the fuzz
+    oracle); ``native=True`` raises if the native build fails."""
+    if native is not False:
+        try:
+            return _NativeBch3121()
+        except Exception:  # noqa: BLE001 — no toolchain: numpy tier
+            if native:
+                raise
     return BchCode([1, 0, 1, 0, 0, 1], 5, 31, 21, 2)

@@ -381,13 +381,13 @@ class FlexDecoder:
                     self.sample_delta = delta
                     self.fiw = fiw_raw
                     self._nat.verdict(self._handle_fiw())
-                else:  # completed frame: vectorized BCH + message assembly
+                else:  # completed frame: batched BCH + message assembly
                     _, idx, phases = ev
                     self.coding = self._CODING_LIST[idx]
                     for pid, words in phases:
-                        self.phases[pid].words = [int(wv) for wv in words]
-                        self._phase_process(int(pid))
-                        self.phases[pid].reset()
+                        # writable copy (frombuffer views are read-only;
+                        # address decode mutates entries in place)
+                        self._phase_process(int(pid), words.copy())
                     # end-of-frame context reset (_reset_sync equivalent)
                     self.frame_date = None
                     self.frame_time = None
@@ -586,19 +586,23 @@ class FlexDecoder:
         # functions 5 (system info) and 7 (country) are log-only in the
         # reference and carry no decoded fields
 
-    def _phase_process(self, phase_id: int):
-        phs = self.phases[phase_id]
-        words = phs.words
-        # one vectorized BCH pass over the phase's 88 words; decode is a
+    def _phase_process(self, phase_id: int, words=None):
+        """Decode one phase's 88 words. ``words`` may be a writable uint32
+        array (the native frame event path) or None to use the python-tier
+        ``self.phases`` list."""
+        if words is None:
+            words = self.phases[phase_id].words
+            raws = np.asarray(words, np.uint64).astype(np.uint32) & np.uint32(
+                0x7FFFFFFF)
+        else:
+            raws = words & np.uint32(0x7FFFFFFF)
+        # one batched BCH pass over the phase's 88 words; decode is a
         # pure per-word function, so the value-keyed cache stays correct
         # even though address decode mutates entries in place
-        raws = np.asarray(words, np.uint64).astype(np.uint32) & np.uint32(
-            0x7FFFFFFF)
         corr_all, fail_all = self.bch.decode(raws)
-        self._bch_cache = {
-            int(r): (int(c), bool(f))
-            for r, c, f in zip(raws, corr_all, fail_all)
-        }
+        self._bch_cache = dict(
+            zip(raws.tolist(), zip(corr_all.tolist(), fail_all.tolist()))
+        )
         biw, fail = self._bch_word(words[0])
         if fail or _word_checksum(biw) != 0xF:
             return
@@ -878,10 +882,12 @@ class FlexDecoder:
         same instance.
         """
         pcm = np.asarray(pcm, dtype=np.int16)
-        if self._nat is not None and self._nat_used:
-            # the instance is mid-stream in the NATIVE FSM (on_pcm was used
-            # first); running the fresh numpy FSM here would silently lose
-            # the in-flight frame — stay on the native streaming path
+        if self._nat is not None:
+            # one machine owns the protocol: the native FSM's tight BS1
+            # hunt (~800 Msps on sync-free input) outruns the numpy
+            # prefilter, so scan() is a straight delegate — exactly like
+            # PocsagDecoder.scan. The numpy prefilter + vectorized tiers
+            # below remain as the native=False fuzz reference.
             start_n = len(self.messages)
             self._on_pcm_native(pcm)
             return self.messages[start_n:]

@@ -709,6 +709,16 @@ void tsl_flex_sync_reset_only(void* h) {
   flex_sync_reset_only(static_cast<FlexState*>(h));
 }
 
+// Sync progress for the scan() prefilter's "searching" gate (models/flex.py
+// scan: safe to fast-forward only while hunting BS1 with no bits banked).
+void tsl_flex_sync_info(void* h, int* state, int* sync_state,
+                        int* bit_counter) {
+  auto* st = static_cast<FlexState*>(h);
+  *state = st->state;
+  *sync_state = st->sync_state;
+  *bit_counter = st->bit_counter;
+}
+
 // FIW verdict from the Python BCH: ok -> SYNC_2 at the matched coding's
 // cadence; fail -> full sync reset (models/flex.py on_pcm FIW handling).
 void tsl_flex_verdict(void* h, int ok) {
@@ -742,6 +752,27 @@ long tsl_flex_on_pcm(void* h, const int16_t* pcm, size_t n, uint8_t* out,
   size_t i = 0;
   for (; i < n; i++) {
     if (st->state == 3) break;  // awaiting the FIW verdict
+    // tight SEARCH_BS1 hunt: the dominant state on sync-free input.
+    // Locals + a single-compare loop body (exact same per-sample
+    // semantics as the general path below: SYNC_1 always runs with
+    // skip == 0, so the skip_count gate is vacuous here).
+    if (st->state == 0 && st->sync_state == 0 && st->skip_count == 0) {
+      int sc = st->sample_counter;
+      uint32_t* sw = st->sync_words;
+      for (; i < n; i++) {
+        sc = (sc + 1 == 10) ? 0 : sc + 1;
+        const uint32_t r = (sw[sc] << 1) | (uint32_t)(pcm[i] >= 0);
+        sw[sc] = r;
+        if (r == 0xAAAAAAAAu) {
+          st->bit_counter = 1;
+          st->sync_state = 1;
+          break;
+        }
+      }
+      st->sample_counter = sc;
+      if (i >= n) break;
+      continue;  // the BS1-matching sample is consumed; resume general path
+    }
     if (st->skip_count != 0) {
       st->skip_count--;
       continue;
@@ -893,6 +924,101 @@ long tsl_flex_on_pcm(void* h, const int16_t* pcm, size_t n, uint8_t* out,
   }
   *consumed = i;
   return (long)w;
+}
+
+}  // extern "C"
+
+// ---- BCH(31,21,t=2) batch decoder ------------------------------------------
+//
+// Native fast path for the pager protocols' BCH word corrector. Exact
+// behavior contract of models/bch.py BchCode.decode (itself matching the
+// reference pager/bch_code.c:329-392): syndromes over GF(2^5) with
+// primitive polynomial 1 + x^2 + x^5, single-error correction when
+// log s3 == 3 log s1, closed-form two-error locator + Chien search,
+// reject otherwise; the reference's s1==s2==0-with-s3/s4-set silent-pass
+// quirk kept. Batch API so a frame's every word decodes in one call.
+
+namespace {
+
+struct Bch3121Tables {
+  int32_t alpha_to[32];
+  int32_t index_of[32];
+  int32_t syn_contrib[4][31];  // alpha^{(i+1)*j}, indexed by degree j
+  Bch3121Tables() {
+    const int poly_mask = 0x5;  // 1 + x^2 (x^5 handled by the reduction)
+    int v = 1;
+    for (int i = 0; i < 32; i++) index_of[i] = -1;
+    for (int i = 0; i < 31; i++) {
+      alpha_to[i] = v;
+      index_of[v] = i;
+      v <<= 1;
+      if (v & 32) v = (v ^ 32) ^ poly_mask;
+    }
+    alpha_to[31] = 0;
+    index_of[0] = -1;
+    for (int i = 0; i < 4; i++)
+      for (int j = 0; j < 31; j++)
+        syn_contrib[i][j] = alpha_to[((i + 1) * j) % 31];
+  }
+};
+
+const Bch3121Tables kBch;
+
+// Decode one 31-bit word (word bit 31 is ignored for syndromes but kept in
+// the output, as in the numpy tier). Returns the corrected word; *fail set.
+inline uint32_t bch3121_decode_one(uint32_t word, uint8_t* fail) {
+  int s[4] = {0, 0, 0, 0};
+  uint32_t t = word & 0x7FFFFFFFu;
+  while (t) {
+    const int pos = __builtin_ctz(t);
+    t &= t - 1;
+    const int j = 30 - pos;  // degree of this bit (MSB-first convention)
+    s[0] ^= kBch.syn_contrib[0][j];
+    s[1] ^= kBch.syn_contrib[1][j];
+    s[2] ^= kBch.syn_contrib[2][j];
+    s[3] ^= kBch.syn_contrib[3][j];
+  }
+  *fail = 0;
+  if (!(s[0] | s[1] | s[2] | s[3])) return word;
+  const int s1_log = kBch.index_of[s[0]];
+  const int s2_log = kBch.index_of[s[1]];
+  const int s3_log = kBch.index_of[s[2]];
+  if (s1_log != -1) {
+    const int s3 = (s1_log * 3) % 31;
+    if (s3_log == s3)  // single error
+      return word ^ (1u << (30 - s1_log));
+    // two-error locator: aux = alpha^{3 log s1} ^ s3
+    const int aux = kBch.alpha_to[s3] ^ s[2];
+    const int log_aux = kBch.index_of[aux];
+    const int elp1 = (s2_log - log_aux + 31) % 31;  // operands >= -31: safe
+    const int elp2 = (s1_log - log_aux + 31) % 31;
+    int roots[2];
+    int nroots = 0;
+    for (int i = 1; i <= 31; i++) {
+      const int q = 1 ^ kBch.alpha_to[(elp1 + i) % 31] ^
+                    kBch.alpha_to[(elp2 + 2 * i) % 31];
+      if (q == 0) {
+        if (nroots < 2) roots[nroots] = i % 31;
+        nroots++;
+      }
+    }
+    if (nroots == 2)
+      return word ^ (1u << (30 - roots[0])) ^ (1u << (30 - roots[1]));
+    *fail = 1;
+    return word;
+  }
+  if (s2_log != -1) *fail = 1;  // detect-only failure
+  // s1 == s2 == 0 with s3/s4 set: reference passes silently (kept)
+  return word;
+}
+
+}  // namespace
+
+extern "C" {
+
+void tsl_bch3121_decode(const uint32_t* in, long n, uint32_t* out,
+                        uint8_t* fail) {
+  for (long i = 0; i < n; i++) out[i] = bch3121_decode_one(in[i], &fail[i]);
 }
 
 }  // extern "C"

@@ -94,6 +94,14 @@ def load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_size_t),
         ]
+        lib.tsl_flex_sync_info.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.tsl_bch3121_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.tsl_pocsag_new.restype = ctypes.c_void_p
         lib.tsl_pocsag_free.argtypes = [ctypes.c_void_p]
         lib.tsl_pocsag_state.restype = ctypes.c_int
@@ -118,6 +126,22 @@ def load():
         ]
         _LIB = lib
         return lib
+
+
+def bch3121_decode_native(words: np.ndarray):
+    """Batch BCH(31,21,t=2) decode via the native corrector.
+
+    Same contract as models/bch.py BchCode.decode on the POCSAG/FLEX
+    instance (fuzz-diffed in tests/test_models.py)."""
+    lib = load()
+    words = np.ascontiguousarray(words, np.uint32)
+    out = np.empty_like(words)
+    fail = np.empty(words.size, np.uint8)
+    lib.tsl_bch3121_decode(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), words.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        fail.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out, fail.astype(bool)
 
 
 class FlexNative:
@@ -176,6 +200,14 @@ class FlexNative:
 
     def sync_reset_only(self):
         self._lib.tsl_flex_sync_reset_only(self._h)
+
+    def sync_info(self):
+        """(state, sync_state, bit_counter) — the scan() prefilter's
+        fast-forward gate."""
+        a, b, c = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        self._lib.tsl_flex_sync_info(
+            self._h, ctypes.byref(a), ctypes.byref(b), ctypes.byref(c))
+        return a.value, b.value, c.value
 
     @property
     def state(self) -> int:
