@@ -60,7 +60,7 @@ def cpu_baseline_msps() -> float:
     return float(out.stdout.strip())
 
 
-def _backend_msps(backend: str) -> float:
+def _backend_prepare(backend: str):
     import jax
     import jax.numpy as jnp
     from tsl_sdr_tpu.models.channelizer import MultifmChain
@@ -104,8 +104,7 @@ def _backend_msps(backend: str) -> float:
     float(run_lo(state0, blocks))  # compile
     float(run_hi(state0, blocks))
 
-    best = float("inf")
-    for _ in range(TRIALS):
+    def trial():
         t0 = time.perf_counter()
         float(run_lo(state0, blocks))
         t_lo = time.perf_counter() - t0
@@ -113,33 +112,47 @@ def _backend_msps(backend: str) -> float:
         float(run_hi(state0, blocks))
         t_hi = time.perf_counter() - t0
         dt = (t_hi - t_lo) / (REP_HI - REP_LO)
-        if 0 < dt < best:
-            best = dt
-    return samples_per_pass / best / 1e6
+        if dt <= 0:
+            return None
+        return samples_per_pass / dt / 1e6
+
+    return trial
 
 
-def tpu_msps() -> float:
-    results = {}
+def tpu_trials() -> dict:
+    """Per-backend per-trial Msps, trials INTERLEAVED across backends so a
+    co-tenant noise burst cannot poison one backend's whole set."""
+    prepared = {}
     for backend in ("xla", "pallas"):
         try:
-            results[backend] = _backend_msps(backend)
+            prepared[backend] = _backend_prepare(backend)
         except Exception as e:  # noqa: BLE001
             print(f"{backend} backend failed: {e}", file=sys.stderr)
-    print(f"per-backend Msps: {results}", file=sys.stderr)
-    if not results:
-        raise RuntimeError(
-            "all backends failed (per-backend errors above)")
-    return max(results.values())
+    if not prepared:
+        raise RuntimeError("all backends failed (per-backend errors above)")
+    results = {b: [] for b in prepared}
+    for _ in range(TRIALS):
+        for b, fn in prepared.items():
+            r = fn()
+            if r is not None:
+                results[b].append(round(r, 1))
+    print(f"per-backend trial Msps: {results}", file=sys.stderr)
+    return results
 
 
 def main():
-    tpu = tpu_msps()
+    import statistics
+
+    trials = tpu_trials()
+    all_rates = [r for rs in trials.values() for r in rs]
+    tpu = max(all_rates)
     try:
         cpu = cpu_baseline_msps()
     except Exception as e:  # noqa: BLE001
         print(f"cpu baseline failed: {e}", file=sys.stderr)
         cpu = float("nan")
     ratio = tpu / cpu if cpu == cpu and cpu > 0 else None
+    best_backend = max(trials, key=lambda b: max(trials[b], default=0.0))
     print(
         json.dumps(
             {
@@ -150,6 +163,9 @@ def main():
                 "value": round(tpu, 2),
                 "unit": "Msamples/s",
                 "vs_baseline": round(ratio, 2) if ratio else None,
+                "median": round(statistics.median(trials[best_backend]), 2),
+                "trials_msps": trials,
+                "backend": best_backend,
             }
         )
     )

@@ -1,16 +1,30 @@
 #!/usr/bin/env python3
 """Benchmark suite: the five BASELINE.json configs on real hardware.
 
-Writes BENCH_SUITE.md with one row per config. ``bench.py`` remains the
-driver-facing single-line headline; this suite is the full coverage run.
+Writes BENCH_SUITE.md (human table) and BENCH_SUITE.json (regression-grade
+record: every individual trial, best/median/spread per metric, and a
+comparison against the previously committed snapshot that flags >30%
+median drops).
+
+Methodology upgrades over round 2 (VERDICT r2 "what's weak" #3):
+
+* trials are INTERLEAVED across configs — co-tenant noise on this box
+  arrives in bursts, so consecutive trials of one config correlate; a
+  round-robin decorrelates them;
+* per-trial rates are recorded, not just the best scalar, so a real
+  regression is distinguishable from one lucky/unlucky trial;
+* the suite diffs its own previous committed JSON and reports any metric
+  whose median dropped >30% (the r1->r2 headline swing would have been
+  flagged by this).
 
 Device timing uses the honest harness (state-threaded on-device rep scan,
-differential long/short runs, best of trials — see bench.py); host decoders
-are timed directly. The device->host tunnel on this box moves bulk data at
-<3 MB/s, so device benches consume results on-device via checksums.
+differential long/short runs — see bench.py); host decoders are timed
+directly. The device->host tunnel on this box moves bulk data at <3 MB/s,
+so device benches consume results on-device via checksums.
 """
 
 import json
+import statistics
 import subprocess
 import sys
 import time
@@ -19,10 +33,15 @@ from pathlib import Path
 import numpy as np
 
 REPO = Path(__file__).resolve().parent
-REP_LO, REP_HI, TRIALS = 2, 10, 4
+REP_LO, REP_HI = 2, 10
+DEVICE_TRIALS = 6
+HOST_TRIALS = 3
+DROP_FLAG_PCT = 30.0
 
 
-def _device_rate(step_fn, state0, blocks, samples_per_pass):
+def _device_trial_fn(step_fn, state0, blocks, samples_per_pass):
+    """Compile the differential lo/hi runners; return a zero-arg callable
+    performing ONE differential trial -> Msps."""
     import jax
     import jax.numpy as jnp
 
@@ -45,10 +64,10 @@ def _device_rate(step_fn, state0, blocks, samples_per_pass):
         return run
 
     run_lo, run_hi = make(REP_LO), make(REP_HI)
-    float(run_lo(state0, blocks))
+    float(run_lo(state0, blocks))  # compile + warm with the exact shapes
     float(run_hi(state0, blocks))
-    best = float("inf")
-    for _ in range(TRIALS):
+
+    def trial():
         t0 = time.perf_counter()
         float(run_lo(state0, blocks))
         t_lo = time.perf_counter() - t0
@@ -56,14 +75,14 @@ def _device_rate(step_fn, state0, blocks, samples_per_pass):
         float(run_hi(state0, blocks))
         t_hi = time.perf_counter() - t0
         dt = (t_hi - t_lo) / (REP_HI - REP_LO)
-        if 0 < dt < best:
-            best = dt
-    return samples_per_pass / best / 1e6
+        if dt <= 0:
+            return None  # noise swallowed the differential; drop the trial
+        return samples_per_pass / dt / 1e6
+
+    return trial
 
 
-def bench_multifm(nr_channels: int) -> float:
-    """Best of the two production backends (XLA wins at small channel
-    counts, the fused Pallas kernel at large ones)."""
+def prep_multifm(nr_channels, backend):
     import jax
     import jax.numpy as jnp
     from tsl_sdr_tpu.models.channelizer import MultifmChain
@@ -74,22 +93,17 @@ def bench_multifm(nr_channels: int) -> float:
     rng = np.random.default_rng(0)
     offsets = rng.integers(-fs // 3, fs // 3, size=nr_channels)
     block = 16_776_960
-    best = 0.0
-    for backend in ("xla", "pallas"):
-        chain = MultifmChain(lpf, offsets, fs, d, exact=False,
-                             backend=backend)
-        iq = rng.integers(-8000, 8000, size=(chain.carry_len + block, 2),
-                          dtype=np.int64).astype(np.int16)
-        st0 = chain.init_state(prefix=iq[: chain.carry_len])
-        blocks = jax.device_put(
-            jnp.asarray(iq[chain.carry_len :].reshape(1, 2 * block))
-        )
-        best = max(best, _device_rate(chain._step_raw, st0, blocks, block))
-    return best
+    chain = MultifmChain(lpf, offsets, fs, d, exact=False, backend=backend)
+    iq = rng.integers(-8000, 8000, size=(chain.carry_len + block, 2),
+                      dtype=np.int64).astype(np.int16)
+    st0 = chain.init_state(prefix=iq[: chain.carry_len])
+    blocks = jax.device_put(
+        jnp.asarray(iq[chain.carry_len:].reshape(1, 2 * block))
+    )
+    return _device_trial_fn(chain._step_raw, st0, blocks, block)
 
 
-def bench_exact_fir() -> float:
-    """Device throughput of the bit-exact integer FIR (packed_fir_step_exact)."""
+def prep_exact_fir():
     import jax
     import jax.numpy as jnp
     from tsl_sdr_tpu.models.channelizer import MultifmChain
@@ -107,17 +121,17 @@ def bench_exact_fir() -> float:
                       dtype=np.int64).astype(np.int16)
     carry = packed_fir.init_packed_carry(plan, iq[: plan.carry_len])
     blocks = jax.device_put(
-        jnp.asarray(iq[plan.carry_len :].reshape(1, 2 * block))
+        jnp.asarray(iq[plan.carry_len:].reshape(1, 2 * block))
     )
 
     def step(cv, bv):
         cv, a_re, a_im = packed_fir.packed_fir_step_exact(plan, cv, bv)
         return cv, (a_re.astype(jnp.int32) + a_im.astype(jnp.int32))
 
-    return _device_rate(step, carry, blocks, block)
+    return _device_trial_fn(step, carry, blocks, block)
 
 
-def bench_resampler() -> float:
+def prep_resampler():
     import jax
     import jax.numpy as jnp
     from tsl_sdr_tpu.ops import polyphase, q14
@@ -129,10 +143,11 @@ def bench_resampler() -> float:
     )
     rng = np.random.default_rng(0)
     nb = 8
-    x = rng.integers(-12000, 12000, size=(plan.carry_len + nb * plan.block_in,),
+    x = rng.integers(-12000, 12000,
+                     size=(plan.carry_len + nb * plan.block_in,),
                      dtype=np.int64).astype(np.int16)
     blocks = jax.device_put(
-        jnp.asarray(x[plan.carry_len :].reshape(nb, plan.block_in))
+        jnp.asarray(x[plan.carry_len:].reshape(nb, plan.block_in))
     )
     st0 = polyphase.init_resampler_state(plan, prefix=x[: plan.carry_len])
 
@@ -140,10 +155,10 @@ def bench_resampler() -> float:
         st2, out = polyphase.resample_step(plan, st, blk, exact=False)
         return st2, out.astype(jnp.int32)
 
-    return _device_rate(step, st0, blocks, nb * plan.block_in)
+    return _device_trial_fn(step, st0, blocks, nb * plan.block_in)
 
 
-def bench_pocsag_chain() -> dict:
+def prep_pocsag_chain():
     """Wideband -> channelize+demod (TPU) -> POCSAG scan (host)."""
     from tsl_sdr_tpu.models.channelizer import MultifmChain
     from tsl_sdr_tpu.models.pocsag import PocsagDecoder
@@ -170,19 +185,19 @@ def bench_pocsag_chain() -> dict:
     # different shape recompiles and the measurement becomes compile time
     # (this exact bug made round 1 record 0.8 Msps for this row)
     chain.process_array(iq, block_size=4_000_000)
-    best = 0.0
-    msgs = []
-    for _ in range(3):
+
+    def trial():
         t0 = time.perf_counter()
         pcm = chain.process_array(iq, block_size=4_000_000)[0]
         msgs = PocsagDecoder().scan(pcm)
         dt = time.perf_counter() - t0
-        best = max(best, len(iq) / dt / 1e6)
-    assert any(m.capcode == 1234567 for m in msgs), "decode failed"
-    return {"msps": best, "messages": len(msgs)}
+        assert any(m.capcode == 1234567 for m in msgs), "decode failed"
+        return len(iq) / dt / 1e6
+
+    return trial
 
 
-def bench_pipeline_8ch() -> dict:
+def prep_pipeline_8ch():
     """The reference's flagship deployment shape, end-to-end in one call:
     1.2288 Msps wideband -> 8 POCSAG channels channelized on TPU ->
     device-side sign bit-pack -> 8 host decoders."""
@@ -214,18 +229,19 @@ def bench_pipeline_8ch() -> dict:
         firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
         [ChannelSpec(center + o, "pocsag") for o in offsets], exact=False)
     pipe.process_capture(iq)  # warm the exact measurement shape
-    best = 0.0
-    res = []
-    for _ in range(3):
+
+    def trial():
         t0 = time.perf_counter()
         res = pipe.process_capture(iq)
-        best = max(best, len(iq) / (time.perf_counter() - t0) / 1e6)
-    caps = sorted(m.capcode for msgs in res for m in msgs)
-    assert caps == [100000 + k for k in range(8)], caps
-    return {"msps": best}
+        rate = len(iq) / (time.perf_counter() - t0) / 1e6
+        caps = sorted(m.capcode for msgs in res for m in msgs)
+        assert caps == [100000 + k for k in range(8)], caps
+        return rate
+
+    return trial
 
 
-def bench_decoder_scans() -> dict:
+def prep_decoder_scans():
     from tsl_sdr_tpu.models.ais import AisDecoder
     from tsl_sdr_tpu.models.flex import FlexDecoder
     from tsl_sdr_tpu.models.pocsag import PocsagDecoder
@@ -233,35 +249,31 @@ def bench_decoder_scans() -> dict:
     rng = np.random.default_rng(2)
     pcm = rng.integers(-8000, 8000, size=8_000_000,
                        dtype=np.int64).astype(np.int16)
-    out = {}
-    for name, dec in (("pocsag", PocsagDecoder()), ("flex", FlexDecoder()),
-                      ("ais", AisDecoder())):
-        t0 = time.perf_counter()
-        dec.scan(pcm)
-        out[name] = len(pcm) / (time.perf_counter() - t0) / 1e6
-    return out
+    decs = {"pocsag": PocsagDecoder, "flex": FlexDecoder, "ais": AisDecoder}
+
+    def trial():
+        out = {}
+        for name, cls in decs.items():
+            t0 = time.perf_counter()
+            cls().scan(pcm)
+            out[name] = len(pcm) / (time.perf_counter() - t0) / 1e6
+        return out
+
+    return trial
 
 
-def bench_decoder_dense() -> dict:
+def prep_decoder_dense():
     """100%-duty burst traffic (VERDICT r1 item 9's >= 20 Msps target)."""
     from tsl_sdr_tpu.models.ais import AisDemodulator
+    from tsl_sdr_tpu.models.flex import FlexDecoder
     from tsl_sdr_tpu.models.pocsag import PocsagDecoder
-    from tsl_sdr_tpu.testing import ais_gen, pocsag_gen
+    from tsl_sdr_tpu.testing import ais_gen, flex_gen, pocsag_gen
 
-    out = {}
     bursts = [pocsag_gen.PocsagBurst(capcode=1000 + k, function=1,
                                      kind="alpha",
                                      content="DENSE TRAFFIC %03d " % k * 3)
               for k in range(40)]
-    pcm = pocsag_gen.generate(bursts, baud=2400, tail_bits=16)
-    d = PocsagDecoder()
-    t0 = time.perf_counter()
-    msgs = d.scan(pcm)
-    out["pocsag"] = len(pcm) / (time.perf_counter() - t0) / 1e6
-    assert len(msgs) == 40
-
-    from tsl_sdr_tpu.models.flex import FlexDecoder
-    from tsl_sdr_tpu.testing import flex_gen
+    ppcm = pocsag_gen.generate(bursts, baud=2400, tail_bits=16)
 
     fmsgs = [flex_gen.FlexBurstMessage(capcode=10000 + k, kind="alnum",
                                        content="DENSE FLEX %03d" % k)
@@ -269,23 +281,35 @@ def bench_decoder_dense() -> dict:
     frames = [flex_gen.generate(fmsgs, baud=6400, fsk_levels=4,
                                 tail_bits=16)[0] for _ in range(6)]
     fpcm = np.concatenate(frames)
-    f = FlexDecoder()
-    t0 = time.perf_counter()
-    fout = f.on_pcm(fpcm)  # streaming API -> native FSM
-    out["flex"] = len(fpcm) / (time.perf_counter() - t0) / 1e6
-    assert len(fout) == 24
 
     pkts = [ais_gen.make_position_report(366000000 + k) for k in range(600)]
     sig = ais_gen.generate(pkts)
-    a = AisDemodulator()
-    t0 = time.perf_counter()
-    a.on_pcm(sig)
-    out["ais"] = len(sig) / (time.perf_counter() - t0) / 1e6
-    assert len(a.packets) == 600
-    return out
+
+    def trial():
+        out = {}
+        d = PocsagDecoder()
+        t0 = time.perf_counter()
+        msgs = d.scan(ppcm)
+        out["pocsag"] = len(ppcm) / (time.perf_counter() - t0) / 1e6
+        assert len(msgs) == 40
+
+        f = FlexDecoder()
+        t0 = time.perf_counter()
+        fout = f.on_pcm(fpcm)  # streaming API -> native FSM
+        out["flex"] = len(fpcm) / (time.perf_counter() - t0) / 1e6
+        assert len(fout) == 24
+
+        a = AisDemodulator()
+        t0 = time.perf_counter()
+        a.on_pcm(sig)
+        out["ais"] = len(sig) / (time.perf_counter() - t0) / 1e6
+        assert len(a.packets) == 600
+        return out
+
+    return trial
 
 
-def bench_costas_native() -> float:
+def prep_costas():
     from tsl_sdr_tpu.ops import costas
     from tsl_sdr_tpu.runtime.native import costas_native
 
@@ -297,9 +321,13 @@ def bench_costas_native() -> float:
     params = costas.make_costas_params(0.0, alpha=0.05, beta=0.002,
                                        e_max_q14=8192)
     costas_native(iq[:100_000], params)  # warm
-    t0 = time.perf_counter()
-    costas_native(iq, params)
-    return n / (time.perf_counter() - t0) / 1e6
+
+    def trial():
+        t0 = time.perf_counter()
+        costas_native(iq, params)
+        return n / (time.perf_counter() - t0) / 1e6
+
+    return trial
 
 
 def cpu_baseline(nr_channels, taps, decim) -> float:
@@ -315,57 +343,158 @@ def cpu_baseline(nr_channels, taps, decim) -> float:
     return float(out.stdout.strip())
 
 
+def _collect(benches, n_trials):
+    """Round-robin the benches so co-tenant noise bursts decorrelate
+    across configs instead of poisoning one config's whole trial set."""
+    trials = {key: [] for key in benches}
+    for _ in range(n_trials):
+        for key, fn in benches.items():
+            r = fn()
+            if r is not None:
+                trials[key].append(r)
+    return trials
+
+
+def _summarize(samples):
+    """[float] or [dict] trial lists -> {metric: {best, median, min, max}}"""
+    if samples and isinstance(samples[0], dict):
+        keys = samples[0].keys()
+        return {
+            k: _summarize([s[k] for s in samples])[""] for k in keys
+        }
+    vals = [float(v) for v in samples]
+    return {"": {
+        "best": max(vals),
+        "median": statistics.median(vals),
+        "min": min(vals),
+        "max": max(vals),
+        "trials": vals,
+    }}
+
+
+def _flatten_summary(summary):
+    """{config: {metric: stats}} -> {"config[/metric]": stats}"""
+    flat = {}
+    for cfg, metrics in summary.items():
+        for m, st in metrics.items():
+            flat[f"{cfg}/{m}" if m else cfg] = st
+    return flat
+
+
+def compare_with_previous(flat, prev_path):
+    """Flag metrics whose median dropped more than DROP_FLAG_PCT percent
+    vs the previously committed BENCH_SUITE.json."""
+    if not prev_path.exists():
+        return []
+    try:
+        prev = json.loads(prev_path.read_text())
+        prev_flat = prev.get("flat_summary", {})
+    except Exception:
+        return []
+    regressions = []
+    for key, st in flat.items():
+        p = prev_flat.get(key)
+        if not p or not p.get("median"):
+            continue
+        drop = (p["median"] - st["median"]) / p["median"] * 100.0
+        if drop > DROP_FLAG_PCT:
+            regressions.append({
+                "metric": key,
+                "prev_median": round(p["median"], 2),
+                "median": round(st["median"], 2),
+                "drop_pct": round(drop, 1),
+            })
+    return regressions
+
+
+def _fmt(st, unit="Msps"):
+    spread = st["max"] - st["min"]
+    return (f"{st['best']:,.1f} {unit} (median {st['median']:,.1f}, "
+            f"spread {spread:,.1f} over {len(st['trials'])} trials)")
+
+
 def main():
     import jax
     from tsl_sdr_tpu.utils import roofline
 
     platform = jax.devices()[0].platform
-    rows = []
 
-    r = bench_multifm(1)
-    b = roofline.channelizer(1, 128, 40)
-    rows.append(("multifm 1-channel NBFM (128 taps, decim 40)",
-                 f"{r:,.0f} Msps/chip", b.describe(r)))
-    r8 = bench_multifm(8)
+    # ---- prepare (compile/warm) everything up front ----
+    print("preparing device benches...", file=sys.stderr)
+    device_benches = {
+        "multifm_1ch_xla": prep_multifm(1, "xla"),
+        "multifm_1ch_pallas": prep_multifm(1, "pallas"),
+        "multifm_8ch_xla": prep_multifm(8, "xla"),
+        "multifm_8ch_pallas": prep_multifm(8, "pallas"),
+        "multifm_64ch_xla": prep_multifm(64, "xla"),
+        "multifm_64ch_pallas": prep_multifm(64, "pallas"),
+        "exact_fir_8ch": prep_exact_fir(),
+        "resampler_16_25": prep_resampler(),
+    }
+    print("preparing host/e2e benches...", file=sys.stderr)
+    host_benches = {
+        "pocsag_chain_e2e": prep_pocsag_chain(),
+        "pipeline_8ch_e2e": prep_pipeline_8ch(),
+        "decoder_scans": prep_decoder_scans(),
+        "decoder_dense": prep_decoder_dense(),
+        "costas_native": prep_costas(),
+    }
+
+    # ---- interleaved measurement ----
+    print("running interleaved device trials...", file=sys.stderr)
+    trials = _collect(device_benches, DEVICE_TRIALS)
+    print("running interleaved host trials...", file=sys.stderr)
+    trials.update(_collect(host_benches, HOST_TRIALS))
+
+    summary = {k: _summarize(v) for k, v in trials.items()}
+    flat = _flatten_summary(summary)
+
+    regressions = compare_with_previous(flat, REPO / "BENCH_SUITE.json")
+
+    # ---- derived row values ----
+    def best_of(*keys):
+        sts = [flat[k] for k in keys]
+        return max(sts, key=lambda s: s["best"])
+
+    r1 = best_of("multifm_1ch_xla", "multifm_1ch_pallas")
+    r8 = best_of("multifm_8ch_xla", "multifm_8ch_pallas")
+    r64 = best_of("multifm_64ch_xla", "multifm_64ch_pallas")
     cpu8 = cpu_baseline(8, 128, 40)
-    b = roofline.channelizer(8, 128, 40)
-    rows.append(("multifm 8-channel channelizer (etc/multifm.json shape)",
-                 f"{r8:,.0f} Msps/chip ({r8 / cpu8:,.0f}x the scalar C "
-                 f"baseline at {cpu8:.1f} Msps)", b.describe(r8)))
-    r64 = bench_multifm(64)
+    b1 = roofline.channelizer(1, 128, 40)
+    b8 = roofline.channelizer(8, 128, 40)
     b64 = roofline.channelizer(64, 128, 40)
-    rows.append(("multifm 64-channel channelizer (8x the reference's "
-                 "flagship width)",
-                 f"{r64:,.0f} Msps/chip = {r64 * 64 / 1e3:,.1f} G "
-                 "channel-samples/s", b64.describe(r64)))
-    r = bench_exact_fir()
-    b = roofline.channelizer(8, 128, 40)
-    rows.append(("BIT-EXACT integer FIR bank (== C arithmetic, 8ch/128tap)",
-                 f"{r:,.0f} Msps/chip on-device", b.describe(r)))
-    r = bench_resampler()
-    b = roofline.resampler(821, 16, 25)
-    rows.append(("rational resampler 16/25 (821 taps)",
-                 f"{r:,.0f} Msps/chip", b.describe(r)))
-    p = bench_pocsag_chain()
-    rows.append(("POCSAG chain: wideband 1.2288 Msps -> channelize+demod "
-                 "(TPU) -> scan decode (host)",
-                 f"{p['msps']:,.1f} Msps end-to-end, messages verified", "-"))
-    p8 = bench_pipeline_8ch()
-    rows.append(("pipeline: 8-channel POCSAG deployment, wideband -> "
-                 "8 decoded channels in one call",
-                 f"{p8['msps']:,.1f} Msps end-to-end, all 8 messages "
-                 "verified", "-"))
-    scans = bench_decoder_scans()
-    rows.append(("decoder batch scans on sync-free PCM (host)",
-                 f"POCSAG {scans['pocsag']:.1f} / FLEX {scans['flex']:.0f} / "
-                 f"AIS {scans['ais']:.0f} Msps", "-"))
-    dense = bench_decoder_dense()
-    rows.append(("decoder 100%-duty burst traffic (host)",
-                 f"POCSAG {dense['pocsag']:.1f} / FLEX {dense['flex']:.1f} / "
-                 f"AIS {dense['ais']:.0f} Msps", "-"))
-    r = bench_costas_native()
-    rows.append(("Costas loop (native serial PLL, host)",
-                 f"{r:,.0f} Msps", "-"))
+    br = roofline.resampler(821, 16, 25)
+
+    rows = [
+        ("multifm 1-channel NBFM (128 taps, decim 40)",
+         _fmt(r1), b1.describe(r1["best"])),
+        ("multifm 8-channel channelizer (etc/multifm.json shape)",
+         _fmt(r8) + f" = {r8['best'] / cpu8:,.0f}x the scalar C baseline "
+         f"at {cpu8:.1f} Msps", b8.describe(r8["best"])),
+        ("multifm 64-channel channelizer (8x the reference's flagship width)",
+         _fmt(r64) + f" = {r64['best'] * 64 / 1e3:,.1f} G channel-samples/s",
+         b64.describe(r64["best"])),
+        ("BIT-EXACT integer FIR bank (== C arithmetic, 8ch/128tap)",
+         _fmt(flat["exact_fir_8ch"]), b8.describe(flat["exact_fir_8ch"]["best"])),
+        ("rational resampler 16/25 (821 taps)",
+         _fmt(flat["resampler_16_25"]), br.describe(flat["resampler_16_25"]["best"])),
+        ("POCSAG chain: wideband 1.2288 Msps -> channelize+demod (TPU) -> "
+         "scan decode (host)",
+         _fmt(flat["pocsag_chain_e2e"]) + ", messages verified", "-"),
+        ("pipeline: 8-channel POCSAG deployment, wideband -> 8 decoded "
+         "channels in one call",
+         _fmt(flat["pipeline_8ch_e2e"]) + ", all 8 messages verified", "-"),
+        ("decoder batch scans on sync-free PCM (host)",
+         f"POCSAG {flat['decoder_scans/pocsag']['best']:.1f} / "
+         f"FLEX {flat['decoder_scans/flex']['best']:.0f} / "
+         f"AIS {flat['decoder_scans/ais']['best']:.0f} Msps (best)", "-"),
+        ("decoder 100%-duty burst traffic (host)",
+         f"POCSAG {flat['decoder_dense/pocsag']['best']:.1f} / "
+         f"FLEX {flat['decoder_dense/flex']['best']:.1f} / "
+         f"AIS {flat['decoder_dense/ais']['best']:.0f} Msps (best)", "-"),
+        ("Costas loop (native serial PLL, host)",
+         _fmt(flat["costas_native"]), "-"),
+    ]
 
     md = ["# Benchmark suite", "",
           f"Platform: {platform} ({jax.devices()[0]})", "",
@@ -374,32 +503,44 @@ def main():
     for name, result, sol in rows:
         md.append(f"| {name} | {result} | {sol} |")
     md.append("")
+    if regressions:
+        md.append(f"**REGRESSION FLAGS (>30% median drop vs previous "
+                  f"committed snapshot):**")
+        for r in regressions:
+            md.append(f"* {r['metric']}: median {r['prev_median']} -> "
+                      f"{r['median']} ({r['drop_pct']}% drop)")
+        md.append("")
+    else:
+        md.append("No metric's median dropped >30% vs the previous "
+                  "committed snapshot (BENCH_SUITE.json).")
+        md.append("")
     md.append("Methodology: device numbers use the state-threaded "
-              "differential harness (see bench.py); best of "
-              f"{TRIALS} trials. Speed-of-light bounds are algorithmic "
+              "differential harness (see bench.py). Trials run round-robin "
+              "across configs to decorrelate co-tenant noise bursts; every "
+              "trial is recorded in BENCH_SUITE.json (best + median + "
+              "spread above). Speed-of-light bounds are algorithmic "
               "(useful MACs at 98.5e12 MAC/s, minimal stream bytes at "
               "819 GB/s — tsl_sdr_tpu/utils/roofline.py); 100% would mean "
               "zero overhead and perfect overlap. The POCSAG end-to-end row "
               "includes pulling the decoded-rate PCM to the host across this "
               "box's <3 MB/s tunnel — on a real TPU host that transfer is "
               "PCIe-speed. Generated by bench_suite.py.")
-    md.append("")
-    md.append("64-channel scaling: at 64ch the chain attains "
-              f"{b64.pct(r64):.1f}% of its "
-              f"{b64.sol_msps/1e3:,.0f} Gsps bound. Neither resource "
-              "saturates (MXU bound "
-              f"{b64.mxu_msps/1e3:,.0f} Gsps, HBM bound "
-              f"{b64.hbm_msps/1e3:,.0f} Gsps): measured FIR-only throughput "
-              "is ~1.5x the full chain, so ~1/3 of the time is the FM "
-              "discriminator section's f32 conversion/elementwise traffic "
-              "and the rest is XLA pass overhead on the int16->int32->f32 "
-              "pipeline, not a saturated unit. The Pallas backend closes "
-              "part of the gap at this width (it avoids the int32 "
-              "accumulator HBM round-trip); Mosaic cannot lower integer "
-              "matmuls on this toolchain, which caps further fusion.")
     (REPO / "BENCH_SUITE.md").write_text("\n".join(md) + "\n")
     print("\n".join(md))
-    print(json.dumps({n: r for n, r, _ in rows}), file=sys.stderr)
+
+    out = {
+        "platform": str(jax.devices()[0]),
+        "rep_lo_hi": [REP_LO, REP_HI],
+        "device_trials": DEVICE_TRIALS,
+        "host_trials": HOST_TRIALS,
+        "cpu_baseline_8ch_msps": cpu8,
+        "flat_summary": flat,
+        "regressions": regressions,
+    }
+    (REPO / "BENCH_SUITE.json").write_text(json.dumps(out, indent=1) + "\n")
+    if regressions:
+        print(f"REGRESSIONS FLAGGED: {json.dumps(regressions)}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
