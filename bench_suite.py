@@ -309,6 +309,36 @@ def prep_decoder_dense():
     return trial
 
 
+def prep_costas_device():
+    """Full 8-channel coherent chain ON DEVICE: packed FIR bank + integer
+    NCO + chunk-parallel Costas loops (ops/costas.py costas_block_planes)."""
+    import jax
+    import jax.numpy as jnp
+    from tsl_sdr_tpu.models.costas_channel import CostasChannelizer
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    fs, d, c = 1_000_000, 8, 8
+    lpf = firdes_low_pass(1.0, fs, 40_000, 20_000)[:64]
+    rng = np.random.default_rng(0)
+    offsets = rng.integers(-fs // 3, fs // 3, size=c)
+    chain = CostasChannelizer(lpf, offsets, fs, d,
+                              alpha=0.05, beta=0.002, e_max_q14=8192)
+    q = chain.block_quantum
+    block = (2_000_000 // q) * q
+    iq = rng.integers(-8000, 8000, size=(chain.carry_len + block, 2),
+                      dtype=np.int64).astype(np.int16)
+    st0 = chain.init_state(prefix=iq[: chain.carry_len])
+    blocks = jax.device_put(
+        jnp.asarray(iq[chain.carry_len:].reshape(1, 2 * block))
+    )
+
+    def step(st, bv):
+        st, out = chain.step(st, bv.reshape(-1, 2))
+        return st, jnp.sum(out.astype(jnp.int32))
+
+    return _device_trial_fn(step, st0, blocks, block)
+
+
 def prep_costas():
     from tsl_sdr_tpu.ops import costas
     from tsl_sdr_tpu.runtime.native import costas_native
@@ -430,6 +460,7 @@ def main():
         "multifm_64ch_pallas": prep_multifm(64, "pallas"),
         "exact_fir_8ch": prep_exact_fir(),
         "resampler_16_25": prep_resampler(),
+        "costas_chain_device": prep_costas_device(),
     }
     print("preparing host/e2e benches...", file=sys.stderr)
     host_benches = {
@@ -492,7 +523,9 @@ def main():
          f"POCSAG {flat['decoder_dense/pocsag']['best']:.1f} / "
          f"FLEX {flat['decoder_dense/flex']['best']:.1f} / "
          f"AIS {flat['decoder_dense/ais']['best']:.0f} Msps (best)", "-"),
-        ("Costas loop (native serial PLL, host)",
+        ("Costas coherent chain, 8ch fully on-device (FIR bank + NCO + "
+         "chunked PLL)", _fmt(flat["costas_chain_device"]), "-"),
+        ("Costas loop (native serial PLL, host, 1ch)",
          _fmt(flat["costas_native"]), "-"),
     ]
 

@@ -96,3 +96,92 @@ class TestMuellerMuller:
         # recovered (the reference's fixture test pins an exact count the
         # same way for its own recording)
         assert sync >= n_batches - 1, (sync, n_batches)
+
+
+class TestCostasBlockTier:
+    """Chunk-parallel production tier (costas_block_planes/_step)."""
+
+    def _bpsk(self, n, f_err, fs=48000.0, baud=1200, amp=12000, seed=0):
+        return TestCostas._bpsk(TestCostas(), n, f_err, fs, baud, amp, seed)
+
+    def test_block_tier_locks_and_tracks_serial(self):
+        """Same BPSK capture: the block tier locks, and after lock its
+        recovered constellation matches the serial-exact scan tier."""
+        iq, _ = self._bpsk(40960, f_err=30.0)
+        params = costas.make_costas_params(
+            0.0, alpha=0.05, beta=0.002, e_max_q14=8192
+        )
+        st_b = costas.init_costas_state(params)
+        st_s = costas.init_costas_state(params)
+        _, out_b = costas.costas_block_step(params, st_b, iq)  # auto chunk
+        _, out_s = costas.costas_step(params, st_s, iq)
+        out_b = np.asarray(out_b, np.float64)
+        out_s = np.asarray(out_s, np.float64)
+
+        tail_b = out_b[10000:]
+        assert np.mean(tail_b[:, 0] ** 2) > 20 * np.mean(tail_b[:, 1] ** 2)
+        # recovered BPSK rails agree sign-for-sign with the serial loop
+        # (away from symbol transitions where amplitude ~ 0)
+        strong = np.abs(out_s[10000:, 0]) > 4000
+        agree = np.sign(tail_b[strong, 0]) == np.sign(out_s[10000:][strong, 0])
+        assert agree.mean() > 0.999, agree.mean()
+
+    def test_block_boundary_invariance_at_chunk_multiples(self):
+        """Feeding the stream in any block sizes that are multiples of the
+        chunk yields identical output and state (absolute chunk grid)."""
+        iq, _ = self._bpsk(16384, f_err=20.0, seed=3)
+        params = costas.make_costas_params(
+            0.0, alpha=0.05, beta=0.002, e_max_q14=8192
+        )
+        chunk = 32
+
+        def run(splits):
+            st = costas.init_costas_state(params)
+            outs = []
+            i = 0
+            for ln in splits:
+                st, o = costas.costas_block_step(
+                    params, st, iq[i : i + ln], chunk=chunk
+                )
+                outs.append(np.asarray(o))
+                i += ln
+            assert i == len(iq)
+            return np.concatenate(outs), (
+                float(st.last_phase), float(st.f_dev)
+            )
+
+        a, sa = run([16384])
+        b, sb = run([32, 4096, 512, 2048, 32 * 3, 8576, 1024])
+        assert np.array_equal(a, b)
+        np.testing.assert_allclose(sa, sb, rtol=0, atol=0)
+
+    def test_planes_multichannel_matches_per_channel(self):
+        """[K, C] planes == C independent single-channel runs."""
+        import jax.numpy as jnp
+
+        params = costas.make_costas_params(
+            0.0, alpha=0.05, beta=0.002, e_max_q14=8192
+        )
+        rng = np.random.default_rng(5)
+        k, c = 2048, 4
+        xr = rng.normal(scale=0.4, size=(k, c)).astype(np.float32)
+        xi = rng.normal(scale=0.4, size=(k, c)).astype(np.float32)
+        st = costas.CostasState(
+            last_phase=jnp.zeros(c, jnp.float32),
+            f_dev=jnp.full((c,), params.f_dev_nominal, jnp.float32),
+        )
+        _, o_re, o_im = costas.costas_block_planes(
+            params, st, jnp.asarray(xr), jnp.asarray(xi), chunk=512
+        )
+        for ci in range(c):
+            st1 = costas.CostasState(
+                last_phase=jnp.zeros(1, jnp.float32),
+                f_dev=jnp.full((1,), params.f_dev_nominal, jnp.float32),
+            )
+            _, r1, i1 = costas.costas_block_planes(
+                params, st1, jnp.asarray(xr[:, ci : ci + 1]),
+                jnp.asarray(xi[:, ci : ci + 1]), chunk=512
+            )
+            np.testing.assert_allclose(
+                np.asarray(o_re[:, ci]), np.asarray(r1[:, 0]), atol=1e-5
+            )

@@ -140,8 +140,14 @@ class CostasChannelizer:
             )
         return out
 
-    def step(self, state: CostasChainState, block):
-        """(state, block[N,2] int16) -> (state, iq [C, N//D, 2] int16)."""
+    def step(self, state: CostasChainState, block, *, tier: str = "block"):
+        """(state, block[N,2] int16) -> (state, iq [C, N//D, 2] int16).
+
+        ``tier="block"`` (production) runs the chunk-parallel device loop
+        (:func:`tsl_sdr_tpu.ops.costas.costas_block_planes`) directly on
+        the channelizer's ``[K, C]`` planes — fully on-device and ~3
+        orders faster than the per-sample scan. ``tier="scan"`` keeps the
+        serial-exact ``lax.scan`` oracle."""
         if isinstance(block, np.ndarray):
             block = block.reshape(-1)
         carry, ar, ai = packed_fir.packed_fir_step(
@@ -156,12 +162,27 @@ class CostasChannelizer:
         scale = jnp.float32(1.0 / 16384.0)
         yr = yr * scale
         yi = yi * scale
-        # per-channel serial PLL: vmap the scan over the channel axis
-        blocks_c = jnp.stack([yr.T, yi.T], axis=-1)  # [C, K, 2] float
-        st2, out = jax.vmap(
-            lambda s, b: costas.costas_step(self.params, s, b)
-        )(state.costas, blocks_c)
         k = yr.shape[0]
+        if tier == "block":
+            # planes take Q.14-normalized amplitudes (what costas_step's
+            # internal /Q14 produces) so the quadratic error matches
+            norm = jnp.float32(1.0 / 16384.0)
+            st2, o_re, o_im = costas.costas_block_planes(
+                self.params, state.costas, yr * norm, yi * norm
+            )
+            out = jnp.stack(
+                [
+                    jnp.trunc(o_re.T * 16384.0).astype(jnp.int16),
+                    jnp.trunc(o_im.T * 16384.0).astype(jnp.int16),
+                ],
+                axis=-1,
+            )  # [C, K, 2]
+        else:
+            # per-channel serial PLL: vmap the scan over the channel axis
+            blocks_c = jnp.stack([yr.T, yi.T], axis=-1)  # [C, K, 2] float
+            st2, out = jax.vmap(
+                lambda s, b: costas.costas_step(self.params, s, b)
+            )(state.costas, blocks_c)
         new_state = CostasChainState(
             carry_vals=carry,
             out_index=state.out_index + jnp.int32(k),
