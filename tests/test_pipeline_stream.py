@@ -1,0 +1,206 @@
+"""Streaming ReceivePipeline: push()/flush() incremental feeding, the
+fused single-dispatch device path, and device-prefilter egress gating.
+
+Reference deployment context: the multifm + per-channel decoder processes
+run forever on live streams (/root/reference/multifm/multifm.c:163-165,
+decoder/decoder.c:581-656); push() is that contract in one process.
+"""
+
+import numpy as np
+
+from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+from tsl_sdr_tpu.testing import ais_gen, flex_gen, pocsag_gen
+from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+from tests.test_pipeline import _fm_mod
+
+DECIM = 32
+FS = 38400 * DECIM
+CENTER = 929_500_000
+
+
+def _capture(seed=21):
+    """3 protocol channels + 1 silent POCSAG channel in one capture."""
+    p_bb = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=1122334, function=2, kind="alpha",
+                                content="STREAM POCSAG")],
+        baud=1200, amplitude=4096, tail_bits=256)
+    p_iq = _fm_mod(p_bb, 38400, 250_000, FS)
+
+    f_bb, _ = flex_gen.generate(
+        [flex_gen.FlexBurstMessage(capcode=1234567, kind="alnum",
+                                   content="STREAM FLEX")],
+        baud=1600, fsk_levels=2, amplitude=6144, tail_bits=300)
+    f_iq = _fm_mod(f_bb, 16000, -180_000, FS, amp=7000)
+
+    a_bb = ais_gen.generate(
+        [ais_gen.make_position_report(367999111, longitude=-70.9,
+                                      latitude=42.36)], amplitude=9000)
+    a_iq = _fm_mod(a_bb, 48000, 400_000, FS, amp=7000, dev_hz=4800)
+
+    n = max(len(p_iq), len(f_iq), len(a_iq)) + 600_000
+    iq = np.zeros((n, 2))
+    iq[300_000:300_000 + len(p_iq)] += p_iq
+    iq[300_000:300_000 + len(f_iq)] += f_iq
+    iq[300_000:300_000 + len(a_iq)] += a_iq
+    rng = np.random.default_rng(seed)
+    return (iq + rng.normal(scale=120, size=iq.shape)).astype(np.int16)
+
+
+def _specs():
+    return [
+        ChannelSpec(CENTER + 250_000, "pocsag"),
+        ChannelSpec(CENTER - 180_000, "flex"),
+        ChannelSpec(CENTER + 400_000, "ais"),
+        ChannelSpec(CENTER - 350_000, "pocsag"),  # silent: gating target
+    ]
+
+
+def _keys(results):
+    out = []
+    for msgs in results:
+        ch = []
+        for m in msgs:
+            if hasattr(m, "capcode"):
+                ch.append(("pg", m.capcode, bytes(m.data)))
+            elif hasattr(m, "mmsi"):
+                ch.append(("ais", m.mmsi))
+            else:
+                ch.append(("?", repr(m)))
+        out.append(ch)
+    return out
+
+
+def test_push_increments_equal_process_capture():
+    """Feeding the capture in arbitrary-size push() slices produces the
+    identical messages to one process_capture call."""
+    iq = _capture()
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+
+    pipe_a = ReceivePipeline(lpf, CENTER, FS, DECIM, _specs(), exact=False,
+                             block_size=262_144)
+    want = _keys(pipe_a.process_capture(iq))
+    assert len(want[0]) == 1 and want[0][0][1] == 1122334
+    assert want[0][0][2].startswith(b"STREAM POCSAG")
+    assert any(k[0] == "ais" for k in want[2])
+
+    pipe_b = ReceivePipeline(lpf, CENTER, FS, DECIM, _specs(), exact=False,
+                             block_size=262_144)
+    rng = np.random.default_rng(3)
+    got = [[] for _ in range(4)]
+    i = 0
+    while i < len(iq):
+        ln = int(rng.integers(50_000, 400_000))
+        part = pipe_b.push(iq[i : i + ln])
+        for c in range(4):
+            got[c].extend(part[c])
+        i += ln
+    part = pipe_b.flush()
+    for c in range(4):
+        got[c].extend(part[c])
+    assert _keys(got) == want
+
+    # the silent channel was egress-gated: its bit rows were fetched for
+    # (at most) a couple of false-positive blocks, not every block
+    stats = pipe_b.stream_stats
+    assert stats["blocks"] >= 10
+    assert stats["fetched"][3] <= stats["blocks"] // 3, stats
+    # the active POCSAG channel fetched at least its burst blocks
+    assert stats["fetched"][0] >= 1
+
+
+def test_burst_straddles_push_block_boundary():
+    """A message whose sync lands right at a streaming block boundary
+    still decodes (carried prefilter tail + gap refeed margin)."""
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    pipe = ReceivePipeline(
+        lpf, CENTER, FS, DECIM,
+        [ChannelSpec(CENTER + 250_000, "pocsag")], exact=False,
+        block_size=262_144)
+    bs = pipe.block_size
+
+    p_bb = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=777777, function=1, kind="alpha",
+                                content="BOUNDARY")],
+        baud=1200, amplitude=4096, tail_bits=64)
+    p_iq = _fm_mod(p_bb, 38400, 250_000, FS)
+    rng = np.random.default_rng(5)
+    # place the burst start just before a block boundary so its sync word
+    # completes across it
+    start = bs + pipe.chain.carry_len - 40_000
+    n = start + len(p_iq) + bs
+    iq = rng.normal(scale=120, size=(n, 2))
+    iq[start : start + len(p_iq)] += p_iq
+    iq = iq.astype(np.int16)
+
+    got = []
+    for part in (pipe.push(iq), pipe.flush()):
+        got.extend(part[0])
+    assert len(got) == 1 and got[0].capcode == 777777
+    assert bytes(got[0].data).startswith(b"BOUNDARY")
+
+
+def test_pipeline_cli_follow_fifo(tmp_path):
+    """pipeline-tpu --follow on a FIFO fed incrementally produces the same
+    JSON messages as a one-shot process_capture run (VERDICT r2 item 4)."""
+    import json
+    import os
+    import threading
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+
+    iq = _capture(seed=33)
+    fifo = tmp_path / "iq.fifo"
+    os.mkfifo(fifo)
+
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    cfg = {
+        "device": {"type": "file", "filename": str(fifo),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": FS,
+        "centerFreqHz": CENTER,
+        "decimationFactor": DECIM,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [
+            {"chanCenterFreq": CENTER + 250_000, "protocol": "pocsag"},
+            {"chanCenterFreq": CENTER - 180_000, "protocol": "flex"},
+            {"chanCenterFreq": CENTER + 400_000, "protocol": "ais"},
+        ],
+    }
+    cfg_path = tmp_path / "pipe.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out_path = tmp_path / "msgs.jsonl"
+
+    raw = np.ascontiguousarray(iq).tobytes()
+
+    def writer():
+        import time as _t
+
+        with open(fifo, "wb") as f:
+            step = 1 << 19
+            for o in range(0, len(raw), step):
+                f.write(raw[o : o + step])
+                f.flush()
+                _t.sleep(0.002)
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    rc = pipeline_cli.main(
+        [str(cfg_path), "--follow", "--block-size", "262144",
+         "-o", str(out_path)]
+    )
+    t.join(timeout=60)
+    assert rc == 0
+    msgs = [json.loads(line) for line in out_path.read_text().splitlines()]
+
+    # same capture, one-shot reference run
+    pipe = ReceivePipeline(
+        lpf, CENTER, FS, DECIM,
+        [ChannelSpec(CENTER + 250_000, "pocsag"),
+         ChannelSpec(CENTER - 180_000, "flex"),
+         ChannelSpec(CENTER + 400_000, "ais")],
+        exact=False, block_size=262_144)
+    want = pipe.process_capture(iq)
+    assert len(msgs) == sum(len(w) for w in want)
+    caps = {m.get("capCode") for m in msgs}
+    assert 1122334 in caps and 1234567 in caps

@@ -63,6 +63,34 @@ def _iq_block_iter(path, fmt, block_samples):
             yield flat[: len(flat) // 2 * 2].reshape(-1, 2)
 
 
+def make_hw_source(cfg, dev_type: str):
+    """Construct (not yet started) the dlopen-gated hardware ingest source
+    for ``dev_type`` (rtlsdr/airspy/usrp), or None for other types. Raises
+    ``HwLibraryMissing`` when the driver library is absent. Shared by
+    multifm-tpu and pipeline-tpu --follow."""
+    if dev_type == "rtlsdr":
+        from tsl_sdr_tpu.sources.hw import RtlSdrSource
+        from tsl_sdr_tpu.sources.rtl_sdr import RtlSdrConfig
+
+        rtl = RtlSdrConfig.from_dict(
+            cfg.device.params, {"sdrTestMode": cfg.raw.get("sdrTestMode")}
+        )
+        return RtlSdrSource(rtl, depth=max(2, cfg.nr_samp_bufs))
+    if dev_type == "airspy":
+        from tsl_sdr_tpu.sources.airspy import AirspyConfig
+        from tsl_sdr_tpu.sources.hw import AirspySource
+
+        return AirspySource(AirspyConfig.from_dict(cfg.device.params),
+                            depth=max(2, cfg.nr_samp_bufs))
+    if dev_type == "usrp":
+        from tsl_sdr_tpu.sources.hw import UhdSource
+        from tsl_sdr_tpu.sources.uhd import UhdConfig
+
+        return UhdSource(UhdConfig.from_dict(cfg.device.params),
+                         depth=max(2, cfg.nr_samp_bufs))
+    return None
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
@@ -73,6 +101,12 @@ def main(argv=None):
     from tsl_sdr_tpu.utils.config import MultifmConfig
 
     cfg = MultifmConfig.load(*args.configs)
+    missing = [k for k, ch in enumerate(cfg.channels) if ch.out_fifo is None]
+    if missing:
+        print(f"multifm-tpu: channels {missing} have no outFifo "
+              "(required here; only pipeline-tpu protocol channels may "
+              "omit it)", file=sys.stderr)
+        return 2
     chain = MultifmChain.from_config(
         cfg, exact=args.exact, backend=args.backend
     )
@@ -119,27 +153,7 @@ def main(argv=None):
         from tsl_sdr_tpu.sources.hw import HwLibraryMissing
 
         try:
-            if dev_type == "rtlsdr":
-                from tsl_sdr_tpu.sources.hw import RtlSdrSource
-                from tsl_sdr_tpu.sources.rtl_sdr import RtlSdrConfig
-
-                rtl = RtlSdrConfig.from_dict(
-                    cfg.device.params, {"sdrTestMode": cfg.raw.get("sdrTestMode")}
-                )
-                hw_source = RtlSdrSource(rtl, depth=max(2, cfg.nr_samp_bufs))
-            elif dev_type == "airspy":
-                from tsl_sdr_tpu.sources.airspy import AirspyConfig
-                from tsl_sdr_tpu.sources.hw import AirspySource
-
-                hw_source = AirspySource(
-                    AirspyConfig.from_dict(cfg.device.params),
-                    depth=max(2, cfg.nr_samp_bufs))
-            elif dev_type == "usrp":
-                from tsl_sdr_tpu.sources.hw import UhdSource
-                from tsl_sdr_tpu.sources.uhd import UhdConfig
-
-                hw_source = UhdSource(UhdConfig.from_dict(cfg.device.params),
-                                      depth=max(2, cfg.nr_samp_bufs))
+            hw_source = make_hw_source(cfg, dev_type)
         except HwLibraryMissing as e:
             print(f"multifm-tpu: {e}", file=sys.stderr)
             return 2

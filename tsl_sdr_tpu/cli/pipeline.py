@@ -37,6 +37,14 @@ def build_argparser():
     p.add_argument("--exact", action="store_true",
                    help="bit-exact integer front-end tier")
     p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--follow", action="store_true",
+                   help="consume the IQ source LIVE (FIFO, growing file, "
+                        "or hardware device): decode as data arrives, "
+                        "emit JSON lines immediately, run until EOF / "
+                        "Ctrl-C — the reference deployment's run-forever "
+                        "shape (multifm.c:163-165) in one process")
+    p.add_argument("--block-size", type=int, default=None,
+                   help="streaming block length in wideband samples")
     return p
 
 
@@ -53,11 +61,23 @@ def main(argv=None):
 
     iq_path = args.iq_file
     iq_fmt = args.iq_format
-    if cfg.device.type == "file" and iq_path is None:
+    dev_type = cfg.device.type
+    if dev_type == "file" and iq_path is None:
         iq_path = cfg.device.params["filename"]
         iq_fmt = iq_fmt or cfg.device.params.get("fileFormat", "cs16")
-    if iq_path is None:
-        print("pipeline-tpu: need a file device or --iq-file", file=sys.stderr)
+    hw_source = None
+    if iq_path is None and args.follow:
+        from tsl_sdr_tpu.cli.multifm import make_hw_source
+        from tsl_sdr_tpu.sources.hw import HwLibraryMissing
+
+        try:
+            hw_source = make_hw_source(cfg, dev_type)
+        except HwLibraryMissing as e:
+            print(f"pipeline-tpu: {e}", file=sys.stderr)
+            return 2
+    if iq_path is None and hw_source is None:
+        print("pipeline-tpu: need a file device, --iq-file, or --follow "
+              "with a hardware device", file=sys.stderr)
         return 2
 
     specs = []
@@ -73,40 +93,108 @@ def main(argv=None):
             )
         )
 
+    if args.follow and args.exact:
+        print("pipeline-tpu: --follow streams the production tier "
+              "(the bit-exact tier is whole-capture)", file=sys.stderr)
+        return 2
+
     pipe = ReceivePipeline(
         cfg.lpf_taps, cfg.center_freq_hz, cfg.sample_rate_hz,
         cfg.decimation_factor, specs,
         exact=args.exact, backend=args.backend,
+        block_size=args.block_size,
     )
 
-    iq = iqio.read_iq_file(iq_path, iq_fmt or "cs16")
-    t0 = time.monotonic()
-    results = pipe.process_capture(iq)
-    dt = time.monotonic() - t0
-
-    out = open(args.output, "w") if args.output else sys.stdout
+    out = open(args.output, "w", buffering=1) if args.output else sys.stdout
     n_msgs = 0
-    try:
-        for spec, ch, res in zip(specs, cfg.channels, results):
+    pcm_sinks = {
+        i: open(ch.out_fifo, "wb")
+        for i, (spec, ch) in enumerate(zip(specs, cfg.channels))
+        if spec.protocol == "pcm" and ch.out_fifo
+    }
+
+    def emit(results):
+        nonlocal n_msgs
+        for i, (spec, res) in enumerate(zip(specs, results)):
             if spec.protocol == "pcm":
-                if ch.out_fifo:
-                    np.asarray(res, np.int16).tofile(ch.out_fifo)
+                sink = pcm_sinks.get(i)
+                if sink is not None:
+                    for arr in (res if isinstance(res, list) else [res]):
+                        np.asarray(arr, np.int16).tofile(sink)
                 continue
             for m in res:
                 out.write(
                     message_to_json(m, freq_hz=spec.center_freq_hz) + "\n"
                 )
                 n_msgs += 1
+        out.flush()
+
+    n_samples = 0
+    t0 = time.monotonic()
+    try:
+        if args.follow:
+            fmt = iq_fmt or "cs16"
+            if hw_source is not None:
+                hw_source.open(cfg.sample_rate_hz, cfg.center_freq_hz)
+                hw_source.set_mute(False)
+                hw_source.start()
+                blocks = (b[: b.size // 2 * 2].reshape(-1, 2)
+                          for b in hw_source.blocks())
+            else:
+                blocks = _follow_blocks(iq_path, fmt)
+            try:
+                for iq in blocks:
+                    n_samples += len(iq)
+                    emit(pipe.push(iq))
+            except KeyboardInterrupt:
+                pass
+            finally:
+                if hw_source is not None:
+                    hw_source.stop()
+            emit(pipe.flush())
+        else:
+            iq = iqio.read_iq_file(iq_path, iq_fmt or "cs16")
+            n_samples = len(iq)
+            emit(pipe.process_capture(iq))
     finally:
         if out is not sys.stdout:
             out.close()
+        for sink in pcm_sinks.values():
+            sink.close()
+    dt = time.monotonic() - t0
     print(
-        f"pipeline-tpu: {len(iq)} samples, {len(specs)} channels, "
+        f"pipeline-tpu: {n_samples} samples, {len(specs)} channels, "
         f"{n_msgs} messages in {dt:.2f}s "
-        f"({len(iq) / dt / 1e6:.1f} Msps)",
+        f"({n_samples / max(dt, 1e-9) / 1e6:.1f} Msps)",
         file=sys.stderr,
     )
     return 0
+
+
+def _follow_blocks(path, fmt, chunk_bytes: int = 1 << 20):
+    """Yield [N, 2] int16 blocks from a FIFO or regular file as data
+    arrives; ends at EOF (for a FIFO: when every writer has closed)."""
+    from tsl_sdr_tpu.utils import iq as iqio
+
+    itemsize = 2 if fmt == "cs16" else 1
+    unit = 2 * itemsize
+    residue = b""
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                break
+            data = residue + chunk
+            usable = len(data) // unit * unit
+            residue = data[usable:]
+            if not usable:
+                continue
+            raw = np.frombuffer(data[:usable], np.uint8)
+            if fmt == "rtl_u8":
+                flat = iqio.rtl_u8_to_q14(raw)
+            else:
+                flat = iqio.widen_iq_bytes(raw, fmt)
+            yield flat.reshape(-1, 2)
 
 
 if __name__ == "__main__":

@@ -420,6 +420,16 @@ class AisDemodulator:
             return self._nat.in_search
         return self.state == self._SEARCH
 
+    @property
+    def in_search(self) -> bool:
+        """True while hunting the preamble (no packet in flight)."""
+        return self._in_search()
+
+    def notify_gap(self):
+        """A sync-free span was skipped upstream (device-prefilter egress
+        gating): reset the preamble detectors."""
+        self._reset_detect_any()
+
     def _reset_detect_any(self):
         if self._nat is not None:
             self._nat.detect_reset()
@@ -794,6 +804,13 @@ class AisDecoder:
     @property
     def crc_rejects(self) -> int:
         return self.demod.crc_rejects
+
+    @property
+    def in_search(self) -> bool:
+        return self.demod.in_search
+
+    def notify_gap(self):
+        self.demod.notify_gap()
 
     def on_pcm(self, pcm):
         start = len(self.messages)

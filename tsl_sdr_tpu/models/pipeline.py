@@ -10,6 +10,21 @@ AIS 48 kHz — ``pager/pager_pocsag.c:105``, ``pager_flex_priv.h:345-348``,
 ``ais/ais_demod_priv.h:57-67``), and the bit-level state machines decode on
 the host.
 
+Streaming architecture (production tier): every device stage —
+channelize, per-channel resample, DC block, sign slice, bit-pack, and the
+sync-candidate prefilter — traces into ONE jitted dispatch per block, so
+a block costs a single host->device->host round trip instead of one per
+stage (the round trip is ~40 ms on a tunneled TPU and dominated e2e in
+round 2). :meth:`push` double-buffers: while the device computes block
+k+1, the host decodes block k — mirroring the reference's run-forever
+deployment (``multifm/multifm.c:163-165``) in one process.
+
+Egress gating: the device prefilter (:mod:`tsl_sdr_tpu.ops.sync_prefilter`)
+flags, per channel per block, whether any POCSAG/AIS sync candidate exists.
+Unflagged idle channels transfer ~½KB of carry tail instead of their sign
+bits, and their decoders do no work — device->host egress stops scaling
+with channel count on quiet bands.
+
 The resampler ratio is derived automatically from the channel rate and the
 protocol rate; its anti-alias filter is designed with the same Kaiser recipe
 as the reference's GNURadio script.
@@ -17,6 +32,8 @@ as the reference's GNURadio script.
 
 from __future__ import annotations
 
+import math
+from collections import deque
 from dataclasses import dataclass
 from fractions import Fraction
 
@@ -57,6 +74,142 @@ class ChannelSpec:
     db_gain: float | None = None  # per-channel dBGain (receiver.c:218-221)
 
 
+class _SizedProgram:
+    """Everything bound to one block length: per-channel resampler plans
+    with ``block_in`` equal to the whole per-block channel span (so one
+    ``resample_step`` call consumes the block) and the jitted fused fn."""
+
+    def __init__(self, pipe: "ReceivePipeline", n: int):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from tsl_sdr_tpu.ops import dc_blocker as dcb
+        from tsl_sdr_tpu.ops import polyphase, q14, sync_prefilter
+
+        self.n = n
+        chain = pipe.chain
+        decim = chain.decimation
+        assert n % pipe.block_quantum == 0, (n, pipe.block_quantum)
+        k_chain = n // decim
+        self.k_chain = k_chain
+
+        # per-ratio-group resampler plans sized to the block
+        self.plans = {}
+        for gid, g in pipe._rs_groups.items():
+            i_, d_ = gid
+            coeffs = pipe._rs_coeffs[gid]
+            self.plans[gid] = polyphase.make_resampler_plan(
+                q14.quantize_q14(coeffs), i_, d_,
+                block_out_target=k_chain * i_ // d_,
+            )
+            assert self.plans[gid].block_in == k_chain, (
+                self.plans[gid].block_in, k_chain)
+        self.k_out = {
+            i: (self.plans[pipe._ratio_gid[i]].block_out
+                if pipe._ratio_gid[i] is not None else k_chain)
+            for i in range(len(pipe.channels))
+        }
+
+        c = chain.nr_channels
+        inv_mask = np.array([s.invert for s in pipe.channels], bool)
+        any_invert = bool(inv_mask.any())
+        rs_groups = pipe._rs_groups
+        dc_items = pipe._dc_items
+        pack_groups = pipe._pack_groups
+        raw_groups = pipe._raw_groups
+        plans = self.plans
+        tail_bits = pipe._tail_bits
+
+        def dev_step(chain_st, rs, dc, tails, vals):
+            chain_st, pcm_flat = chain._step_raw(chain_st, vals)
+            pcm = pcm_flat.reshape(-1, c).T  # [C, K]
+            if any_invert:
+                flipped = jnp.clip(
+                    -(pcm.astype(jnp.int32)), -32768, 32767
+                ).astype(jnp.int16)
+                pcm = jnp.where(
+                    jnp.asarray(inv_mask)[:, None], flipped, pcm
+                )
+            ch_rows = {}
+            rs2 = {}
+            for gid, idxs in rs_groups.items():
+                rows = pcm[jnp.asarray(idxs), :]  # [G, K]
+                plan = plans[gid]
+                st2, outs = jax.vmap(
+                    lambda s, b, _p=plan: polyphase.resample_step(
+                        _p, s, b, exact=False
+                    )
+                )(rs[gid], rows)
+                rs2[gid] = st2
+                for j, i in enumerate(idxs):
+                    ch_rows[i] = outs[j]
+            for i in range(len(pipe.channels)):
+                if i not in ch_rows:
+                    ch_rows[i] = pcm[i]
+            dc2 = {}
+            for i, coeff in dc_items:
+                st2, out = dcb.dc_blocker_step_exact(
+                    dc[i], ch_rows[i], coeff
+                )
+                dc2[i] = st2
+                ch_rows[i] = out
+            tails2 = {}
+            pack_out = {}
+            for pgid, pg in pack_groups.items():
+                rows = jnp.stack([ch_rows[i] for i in pg["idx"]])
+                pred = (rows > 0) if pg["is_gt"] else (rows < 0)
+                predu = pred.astype(jnp.uint8)
+                k_out = predu.shape[1]
+                full = jnp.concatenate([tails[pgid], predu], axis=1)
+                if pgid == "pocsag":
+                    flags = sync_prefilter.pocsag_any_candidate(full, k_out)
+                else:
+                    flags = sync_prefilter.ais_any_candidate(full, k_out)
+                k8 = -(-k_out // 8) * 8
+                if k8 != k_out:
+                    predu = jnp.pad(predu, ((0, 0), (0, k8 - k_out)))
+                packed = jnp.packbits(predu, axis=1)
+                tails2[pgid] = full[:, -tail_bits[pgid]:]
+                tail_packed = jnp.packbits(tails2[pgid], axis=1)
+                # ONE output buffer per group: flags byte + packed tail +
+                # packed bits — a single device->host transfer unit (each
+                # separate fetch pays a full tunnel round trip)
+                pack_out[pgid] = jnp.concatenate(
+                    [flags.astype(jnp.uint8)[:, None], tail_packed, packed],
+                    axis=1,
+                )
+            raw_out = {}
+            for rgid, idxs in raw_groups.items():
+                raw_out[rgid] = jnp.stack([ch_rows[i] for i in idxs])
+            return chain_st, rs2, dc2, tails2, (pack_out, raw_out)
+
+        self.fn = jax.jit(dev_step, donate_argnums=(0, 1, 2, 3))
+        # combined pack payload layout: [flags byte | tail bytes | bits]
+        self.meta_bytes = {
+            pgid: 1 + tail_bits[pgid] // 8 for pgid in pack_groups
+        }
+        del functools
+
+    def init_rs_states(self, pipe):
+        import jax
+
+        from tsl_sdr_tpu.ops import polyphase
+
+        out = {}
+        for gid, idxs in pipe._rs_groups.items():
+            plan = self.plans[gid]
+            single = polyphase.init_resampler_state(plan)
+            out[gid] = jax.tree.map(
+                lambda v: np.broadcast_to(
+                    np.asarray(v), (len(idxs),) + np.shape(v)
+                ).copy(),
+                single,
+            )
+        return out
+
+
 class ReceivePipeline:
     """Wideband IQ in, decoded protocol messages (or raw PCM) out.
 
@@ -69,6 +222,8 @@ class ReceivePipeline:
     channels : list of :class:`ChannelSpec`
     exact : bit-exact integer tier (True) or production float tier
     max_ratio : largest allowed resampler interpolation/decimation term
+    block_size : streaming block length in wideband samples (rounded to
+        the pipeline quantum); default ~4M
     """
 
     def __init__(
@@ -82,6 +237,7 @@ class ReceivePipeline:
         exact: bool = False,
         backend: str = "xla",
         max_ratio: int = 256,
+        block_size: int | None = None,
     ):
         self.channels = list(channels)
         offsets = [c.center_freq_hz - center_freq_hz for c in self.channels]
@@ -95,12 +251,17 @@ class ReceivePipeline:
         )
         ch_rate = self.chain.channel_rate
 
+        # per-channel ratios + legacy per-channel ResamplerChains (exact /
+        # host path); the fused streaming path builds its own sized plans
         self._resamplers = []
         self._decoders = []
+        self._ratio_gid = []
+        self._rs_coeffs = {}
         for spec in self.channels:
             if spec.protocol == "pcm":
                 self._resamplers.append(None)
                 self._decoders.append(None)
+                self._ratio_gid.append(None)
                 continue
             target = PROTOCOL_RATES[spec.protocol]
             ratio = Fraction(target, int(round(ch_rate)))
@@ -112,19 +273,25 @@ class ReceivePipeline:
                 )
             if ratio == 1:
                 self._resamplers.append(None)
+                self._ratio_gid.append(None)
             else:
-                coeffs = design_rational_resampler_filter(
-                    ratio.numerator, ratio.denominator, 0.4
-                )
+                gid = (ratio.numerator, ratio.denominator)
+                if gid not in self._rs_coeffs:
+                    self._rs_coeffs[gid] = design_rational_resampler_filter(
+                        ratio.numerator, ratio.denominator, 0.4
+                    )
+                self._ratio_gid.append(gid)
                 self._resamplers.append(
                     ResamplerChain(
-                        coeffs, ratio.numerator, ratio.denominator,
-                        exact=exact,
+                        self._rs_coeffs[gid], ratio.numerator,
+                        ratio.denominator, exact=exact,
                     )
                 )
             self._decoders.append(
                 _make_decoder(spec.protocol, spec.center_freq_hz)
             )
+
+        self._setup_stream(block_size)
 
     # protocols whose decoders consume ONLY a sign predicate of the PCM, so
     # the device can slice + bit-pack before transfer (16x less egress than
@@ -136,17 +303,304 @@ class ReceivePipeline:
         "ais": lambda a: a > 0,      # ais_demod.c:126
     }
 
+    # -- streaming engine ---------------------------------------------------
+
+    def _setup_stream(self, block_size):
+        from tsl_sdr_tpu.ops import sync_prefilter
+
+        decim = self.chain.decimation
+        # channel groups
+        self._rs_groups: dict = {}
+        for i, gid in enumerate(self._ratio_gid):
+            if gid is not None:
+                self._rs_groups.setdefault(gid, []).append(i)
+        self._dc_items = []
+        for i, spec in enumerate(self.channels):
+            if spec.dc_block:
+                from tsl_sdr_tpu.ops import dc_blocker as dcb
+
+                self._dc_items.append(
+                    (i, dcb.make_pole_coeff(spec.dc_block_pole))
+                )
+        self._pack_groups: dict = {}
+        self._raw_groups: dict = {}
+        for i, spec in enumerate(self.channels):
+            if spec.protocol in self._PACK_PREDICATE:
+                pg = self._pack_groups.setdefault(
+                    spec.protocol,
+                    {"idx": [], "is_gt": spec.protocol == "ais"},
+                )
+                pg["idx"].append(i)
+            else:
+                self._raw_groups.setdefault(spec.protocol, []).append(i)
+        self._tail_bits = {
+            "pocsag": sync_prefilter.POCSAG_TAIL,
+            "ais": sync_prefilter.AIS_TAIL,
+        }
+
+        # block quantum: chain quantum, every resampler's input grid, and
+        # a whole number of channel samples per byte of packed bits
+        q = self.chain.block_quantum
+        for (i_, d_), _ in self._rs_groups.items():
+            g = math.gcd(i_, d_)
+            q = math.lcm(q, decim * (d_ // g))
+        q = math.lcm(q, decim * 8)
+        self.block_quantum = q
+        bs = block_size or 4_194_304
+        self.block_size = max(q, bs // q * q)
+
+        self._programs: dict[int, _SizedProgram] = {}
+        self._stream = None
+        self._pending_prefix = np.zeros((0, 2), np.int16)
+
+    def _program(self, n: int) -> _SizedProgram:
+        if n not in self._programs:
+            self._programs[n] = _SizedProgram(self, n)
+        return self._programs[n]
+
+    def stream_reset(self):
+        """Forget all streaming state (device carries, input buffer,
+        in-flight blocks). Decoder instances persist."""
+        self._stream = None
+        self._pending_prefix = np.zeros((0, 2), np.int16)
+
+    def _stream_init(self, prefix: np.ndarray | None):
+        import jax.numpy as jnp
+
+        from tsl_sdr_tpu.ops import dc_blocker as dcb
+
+        prog = self._program(self.block_size)
+        st = {
+            "chain": self.chain.init_state(prefix=prefix),
+            "rs": prog.init_rs_states(self),
+            "dc": {
+                i: dcb.init_dc_blocker_state() for i, _ in self._dc_items
+            },
+            "tails": {
+                pgid: jnp.zeros(
+                    (len(pg["idx"]), self._tail_bits[pgid]), jnp.uint8
+                )
+                for pgid, pg in self._pack_groups.items()
+            },
+        }
+        self._stream = {
+            "st": st,
+            "buf": [],
+            "buf_len": 0,
+            "inflight": deque(),
+            # host-side per-pack-channel gating state
+            "gap": {i: False for pg in self._pack_groups.values()
+                    for i in pg["idx"]},
+            "tail_pcm": {i: None for pg in self._pack_groups.values()
+                         for i in pg["idx"]},
+            "results": [[] for _ in self.channels],
+            # egress-gating observability: blocks drained, and per channel
+            # how many had their full bit rows fetched/fed
+            "blocks": 0,
+            "fetched": np.zeros(len(self.channels), np.int64),
+            # speculative-prefetch state: a pack group that fetched rows
+            # last block is "hot" — its next packed array is streamed to
+            # the host asynchronously while the device computes, so the
+            # fetch costs ~0 latency; cold (idle) groups transfer only
+            # their ~0.5 KB meta row (egress gating)
+            "hot": {pgid: True for pgid in self._pack_groups},
+        }
+
+    @property
+    def stream_stats(self) -> dict:
+        """{"blocks": drained blocks, "fetched": per-channel full-row fetch
+        counts} — idle gated channels stay near zero."""
+        s = self._stream
+        if s is None:
+            return {"blocks": 0,
+                    "fetched": np.zeros(len(self.channels), np.int64)}
+        return {"blocks": s["blocks"], "fetched": s["fetched"].copy()}
+
+    def push(self, iq) -> list:
+        """Feed wideband IQ (any length); decode what completes.
+
+        Returns a per-channel list of messages (or raw PCM arrays for
+        ``pcm`` channels) completed during this call. State carries across
+        calls — the streaming form of :meth:`process_capture`
+        (reference run-forever semantics, ``multifm/multifm.c:163-165``).
+        """
+        if self.chain.exact:
+            raise NotImplementedError(
+                "streaming push() runs the production tier; use "
+                "process_capture for the bit-exact tier"
+            )
+        iq = np.asarray(iq, np.int16).reshape(-1, 2)
+        new = [[] for _ in self.channels]
+        if self._stream is None:
+            c_len = self.chain.carry_len
+            # hold input until the chain prefix is covered
+            pend = self._pending_prefix = getattr(
+                self, "_pending_prefix", np.zeros((0, 2), np.int16)
+            )
+            pend = np.concatenate([pend, iq])
+            if pend.shape[0] < c_len + 1:
+                self._pending_prefix = pend
+                return new
+            self._stream_init(pend[:c_len] if c_len else None)
+            self._pending_prefix = np.zeros((0, 2), np.int16)
+            iq = pend[c_len:]
+        s = self._stream
+        s["buf"].append(iq)
+        s["buf_len"] += iq.shape[0]
+        while s["buf_len"] >= self.block_size:
+            buf = np.concatenate(s["buf"]) if len(s["buf"]) > 1 else s["buf"][0]
+            block = buf[: self.block_size]
+            rest = buf[self.block_size :]
+            s["buf"] = [rest] if rest.shape[0] else []
+            s["buf_len"] = rest.shape[0]
+            self._dispatch(block)
+            # keep two blocks in flight: block k's device->host transfers
+            # complete while k+1 computes and k-1 host-decodes
+            while len(s["inflight"]) > 2:
+                self._drain(s["inflight"].popleft(), new)
+        return new
+
+    def _dispatch(self, block: np.ndarray):
+        import jax
+
+        s = self._stream
+        prog = self._program(block.shape[0])
+        vals = jax.device_put(np.ascontiguousarray(block).reshape(-1))
+        st = s["st"]
+        chain_st, rs, dc, tails, outs = prog.fn(
+            st["chain"], st["rs"], st["dc"], st["tails"], vals
+        )
+        s["st"] = {"chain": chain_st, "rs": rs, "dc": dc, "tails": tails}
+        # start device->host copies now so they overlap the next block's
+        # compute; by drain time np.asarray is (nearly) free. Hot groups
+        # stream their whole payload; cold (idle) groups only the small
+        # flags+tail head (egress gating).
+        pack_out, raw_out = outs
+        pre = {}
+        for pgid, combined in pack_out.items():
+            if s["hot"][pgid]:
+                combined.copy_to_host_async()
+                pre[pgid] = ("full", combined)
+            else:
+                head = combined[:, : prog.meta_bytes[pgid]]
+                head.copy_to_host_async()
+                pre[pgid] = ("head", head)
+        for rows in raw_out.values():
+            rows.copy_to_host_async()
+        s["inflight"].append((prog, outs, pre))
+
+    def _drain(self, entry, new: list):
+        prog, (pack_out, raw_out), pre = entry
+        raws = {rgid: np.asarray(rows) for rgid, rows in raw_out.items()}
+
+        s = self._stream
+        s["blocks"] += 1
+        for pgid, pg in self._pack_groups.items():
+            mb = prog.meta_bytes[pgid]
+            kind, arr = pre[pgid]
+            host = np.asarray(arr)
+            meta = host[:, :mb]
+            flags = meta[:, 0].astype(bool)
+            tail_bytes = meta[:, 1:mb]
+            is_gt = pg["is_gt"]
+            k_out = prog.k_out[pg["idx"][0]]
+            # rows needing a full fetch: flagged, or decoder mid-message,
+            # or gating unsupported (no native FSM)
+            need_rows = []
+            for row, i in enumerate(pg["idx"]):
+                dec = self._decoders[i]
+                gate = getattr(dec, "_nat", None) is not None
+                if flags[row] or not gate or not dec.in_search:
+                    need_rows.append(row)
+            if need_rows:
+                if kind == "full":
+                    packed = host[np.asarray(need_rows), mb:]
+                else:
+                    # cold group turning active: gather just those rows
+                    packed = np.asarray(
+                        pack_out[pgid][np.asarray(need_rows), mb:]
+                    )
+            s["hot"][pgid] = bool(need_rows)
+            for j, row in enumerate(need_rows):
+                i = pg["idx"][row]
+                s["fetched"][i] += 1
+                dec = self._decoders[i]
+                bits = np.unpackbits(packed[j])[:k_out]
+                pcm = (np.where(bits, 1, -1) if is_gt
+                       else np.where(bits, -1, 1)).astype(np.int16)
+                if s["gap"][i]:
+                    dec.notify_gap()
+                    tp = s["tail_pcm"][i]
+                    if tp is not None:
+                        pcm = np.concatenate([tp, pcm])
+                    s["gap"][i] = False
+                new[i].extend(dec.scan(pcm))
+            for row, i in enumerate(pg["idx"]):
+                if row not in need_rows:
+                    s["gap"][i] = True
+                tb = np.unpackbits(tail_bytes[row])
+                s["tail_pcm"][i] = (
+                    np.where(tb, 1, -1) if is_gt else np.where(tb, -1, 1)
+                ).astype(np.int16)
+
+        for rgid, idxs in self._raw_groups.items():
+            rows = raws[rgid]
+            for j, i in enumerate(idxs):
+                audio = np.asarray(rows[j]).astype(np.int16)
+                dec = self._decoders[i]
+                if dec is None:
+                    new[i].append(audio)
+                else:
+                    new[i].extend(dec.scan(audio))
+
+    def flush(self) -> list:
+        """Drain in-flight blocks and process the buffered tail (whole
+        quanta only; a sub-quantum residue stays buffered)."""
+        new = [[] for _ in self.channels]
+        s = self._stream
+        if s is None:
+            return new
+        # process the buffered tail as one smaller block
+        tail_len = s["buf_len"] // self.block_quantum * self.block_quantum
+        if tail_len:
+            buf = np.concatenate(s["buf"]) if len(s["buf"]) > 1 else s["buf"][0]
+            block = buf[:tail_len]
+            rest = buf[tail_len:]
+            s["buf"] = [rest] if rest.shape[0] else []
+            s["buf_len"] = rest.shape[0]
+            self._dispatch(block)
+        while s["inflight"]:
+            self._drain(s["inflight"].popleft(), new)
+        return new
+
+    # -- whole-capture API ---------------------------------------------------
+
     def process_capture(self, iq, *, device_decode: bool = True):
         """Run a whole capture. Returns a list (one entry per channel) of
         decoded message lists, or the raw int16 PCM for ``pcm`` channels.
 
-        With ``device_decode`` (default), the per-channel resampler and DC
-        blocker run device-resident chained off the channelizer output, and
-        sign-sliceable protocols (POCSAG, AIS) transfer bit-PACKED slices
-        instead of int16 PCM — the decoders only ever look at the sign
-        predicate, so the decode is unchanged while device->host egress
-        drops 16x (VERDICT r1 item 3).
-        """
+        Production tier with ``device_decode`` (default) routes through the
+        fused streaming engine (:meth:`push`/:meth:`flush`) — single fused
+        dispatch per block, candidate-gated egress. ``device_decode=False``
+        keeps the reference-shaped host path; the bit-exact tier always
+        uses it."""
+        if device_decode and not self.chain.exact:
+            self.stream_reset()
+            results = self.push(iq)
+            for i, part in enumerate(self.flush()):
+                results[i].extend(part)
+            for i, spec in enumerate(self.channels):
+                if spec.protocol == "pcm":
+                    results[i] = (
+                        np.concatenate(results[i]) if results[i]
+                        else np.zeros(0, np.int16)
+                    )
+            return results
+        return self._process_capture_host(iq, device_decode=device_decode)
+
+    def _process_capture_host(self, iq, *, device_decode: bool = False):
+        """Stage-by-stage path (host arrays between stages). The bit-exact
+        tier and the reference-shaped oracle for the fused engine."""
         import jax.numpy as jnp
 
         if device_decode:
@@ -154,7 +608,6 @@ class ReceivePipeline:
         else:
             pcm = self.chain.process_array(np.asarray(iq, np.int16))
 
-        # stage 1: per-channel device-side front-end (invert/resample/DC)
         audios = []
         for i, spec in enumerate(self.channels):
             audio = pcm[i]
@@ -179,50 +632,13 @@ class ReceivePipeline:
                     audio = np.asarray(audio)
             audios.append(audio)
 
-        # stage 2: slice + bit-pack sign-sliceable channels in BATCHES
-        # grouped by (predicate, length) — one device dispatch and ONE
-        # device->host fetch per group instead of per channel (each fetch
-        # pays tunnel latency on this box)
-        host_bits: dict[int, np.ndarray] = {}
-        if device_decode:
-            groups: dict[tuple, list[int]] = {}
-            for i, spec in enumerate(self.channels):
-                if (self._decoders[i] is not None
-                        and spec.protocol in self._PACK_PREDICATE):
-                    key = (spec.protocol in ("ais",), audios[i].shape[0])
-                    groups.setdefault(key, []).append(i)
-            for (is_gt, n), idxs in groups.items():
-                stack = jnp.stack([audios[i] for i in idxs])
-                pred = (stack > 0) if is_gt else (stack < 0)
-                # pad rows to byte multiples and pack FLAT (row boundaries
-                # stay byte-aligned; one kernel shape for any group)
-                n8 = -(-n // 8) * 8
-                if n8 != n:
-                    pred = jnp.pad(pred, ((0, 0), (0, n8 - n)))
-                packed = np.asarray(
-                    jnp.packbits(pred.astype(jnp.uint8).reshape(-1))
-                ).reshape(len(idxs), n8 // 8)
-                for row, i in enumerate(idxs):
-                    bits = np.unpackbits(packed[row])[:n]
-                    host_bits[i] = bits
-
         results = []
         for i, spec in enumerate(self.channels):
-            audio = audios[i]
+            audio = np.asarray(audios[i])
             dec = self._decoders[i]
-            if i in host_bits:
-                # reconstruct +/-1 PCM carrying the exact slice predicate
-                bits = host_bits[i]
-                if spec.protocol == "ais":
-                    audio = np.where(bits, 1, -1).astype(np.int16)
-                else:
-                    audio = np.where(bits, -1, 1).astype(np.int16)
-            elif device_decode:
-                audio = np.asarray(audio)
             if dec is None:
-                results.append(audio)
+                results.append(audio.astype(np.int16))
             elif hasattr(dec, "scan"):
-                # vectorized SEARCH fast-forward; message-exact vs on_pcm
                 results.append(dec.scan(audio))
             else:
                 results.append(dec.on_pcm(audio))

@@ -393,6 +393,25 @@ class PocsagDecoder:
         self._in_scan = False
         return self.messages[start_msg:]
 
+    # -- egress-gating hooks (ReceivePipeline device prefilter) ------------
+
+    @property
+    def in_search(self) -> bool:
+        """True while hunting for sync (no message in flight)."""
+        if self._nat is not None:
+            return self._nat.in_search
+        return self.state == _STATE_SEARCH
+
+    def notify_gap(self):
+        """A sync-free span of PCM was skipped upstream (the device
+        prefilter found no candidates — ReceivePipeline egress gating):
+        reset the sync detectors so no register run straddles the gap."""
+        if self._nat is not None:
+            self._nat.detect_reset()
+            return
+        for det in self.detectors:
+            det.reset()
+
     # -- the sample pump ------------------------------------------------------
 
     def on_pcm(self, pcm) -> list[PocsagMessage]:

@@ -79,7 +79,8 @@ class MultifmConfig:
         dev_type = dev.pop("type", "file")
         channels = [
             ChannelConfig(
-                out_fifo=ch["outFifo"],
+                out_fifo=ch.get("outFifo"),  # optional for pipeline-tpu
+                                             # protocol channels
                 chan_center_freq=int(ch["chanCenterFreq"]),
                 db_gain=ch.get("dBGain"),
                 signal_debug_file=ch.get("signalDebugFile"),
