@@ -1,0 +1,105 @@
+"""Device sync-candidate prefilter properties (ops/sync_prefilter.py).
+
+The egress-gating correctness argument rests on the STRICT-SUPERSET
+property: if the decoder's FSM would trigger anywhere in a block, the
+prefilter must flag that block — then skipping unflagged blocks can never
+lose a message. These tests pin the property on real bursts (all bauds,
+injected bit errors, boundary straddles) and pin the false-positive
+behavior on pure noise.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tsl_sdr_tpu.ops import sync_prefilter as sp
+from tsl_sdr_tpu.testing import ais_gen, pocsag_gen
+
+
+def _pocsag_flag(pred_2d, k_new):
+    return np.asarray(sp.pocsag_any_candidate(jnp.asarray(pred_2d), k_new))
+
+
+def _ais_flag(pred_2d, k_new):
+    return np.asarray(sp.ais_any_candidate(jnp.asarray(pred_2d), k_new))
+
+
+@pytest.mark.parametrize("baud", [512, 1200, 2400])
+def test_pocsag_burst_flags(baud):
+    pcm = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=123, function=1, kind="alpha",
+                                content="X")],
+        baud=baud, tail_bits=64)
+    pred = (pcm < 0).astype(np.uint8)[None, :]
+    full = np.concatenate(
+        [np.zeros((1, sp.POCSAG_TAIL), np.uint8), pred], axis=1)
+    assert _pocsag_flag(full, pred.shape[1])[0]
+
+
+def test_pocsag_burst_with_bit_errors_still_flags():
+    """The decoder tolerates hamming<=4 in the sync register; so does the
+    prefilter (same threshold)."""
+    rng = np.random.default_rng(0)
+    pcm = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=99, function=0, kind="numeric",
+                                content="123")],
+        baud=1200, tail_bits=64)
+    for trial in range(5):
+        noisy = pcm.copy().astype(np.int32)
+        flips = rng.choice(len(pcm), size=len(pcm) // 50, replace=False)
+        noisy[flips] = -noisy[flips]  # sign flips ~ bit errors
+        pred = (noisy < 0).astype(np.uint8)[None, :]
+        full = np.concatenate(
+            [np.zeros((1, sp.POCSAG_TAIL), np.uint8), pred], axis=1)
+        # the decoder itself must still sync for the property to bind
+        from tsl_sdr_tpu.models.pocsag import PocsagDecoder
+
+        msgs = PocsagDecoder().scan(noisy.astype(np.int16))
+        if msgs:
+            assert _pocsag_flag(full, pred.shape[1])[0], trial
+
+
+def test_pocsag_noise_false_positive_rate():
+    rng = np.random.default_rng(1)
+    fp = 0
+    for _ in range(4):
+        noise = rng.integers(0, 2, size=(8, sp.POCSAG_TAIL + 100_000),
+                             dtype=np.int64).astype(np.uint8)
+        fp += int(_pocsag_flag(noise, 100_000).sum())
+    assert fp == 0, fp  # pair-test: ~1e-10 per probe
+
+
+def test_pocsag_sync_straddling_block_boundary_flags_second_block():
+    """Split a burst so the sync word spans the boundary; with the carried
+    tail, the second block must flag."""
+    pcm = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=7, function=1, kind="alpha",
+                                content="Y")],
+        baud=1200, tail_bits=0)
+    pred = (pcm < 0).astype(np.uint8)
+    # sync word ends around 576*32 samples in (preamble + sync); split mid
+    split = 590 * 32
+    t = sp.POCSAG_TAIL
+    blk1 = np.concatenate([np.zeros(t, np.uint8), pred[:split]])[None, :]
+    f1 = _pocsag_flag(blk1, split)[0]
+    tail = np.concatenate([np.zeros(t, np.uint8), pred[:split]])[-t:]
+    blk2 = np.concatenate([tail, pred[split:]])[None, :]
+    f2 = _pocsag_flag(blk2, len(pred) - split)[0]
+    assert f1 or f2  # the union of blocks always covers the trigger
+
+
+def test_ais_signal_flags_and_noise_does_not():
+    sig = ais_gen.generate([ais_gen.make_position_report(366000001)])
+    pred = (sig > 0).astype(np.uint8)[None, :]
+    full = np.concatenate(
+        [np.zeros((1, sp.AIS_TAIL), np.uint8), pred], axis=1)
+    assert _ais_flag(full, pred.shape[1])[0]
+
+    rng = np.random.default_rng(2)
+    fp = 0
+    for _ in range(4):
+        noise = rng.integers(0, 2, size=(8, sp.AIS_TAIL + 100_000),
+                             dtype=np.int64).astype(np.uint8)
+        fp += int(_ais_flag(noise, 100_000).sum())
+    assert fp == 0, fp
