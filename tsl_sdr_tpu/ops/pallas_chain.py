@@ -83,7 +83,7 @@ def _atan2_poly(y, x):
 
 
 def _chain_kernel(xa_ref, xb_ref, w_ref, om_ref, out_ref, *, cr, halfcols,
-                  nr_ch, opr):
+                  nr_ch, opr, precision):
     tr = xa_ref.shape[0]
     row = xa_ref.shape[1]
     # halo: 1 look-back row + cr spill rows from the next tile
@@ -96,7 +96,7 @@ def _chain_kernel(xa_ref, xb_ref, w_ref, om_ref, out_ref, *, cr, halfcols,
         x,
         w_ref[0],
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     acc = p[: tr + 1]
     for i in range(1, cr + 1):
@@ -104,7 +104,7 @@ def _chain_kernel(xa_ref, xb_ref, w_ref, om_ref, out_ref, *, cr, halfcols,
             x,
             w_ref[i],
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
         acc = acc + q[i : tr + 1 + i]
 
@@ -134,14 +134,16 @@ def _chain_kernel(xa_ref, xb_ref, w_ref, om_ref, out_ref, *, cr, halfcols,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tr", "cr", "halfcols", "nr_ch", "opr", "interpret")
+    jax.jit, static_argnames=("tr", "cr", "halfcols", "nr_ch", "opr",
+                              "interpret", "precision")
 )
 def _chain_call(padded_rows, w_stack, omega_row, *, tr, cr, halfcols, nr_ch,
-                opr, interpret):
+                opr, interpret, precision):
     n_rows, row = padded_rows.shape
     grid = n_rows // tr - 1
     kernel = functools.partial(
-        _chain_kernel, cr=cr, halfcols=halfcols, nr_ch=nr_ch, opr=opr
+        _chain_kernel, cr=cr, halfcols=halfcols, nr_ch=nr_ch, opr=opr,
+        precision=precision,
     )
     return pl.pallas_call(
         kernel,
@@ -162,7 +164,7 @@ def _chain_call(padded_rows, w_stack, omega_row, *, tr, cr, halfcols, nr_ch,
 
 
 def _chain_kernel_v2(xc_ref, xa_ref, carry_ref, w_ref, om_ref, out_ref, *,
-                     cr, halfcols, nr_ch):
+                     cr, halfcols, nr_ch, precision):
     """Zero-copy variant: block rows arrive as two views (previous tile,
     clamped, and this tile) and the stream carry as a tiny replicated input;
     program 0 swaps the carry in for the head. x row j == stream row
@@ -173,24 +175,24 @@ def _chain_kernel_v2(xc_ref, xa_ref, carry_ref, w_ref, om_ref, out_ref, *,
     head_prev = xc_ref[tr - 1 - cr :]          # last 1+cr rows of tile i-1
     head = jnp.where(i == 0, carry_ref[:], head_prev)
     _chain_body(head, xa_ref[:], w_ref, om_ref, out_ref, cr=cr,
-                halfcols=halfcols, nr_ch=nr_ch)
+                halfcols=halfcols, nr_ch=nr_ch, precision=precision)
 
 
 def _chain_body(head_i16, block_i16, w_ref, om_ref, out_ref, *, cr, halfcols,
-                nr_ch):
+                nr_ch, precision):
     tr = block_i16.shape[0]
     x = jnp.concatenate(
         [head_i16.astype(jnp.float32), block_i16.astype(jnp.float32)]
     )  # [1+cr+TR, ROW], x row j == stream row i*TR + j
     p = jnp.dot(
         x, w_ref[0], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     acc = p[: tr + 1]
     for k in range(1, cr + 1):
         q = jnp.dot(
             x, w_ref[k], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
         acc = acc + q[k : tr + 1 + k]
 
@@ -218,10 +220,11 @@ def _chain_body(head_i16, block_i16, w_ref, om_ref, out_ref, *, cr, halfcols,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tr", "cr", "halfcols", "nr_ch", "interpret"),
+    static_argnames=("tr", "cr", "halfcols", "nr_ch", "interpret",
+                     "precision"),
 )
 def _chain_call_v2(block_rows, carry_rows, w_stack, omega_row, *, tr, cr,
-                   halfcols, nr_ch, interpret):
+                   halfcols, nr_ch, interpret, precision):
     """Streaming call with NO copy of the block: requires tr | n_rows.
 
     x row j == stream row i*TR + j where stream = [carry(1+cr) ++ block];
@@ -231,7 +234,8 @@ def _chain_call_v2(block_rows, carry_rows, w_stack, omega_row, *, tr, cr,
     assert n_rows % tr == 0
     grid = n_rows // tr
     kernel = functools.partial(
-        _chain_kernel_v2, cr=cr, halfcols=halfcols, nr_ch=nr_ch
+        _chain_kernel_v2, cr=cr, halfcols=halfcols, nr_ch=nr_ch,
+        precision=precision,
     )
     return pl.pallas_call(
         kernel,
@@ -268,7 +272,14 @@ class PallasChain:
 
     def __init__(self, plan: PackedFirPlan, omega_reduced,
                  tile_rows: int | None = None,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None,
+                 precision: str = "highest"):
+        """``precision``: MXU pass count for the f32 tap matmuls.
+        "highest" (6 bf16 passes) tracks the int16 tier to ~1 PCM LSB;
+        "high" (bf16x3, ~1e-5 relative) halves the MXU work and still
+        lands within a PCM LSB for full-scale signals — the faster
+        production choice when bit-agreement with the XLA tier is not
+        being asserted."""
         if plan.opr * plan.nr_channels % 128:
             # keep the FM lane-roll on full registers; pad channels upstream
             # if this ever fires for a real config
@@ -295,6 +306,12 @@ class PallasChain:
         om = np.tile(np.asarray(omega_reduced, np.float32), plan.opr)
         self.omega_row = jnp.asarray(om[None, :])
         self.interpret = (not _is_tpu()) if interpret is None else interpret
+        import jax.lax as _lax
+
+        self.precision = {
+            "highest": _lax.Precision.HIGHEST,
+            "high": _lax.Precision.HIGH,
+        }[precision]
 
     @property
     def carry_rows(self) -> int:
@@ -345,6 +362,7 @@ class PallasChain:
                 halfcols=self.halfcols,
                 nr_ch=self.plan.nr_channels,
                 interpret=self.interpret,
+                precision=self.precision,
             )
             new_carry = jax.lax.dynamic_slice_in_dim(
                 block_rows, r_b - self.carry_rows, self.carry_rows
@@ -367,6 +385,7 @@ class PallasChain:
             nr_ch=self.plan.nr_channels,
             opr=self.plan.opr,
             interpret=self.interpret,
+            precision=self.precision,
         )
         # last 1+cr real rows of (carry ++ block) — sliced from the already
         # materialized buffer, NOT a second concat (that would re-copy the
