@@ -1,0 +1,217 @@
+#!/usr/bin/env python3
+"""Round-3 perf experiments (run on the real TPU):
+
+  python bench/r3_perf_lab.py resampler   # polyphase variants + pallas
+  python bench/r3_perf_lab.py chain       # pallas precision vs xla, 8/64ch
+  python bench/r3_perf_lab.py pipeline    # fused streaming e2e
+
+Uses the state-threaded differential harness for device rates (see
+bench.py) and the persistent compile cache.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+
+REP_LO, REP_HI, TRIALS = 2, 8, 4
+
+
+def _rate(step_fn, state0, blocks, samples_per_pass):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    def make(reps):
+        @jax.jit
+        def run(state, blocks):
+            def rep(carry, _):
+                st, acc = carry
+                st, out = jax.lax.scan(step_fn, st, blocks)
+                return (st, acc + jnp.sum(out.astype(jnp.int32))), None
+
+            (st, acc), _ = jax.lax.scan(
+                rep, (state, jnp.int32(0)), None, length=reps
+            )
+            tot = acc.astype(jnp.float32)
+            for leaf in jax.tree.leaves(st):
+                tot = tot + jnp.sum(leaf.astype(jnp.float32))
+            return tot
+
+        return run
+
+    lo, hi = make(REP_LO), make(REP_HI)
+    float(lo(state0, blocks))
+    float(hi(state0, blocks))
+    best = float("inf")
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        float(lo(state0, blocks))
+        tl = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(hi(state0, blocks))
+        th = time.perf_counter() - t0
+        dt = (th - tl) / (REP_HI - REP_LO)
+        if 0 < dt < best:
+            best = dt
+    return samples_per_pass / best / 1e6
+
+
+def resampler():
+    import jax
+    import jax.numpy as jnp
+    from tsl_sdr_tpu.ops import polyphase, q14
+    from tsl_sdr_tpu.ops.pallas_resampler import resample_capture_pallas
+    from tsl_sdr_tpu.utils.filter_design import design_rational_resampler_filter
+
+    coeffs = design_rational_resampler_filter(16, 25, 0.4)
+    plan = polyphase.make_resampler_plan(
+        q14.quantize_q14(coeffs), 16, 25, block_out_target=1 << 20
+    )
+    rng = np.random.default_rng(0)
+    nb = 8
+    x = rng.integers(-12000, 12000,
+                     size=(plan.carry_len + nb * plan.block_in,),
+                     dtype=np.int64).astype(np.int16)
+    blocks = jax.device_put(
+        jnp.asarray(x[plan.carry_len:].reshape(nb, plan.block_in)))
+    st0 = polyphase.init_resampler_state(plan, prefix=x[: plan.carry_len])
+    n = nb * plan.block_in
+
+    from tsl_sdr_tpu.ops.polyphase import (
+        _resample_fast_kernel, _resample_fast_kernel_t)
+
+    wt = jnp.asarray(np.ascontiguousarray(
+        plan.w_frames_i16.reshape(
+            plan.frame_shifts, plan.d_rep, plan.i_rep).transpose(0, 2, 1)))
+    wf = jnp.asarray(plan.w_frames)
+
+    def step_t(st, blk):
+        c, out = _resample_fast_kernel_t(
+            st.carry, blk, wt, s_shifts=plan.frame_shifts,
+            d_rep=plan.d_rep, i_rep=plan.i_rep, k_out=plan.block_out)
+        return polyphase.ResamplerState(carry=c), out.astype(jnp.int32)
+
+    def step_plain(st, blk):
+        c, out = _resample_fast_kernel(
+            st.carry, blk, wf, s_shifts=plan.frame_shifts,
+            d_rep=plan.d_rep, i_rep=plan.i_rep, k_out=plan.block_out)
+        return polyphase.ResamplerState(carry=c), out.astype(jnp.int32)
+
+    print("transposed-residue tier:",
+          round(_rate(step_t, st0, blocks, n), 0), "Msps", flush=True)
+    print("plain frame tier:      ",
+          round(_rate(step_plain, st0, blocks, n), 0), "Msps", flush=True)
+
+    # pallas whole-capture (non-streaming API) — wall-clock differential
+    pcm = x[plan.carry_len:]
+    for tm in (256, 512, 1024):
+        try:
+            out = resample_capture_pallas(plan, pcm, tile_frames=tm)
+            jax.block_until_ready(out)
+            best = float("inf")
+            for _ in range(TRIALS):
+                t0 = time.perf_counter()
+                jax.block_until_ready(
+                    resample_capture_pallas(plan, pcm, tile_frames=tm))
+                best = min(best, time.perf_counter() - t0)
+            print(f"pallas tm={tm}:          ",
+                  round(len(pcm) / best / 1e6, 0), "Msps (wall)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"pallas tm={tm}: FAILED {e}", flush=True)
+
+
+def chain():
+    import jax
+    import jax.numpy as jnp
+    from tsl_sdr_tpu.models.channelizer import MultifmChain
+    from tsl_sdr_tpu.ops.pallas_chain import PallasChain
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    fs, d, t = 1_000_000, 40, 128
+    lpf = firdes_low_pass(1.0, fs, 12_500, 9_000)[:t]
+    rng = np.random.default_rng(0)
+    block = 16_776_960
+    for c in (8, 64):
+        offsets = rng.integers(-fs // 3, fs // 3, size=c)
+        iq = rng.integers(-8000, 8000, size=(block + 80 * 3, 2),
+                          dtype=np.int64).astype(np.int16)
+        for label, factory in (
+            ("xla", lambda: MultifmChain(lpf, offsets, fs, d, exact=False,
+                                         backend="xla")),
+            ("pallas-highest", lambda: MultifmChain(
+                lpf, offsets, fs, d, exact=False, backend="pallas")),
+        ):
+            ch = factory()
+            st0 = ch.init_state(prefix=iq[: ch.carry_len])
+            blocks = jax.device_put(jnp.asarray(
+                iq[ch.carry_len : ch.carry_len + block].reshape(1, 2 * block)))
+            r = _rate(ch._step_raw, st0, blocks, block)
+            print(f"{c}ch {label}: {r:,.0f} Msps", flush=True)
+        # pallas 'high' precision via a direct PallasChain
+        ch = MultifmChain(lpf, offsets, fs, d, exact=False, backend="pallas")
+        pc = PallasChain(ch.packed_plan, ch._omega_reduced, precision="high")
+
+        def step(carry, bv):
+            return pc.step(carry, bv)
+
+        st0 = pc.init_carry(iq[: pc.carry_len])
+        blocks = jax.device_put(jnp.asarray(
+            iq[pc.carry_len : pc.carry_len + block].reshape(1, 2 * block)))
+        r = _rate(step, st0, blocks, block)
+        print(f"{c}ch pallas-high: {r:,.0f} Msps", flush=True)
+
+
+def pipeline():
+    import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+    from tsl_sdr_tpu.testing import pocsag_gen
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    decim = 32
+    fs = 38400 * decim
+    center = 929_500_000
+    offsets = [-450_000, -320_000, -190_000, -60_000,
+               60_000, 190_000, 320_000, 450_000]
+    rng = np.random.default_rng(6)
+    parts = None
+    for k, off in enumerate(offsets):
+        bb = pocsag_gen.generate(
+            [pocsag_gen.PocsagBurst(capcode=100000 + k, function=1,
+                                    kind="alpha", content=f"CH{k} MSG")],
+            baud=1200, tail_bits=256)
+        dev = bb.astype(np.float64) / 16384.0 * 19200
+        ph = np.cumsum(np.repeat(2 * np.pi * (off + dev) / fs, decim))
+        sig = np.stack([np.cos(ph), np.sin(ph)], -1) * 4000
+        if parts is None:
+            parts = np.zeros((len(sig) + 2_000_000, 2))
+        parts[200_000:200_000 + len(sig)] += sig
+    iq = (parts + rng.normal(scale=80, size=parts.shape)).astype(np.int16)
+    iq4 = np.concatenate([iq] * 4)
+    for bs in (4_194_304, 8_388_608):
+        pipe = ReceivePipeline(
+            firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
+            [ChannelSpec(center + o, "pocsag") for o in offsets],
+            exact=False, block_size=bs)
+        pipe.process_capture(iq4)
+        best = 0.0
+        for _ in range(4):
+            t0 = time.perf_counter()
+            res = pipe.process_capture(iq4)
+            dt = time.perf_counter() - t0
+            caps = sorted(set(m.capcode for msgs in res for m in msgs))
+            assert caps == [100000 + k for k in range(8)], caps
+            best = max(best, len(iq4) / dt / 1e6)
+            print(f"bs={bs}: e2e {len(iq4) / dt / 1e6:.1f} Msps", flush=True)
+        print(f"bs={bs}: BEST {best:.1f} Msps", flush=True)
+
+
+if __name__ == "__main__":
+    {"resampler": resampler, "chain": chain,
+     "pipeline": pipeline}[sys.argv[1]]()

@@ -421,6 +421,11 @@ class AisDemodulator:
         return self.state == self._SEARCH
 
     @property
+    def supports_gating(self) -> bool:
+        """See PocsagDecoder.supports_gating."""
+        return self._nat is not None
+
+    @property
     def in_search(self) -> bool:
         """True while hunting the preamble (no packet in flight)."""
         return self._in_search()
@@ -804,6 +809,10 @@ class AisDecoder:
     @property
     def crc_rejects(self) -> int:
         return self.demod.crc_rejects
+
+    @property
+    def supports_gating(self) -> bool:
+        return self.demod.supports_gating
 
     @property
     def in_search(self) -> bool:

@@ -393,7 +393,6 @@ class ReceivePipeline:
                     for i in pg["idx"]},
             "tail_pcm": {i: None for pg in self._pack_groups.values()
                          for i in pg["idx"]},
-            "results": [[] for _ in self.channels],
             # egress-gating observability: blocks drained, and per channel
             # how many had their full bit rows fetched/fed
             "blocks": 0,
@@ -434,10 +433,7 @@ class ReceivePipeline:
         if self._stream is None:
             c_len = self.chain.carry_len
             # hold input until the chain prefix is covered
-            pend = self._pending_prefix = getattr(
-                self, "_pending_prefix", np.zeros((0, 2), np.int16)
-            )
-            pend = np.concatenate([pend, iq])
+            pend = np.concatenate([self._pending_prefix, iq])
             if pend.shape[0] < c_len + 1:
                 self._pending_prefix = pend
                 return new
@@ -509,7 +505,7 @@ class ReceivePipeline:
             need_rows = []
             for row, i in enumerate(pg["idx"]):
                 dec = self._decoders[i]
-                gate = getattr(dec, "_nat", None) is not None
+                gate = getattr(dec, "supports_gating", False)
                 if flags[row] or not gate or not dec.in_search:
                     need_rows.append(row)
             if need_rows:

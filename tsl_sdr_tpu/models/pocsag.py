@@ -396,6 +396,13 @@ class PocsagDecoder:
     # -- egress-gating hooks (ReceivePipeline device prefilter) ------------
 
     @property
+    def supports_gating(self) -> bool:
+        """Egress gating feeds via scan() with explicit gap notifications;
+        only the native FSM tier keeps exact stream semantics under that
+        protocol (the numpy scan carries its own prefilter state)."""
+        return self._nat is not None
+
+    @property
     def in_search(self) -> bool:
         """True while hunting for sync (no message in flight)."""
         if self._nat is not None:
