@@ -550,20 +550,23 @@ class ReceivePipeline:
                     new[i].extend(dec.scan(audio))
 
     def flush(self) -> list:
-        """Drain in-flight blocks and process the buffered tail (whole
-        quanta only; a sub-quantum residue stays buffered)."""
+        """Drain in-flight blocks and process the buffered tail.
+
+        The tail is zero-padded up to the block quantum so every pushed
+        sample is processed (a truncated stream ends in silence, exactly
+        as the reference's file source reads EOF)."""
         new = [[] for _ in self.channels]
         s = self._stream
         if s is None:
             return new
-        # process the buffered tail as one smaller block
-        tail_len = s["buf_len"] // self.block_quantum * self.block_quantum
-        if tail_len:
+        if s["buf_len"]:
+            q = self.block_quantum
+            tail_len = -(-s["buf_len"] // q) * q
             buf = np.concatenate(s["buf"]) if len(s["buf"]) > 1 else s["buf"][0]
-            block = buf[:tail_len]
-            rest = buf[tail_len:]
-            s["buf"] = [rest] if rest.shape[0] else []
-            s["buf_len"] = rest.shape[0]
+            block = np.zeros((tail_len, 2), np.int16)
+            block[: s["buf_len"]] = buf
+            s["buf"] = []
+            s["buf_len"] = 0
             self._dispatch(block)
         while s["inflight"]:
             self._drain(s["inflight"].popleft(), new)
