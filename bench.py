@@ -21,12 +21,17 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# persistent XLA compile cache: first compiles here are 30-160 s and every
+# fresh process repays them without this
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 REPO = Path(__file__).resolve().parent
 
@@ -143,6 +148,9 @@ def tpu_trials() -> dict:
 def main():
     import statistics
 
+    import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     trials = tpu_trials()
     all_rates = [r for rs in trials.values() for r in rs]
     tpu = max(all_rates)

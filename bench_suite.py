@@ -24,6 +24,7 @@ so device benches consume results on-device via checksums.
 """
 
 import json
+import os
 import statistics
 import subprocess
 import sys
@@ -31,6 +32,8 @@ import time
 from pathlib import Path
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 REPO = Path(__file__).resolve().parent
 REP_LO, REP_HI = 2, 10
@@ -446,6 +449,8 @@ def _fmt(st, unit="Msps"):
 def main():
     import jax
     from tsl_sdr_tpu.utils import roofline
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     platform = jax.devices()[0].platform
 
