@@ -254,3 +254,41 @@ def test_long_range_position_roundtrip():
     assert m.speed_over_ground == 17 and m.course == 305
     j = ais_message_json(m)
     assert '"type":"longRangePosition"' in j
+
+
+def test_sar_aircraft_report_roundtrip():
+    """Type 9 (beyond-reference): full air chain decode through the
+    demodulator."""
+    from tsl_sdr_tpu.models.ais import AisDecoder
+
+    pkt = gen.make_sar_aircraft_report(
+        111222333, altitude=950, speed_over_ground=180.0, position_acc=1,
+        longitude=-71.5, latitude=41.2, course=2700, timestamp=33)
+    sig = gen.generate([pkt])
+    (msg,) = AisDecoder().on_pcm(sig)
+    assert msg.mmsi == 111222333
+    assert msg.altitude == 950
+    assert msg.speed_over_ground == 180.0
+    assert abs(msg.longitude - (-71.5)) < 1e-5
+    assert abs(msg.latitude - 41.2) < 1e-5
+    assert msg.course == 2700 and msg.timestamp == 33
+
+
+def test_extended_class_b_roundtrip():
+    """Type 19 (beyond-reference): kinematics + name/type/dims in one
+    message."""
+    from tsl_sdr_tpu.models.ais import AisDecoder
+
+    pkt = gen.make_extended_class_b_report(
+        987654321, speed_over_ground=12.3, longitude=4.5, latitude=52.4,
+        course=900, heading=123, timestamp=41, name="WINDFARM GUARD",
+        ship_type=52, dims=(12, 8, 3, 4), epfd_type=1)
+    sig = gen.generate([pkt])
+    (msg,) = AisDecoder().on_pcm(sig)
+    assert msg.mmsi == 987654321
+    assert msg.speed_over_ground == 12.3
+    assert msg.name.rstrip("@ ") == "WINDFARM GUARD"
+    assert msg.ship_type == 52
+    assert (msg.dim_to_bow, msg.dim_to_stern, msg.dim_to_port,
+            msg.dim_to_starboard) == (12, 8, 3, 4)
+    assert msg.epfd_type == 1 and msg.heading == 123

@@ -218,6 +218,49 @@ class AisAidToNavigationReport:
 
 
 @dataclass
+class AisSarAircraftReport:
+    """Type 9 (SAR aircraft position report) — beyond-reference extension;
+    layout per ITU-R M.1371-5 table 49. Altitude in metres (4095 = not
+    available); SOG in whole knots (1023 = not available)."""
+
+    mmsi: int
+    altitude: int
+    speed_over_ground: float
+    position_acc: int
+    longitude: float
+    latitude: float
+    course: int
+    timestamp: int
+    repeat: int = 0
+    raw: str = ""
+
+
+@dataclass
+class AisExtendedClassBReport:
+    """Type 19 (extended Class B position report) — beyond-reference
+    extension; layout per ITU-R M.1371-5 table 47: the type-18 kinematics
+    plus name/type/dimensions (a one-message Class B static+position)."""
+
+    mmsi: int
+    speed_over_ground: float
+    position_acc: int
+    longitude: float
+    latitude: float
+    course: int
+    heading: int
+    timestamp: int
+    name: str
+    ship_type: int
+    dim_to_bow: int
+    dim_to_stern: int
+    dim_to_port: int
+    dim_to_starboard: int
+    epfd_type: int
+    repeat: int = 0
+    raw: str = ""
+
+
+@dataclass
 class AisLongRangePositionReport:
     """Type 27 (long-range broadcast position report) — beyond-reference
     extension; layout per ITU-R M.1371-5 table 96. Coarse 1/10-minute
@@ -349,6 +392,39 @@ def decode_fields(packet: bytes):
             timestamp=get_bitfield(packet, 253, 6),
             off_position=bool(get_bitfield(packet, 259, 1)),
             virtual_aid=bool(get_bitfield(packet, 269, 1)),
+            repeat=repeat,
+            raw=raw,
+        )
+    if msg_id == 9:
+        return AisSarAircraftReport(
+            mmsi=mmsi,
+            altitude=get_bitfield(packet, 38, 12),
+            speed_over_ground=float(get_bitfield(packet, 50, 10)),
+            position_acc=get_bitfield(packet, 60, 1),
+            longitude=get_bitfield_signed(packet, 61, 28) / 600000.0,
+            latitude=get_bitfield_signed(packet, 89, 27) / 600000.0,
+            course=get_bitfield(packet, 116, 12),
+            timestamp=get_bitfield(packet, 128, 6),
+            repeat=repeat,
+            raw=raw,
+        )
+    if msg_id == 19:
+        return AisExtendedClassBReport(
+            mmsi=mmsi,
+            speed_over_ground=get_bitfield(packet, 46, 10) / 10.0,
+            position_acc=get_bitfield(packet, 56, 1),
+            longitude=get_bitfield_signed(packet, 57, 28) / 600000.0,
+            latitude=get_bitfield_signed(packet, 85, 27) / 600000.0,
+            course=get_bitfield(packet, 112, 12),
+            heading=get_bitfield(packet, 124, 9),
+            timestamp=get_bitfield(packet, 133, 6),
+            name=get_string(packet, 143, 20),
+            ship_type=get_bitfield(packet, 263, 8),
+            dim_to_bow=get_bitfield(packet, 271, 9),
+            dim_to_stern=get_bitfield(packet, 280, 9),
+            dim_to_port=get_bitfield(packet, 289, 6),
+            dim_to_starboard=get_bitfield(packet, 295, 6),
+            epfd_type=get_bitfield(packet, 301, 4),
             repeat=repeat,
             raw=raw,
         )

@@ -92,6 +92,71 @@ def make_class_b_position_report(
     return bytes(p)
 
 
+def make_sar_aircraft_report(
+    mmsi: int,
+    *,
+    repeat: int = 0,
+    altitude: int = 0,
+    speed_over_ground: float = 0.0,
+    position_acc: int = 0,
+    longitude: float = 0.0,
+    latitude: float = 0.0,
+    course: int = 0,
+    timestamp: int = 0,
+) -> bytes:
+    """Type 9 SAR aircraft position report (beyond-reference extension)."""
+    p = bytearray(21)  # 168 bits
+    set_bitfield(p, 0, 6, 9)
+    set_bitfield(p, 6, 2, repeat)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 38, 12, altitude)
+    set_bitfield(p, 50, 10, int(round(speed_over_ground)))
+    set_bitfield(p, 60, 1, position_acc)
+    set_bitfield(p, 61, 28, int(round(longitude * 600000)) & ((1 << 28) - 1))
+    set_bitfield(p, 89, 27, int(round(latitude * 600000)) & ((1 << 27) - 1))
+    set_bitfield(p, 116, 12, course)
+    set_bitfield(p, 128, 6, timestamp)
+    return bytes(p)
+
+
+def make_extended_class_b_report(
+    mmsi: int,
+    *,
+    repeat: int = 0,
+    speed_over_ground: float = 0.0,
+    position_acc: int = 0,
+    longitude: float = 0.0,
+    latitude: float = 0.0,
+    course: int = 0,
+    heading: int = 0,
+    timestamp: int = 0,
+    name: str = "",
+    ship_type: int = 0,
+    dims=(0, 0, 0, 0),
+    epfd_type: int = 0,
+) -> bytes:
+    """Type 19 extended Class B report (beyond-reference extension)."""
+    p = bytearray(39)  # 312 bits
+    set_bitfield(p, 0, 6, 19)
+    set_bitfield(p, 6, 2, repeat)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 46, 10, int(round(speed_over_ground * 10)))
+    set_bitfield(p, 56, 1, position_acc)
+    set_bitfield(p, 57, 28, int(round(longitude * 600000)) & ((1 << 28) - 1))
+    set_bitfield(p, 85, 27, int(round(latitude * 600000)) & ((1 << 27) - 1))
+    set_bitfield(p, 112, 12, course)
+    set_bitfield(p, 124, 9, heading)
+    set_bitfield(p, 133, 6, timestamp)
+    set_string(p, 143, 20, name)
+    set_bitfield(p, 263, 8, ship_type)
+    set_bitfield(p, 271, 9, dims[0])
+    set_bitfield(p, 280, 9, dims[1])
+    set_bitfield(p, 289, 6, dims[2])
+    set_bitfield(p, 295, 6, dims[3])
+    set_bitfield(p, 301, 4, epfd_type)
+    return bytes(p)
+
+
 def make_static_data_report(
     mmsi: int,
     *,

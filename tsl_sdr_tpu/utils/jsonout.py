@@ -110,8 +110,10 @@ def ais_message_json(m, now=None) -> str:
         AisAidToNavigationReport,
         AisBaseStationReport,
         AisClassBPositionReport,
+        AisExtendedClassBReport,
         AisLongRangePositionReport,
         AisPositionReport,
+        AisSarAircraftReport,
         AisStaticDataReport,
         AisStaticVoyageData,
     )
@@ -127,6 +129,31 @@ def ais_message_json(m, now=None) -> str:
             f'"geoPosition":{{"lon":{m.longitude:f},"lat":{m.latitude:f}}},'
             f'"course":{m.course},"heading":{m.heading},'
             f'"seconds":{m.timestamp},"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisSarAircraftReport):
+        return (
+            f'{{"proto":"ais","type":"sarAircraftReport","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},"altitude":{m.altitude},'
+            f'"speedOverGround":{m.speed_over_ground:f},'
+            f'"positionAcc":{m.position_acc},'
+            f'"geoPosition":{{"lon":{m.longitude:f},"lat":{m.latitude:f}}},'
+            f'"course":{m.course},"seconds":{m.timestamp},'
+            f'"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisExtendedClassBReport):
+        return (
+            f'{{"proto":"ais","type":"extendedClassBReport",'
+            f'"timestamp":"{ts}","mmsi":{m.mmsi},'
+            f'"speedOverGround":{m.speed_over_ground:f},'
+            f'"positionAcc":{m.position_acc},'
+            f'"geoPosition":{{"lon":{m.longitude:f},"lat":{m.latitude:f}}},'
+            f'"course":{m.course},"heading":{m.heading},'
+            f'"seconds":{m.timestamp},'
+            f'"name":"{escape_message(m.name.encode("latin-1"))}",'
+            f'"shipType":{m.ship_type},'
+            f'"dimensions":{{"toBow":{m.dim_to_bow},"toStern":{m.dim_to_stern},'
+            f'"toPort":{m.dim_to_port},"toStarboard":{m.dim_to_starboard}}},'
+            f'"rawAscii":"{raw}"}}'
         )
     if isinstance(m, AisAidToNavigationReport):
         return (
