@@ -238,6 +238,17 @@ def main(argv=None):
     # fetch back across this box's slow tunnel
     stage_on_device = not (chain.exact and chain.exact_tier == "packed")
     feeder = AsyncFeeder(_produce(), depth=3, device_put=stage_on_device)
+    # the fast tier's PCM stays a device array: start its device->host copy
+    # asynchronously and drain it on the NEXT iteration so the transfer
+    # latency overlaps the following block's compute (same pattern as
+    # models/pipeline.py; the exact-packed tier already returns host PCM)
+    pending_pcm = None
+
+    def _emit(pcm):
+        counters.samples_out += pcm.shape[1]
+        for c, sink in enumerate(sinks):
+            pcm[c].astype(np.int16).tofile(sink)
+
     try:
         for blk in feeder:
             if state is None:
@@ -251,16 +262,22 @@ def main(argv=None):
                         ch_iq[c].astype(np.int16).tofile(dbg)
             else:
                 state, pcm = chain.step(state, blk)
-            pcm = np.asarray(pcm)
             counters.samples_in += block
-            counters.samples_out += pcm.shape[1]
-            for c, sink in enumerate(sinks):
-                pcm[c].astype(np.int16).tofile(sink)
+            if isinstance(pcm, np.ndarray):
+                _emit(pcm)
+            else:
+                pcm.copy_to_host_async()
+                if pending_pcm is not None:
+                    _emit(np.asarray(pending_pcm))
+                pending_pcm = pcm
             if args.realtime:
                 target = counters.samples_in / cfg.sample_rate_hz
                 lag = target - (time.monotonic() - t0)
                 if lag > 0:
                     time.sleep(lag)
+        if pending_pcm is not None:
+            _emit(np.asarray(pending_pcm))
+            pending_pcm = None
     except (KeyboardInterrupt, BrokenPipeError):
         pass
     finally:
