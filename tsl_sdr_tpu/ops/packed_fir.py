@@ -223,19 +223,19 @@ def packed_fir_step(plan: PackedFirPlan, carry_vals, block):
     # pass entirely, and uses the REFERENCE's own Q.14 tap quantization
     # (multifm/demod.c:214-218) — so the fast tier's filter response equals
     # the C filter's, with full-precision (unrounded) int32 accumulators.
-    cols = plan.w_chunks_i16[0].shape[1]
+    # P[r] = sum_i Q_i[r + i] (window spill into the i-th following row).
+    # Only r_valid output rows exist and i <= cr_rows, so Q_i[i : i+r_valid]
+    # is always in bounds: plain STATIC slices — no zero-concat, no
+    # dynamic slice, nothing materialized beyond the matmul results.
     p = jnp.dot(
         rows,
         jnp.asarray(plan.w_chunks_i16[0]),
         preferred_element_type=jnp.int32,
-    )
+    )[:r_valid]
     for i, w in enumerate(plan.w_chunks_i16[1:], start=1):
         q = jnp.dot(rows, jnp.asarray(w), preferred_element_type=jnp.int32)
-        # P[r] += Q[r + i]  (window spill into the i-th following row)
-        p = p + jax.lax.dynamic_slice_in_dim(
-            jnp.concatenate([q, jnp.zeros((i, cols), jnp.int32)]), i, r_tot
-        )
-    p = p[:r_valid].astype(jnp.float32)
+        p = p + q[i : i + r_valid]
+    p = p.astype(jnp.float32)
     half = plan.opr * plan.nr_channels
     # Keep the natural [rows, opr*C] layout — its flat order is (k, c), so
     # consumers index it like [K, C] without paying a 64-lane -> C-lane
@@ -276,17 +276,15 @@ def packed_fir_step_exact(plan: PackedFirPlan, carry_vals, block):
     rows = vals.reshape(r_tot, plan.row)
     r_valid = r_tot - plan.cr_rows
 
-    cols = plan.w_chunks_i16[0].shape[1]
+    # static-slice spill adds (see packed_fir_step): wrap-exact int32 sums
+    # are order-independent, so the restructuring preserves bit-exactness
     p = jnp.dot(
         rows, jnp.asarray(plan.w_chunks_i16[0]),
         preferred_element_type=jnp.int32,
-    )
+    )[:r_valid]
     for i, w in enumerate(plan.w_chunks_i16[1:], start=1):
         q = jnp.dot(rows, jnp.asarray(w), preferred_element_type=jnp.int32)
-        p = p + jax.lax.dynamic_slice_in_dim(
-            jnp.concatenate([q, jnp.zeros((i, cols), jnp.int32)]), i, r_tot
-        )
-    p = p[:r_valid]
+        p = p + q[i : i + r_valid]
     half = plan.opr * plan.nr_channels
     from tsl_sdr_tpu.ops import q14
 
