@@ -99,3 +99,30 @@ def test_pallas_resampler_matches_fast_tier():
         pos += plan.block_in
     want = np.concatenate(want)[: got.shape[0]]
     np.testing.assert_allclose(got, want, atol=0.01)
+
+
+def test_exact_packed_impl_matches_gather_oracle():
+    """The default lane-packed exact tier is bit-identical to the
+    per-output window-gather oracle (wrap-int32 sums are order-free)."""
+    import numpy as np
+
+    from tsl_sdr_tpu.ops import polyphase, q14
+    from tsl_sdr_tpu.utils.filter_design import design_rational_resampler_filter
+
+    rng = np.random.default_rng(11)
+    for (i_, d_) in ((16, 25), (5, 16), (25, 48)):
+        coeffs = design_rational_resampler_filter(i_, d_, 0.4)
+        plan = polyphase.make_resampler_plan(
+            q14.quantize_q14(coeffs), i_, d_, block_out_target=512)
+        x = rng.integers(-32768, 32768,
+                         size=plan.carry_len + 3 * plan.block_in,
+                         dtype=np.int64).astype(np.int16)
+        st_a = polyphase.init_resampler_state(plan, prefix=x[:plan.carry_len])
+        st_b = polyphase.init_resampler_state(plan, prefix=x[:plan.carry_len])
+        for b in range(3):
+            blk = x[plan.carry_len + b * plan.block_in:
+                    plan.carry_len + (b + 1) * plan.block_in]
+            st_a, oa = polyphase.resample_step(plan, st_a, blk, exact=True)
+            st_b, ob = polyphase.resample_step(plan, st_b, blk, exact=True,
+                                               exact_impl="gather")
+            assert np.array_equal(np.asarray(oa), np.asarray(ob)), (i_, d_, b)

@@ -193,11 +193,11 @@ def _resample_fast_kernel(carry, block, wf, *, s_shifts, d_rep, i_rep, k_out):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s_shifts", "d_rep", "i_rep", "k_out")
+    jax.jit, static_argnames=("s_shifts", "d_rep", "i_rep", "k_out", "exact")
 )
 def _resample_fast_kernel_t(carry, block, wt, *, s_shifts, d_rep, i_rep,
-                            k_out):
-    """Transposed-residue fast tier — full 128-lane utilization.
+                            k_out, exact=False):
+    """Transposed-residue matmul tier — full 128-lane utilization.
 
     With ``u = oj + q`` split as ``u = 25*s + r`` (for d_rep = 25):
 
@@ -207,8 +207,13 @@ def _resample_fast_kernel_t(carry, block, wt, *, s_shifts, d_rep, i_rep,
     huge M axis rides the LANES of both matmul operands and the output —
     the ``[M, D_rep]`` frame layout of the plain kernel wastes 1 - D/128 of
     every register. S matmuls ``[I_rep, D_rep] @ [D_rep, M]`` in exact
-    int16*int16->int32 (quantized taps = the reference's filter), then one
-    scale to the float sample-unit output.
+    int16*int16->int32 (quantized taps = the reference's filter).
+
+    ``exact=False`` scales the accumulators to float sample units;
+    ``exact=True`` applies the reference's Q.28->Q.14 rounding
+    (``filter/utils.c:89-112``) for int16 output BIT-IDENTICAL to the
+    per-output gather oracle — int32 wrap addition is order-free, so the
+    re-blocked summation produces the same accumulator values.
     """
     total = jnp.concatenate([carry, block], axis=0)
     new_carry = total[block.shape[0] :]
@@ -225,16 +230,24 @@ def _resample_fast_kernel_t(carry, block, wt, *, s_shifts, d_rep, i_rep,
         acc = acc + jnp.dot(
             wt[s], xt[:, s : s + m_out], preferred_element_type=jnp.int32
         )
-    out = acc.astype(jnp.float32) * jnp.float32(1.0 / q14.Q14_ONE)
+    if exact:
+        out = q14.round_q28_q14(acc)
+    else:
+        out = acc.astype(jnp.float32) * jnp.float32(1.0 / q14.Q14_ONE)
     # [I_rep, M] -> flat (k = i_rep*m + j) requires the transpose back
     return new_carry, out.T.reshape(-1)
 
 
-def resample_step(plan: ResamplerPlan, state: ResamplerState, block, *, exact=True):
-    """block: [N_in] int16 -> (state, out[K]) (int16 exact / float32 fast)."""
+def resample_step(plan: ResamplerPlan, state: ResamplerState, block, *,
+                  exact=True, exact_impl: str = "packed"):
+    """block: [N_in] int16 -> (state, out[K]) (int16 exact / float32 fast).
+
+    The exact tier defaults to the lane-packed matmul form (bit-identical
+    to the per-output window gather — wrap-int32 sums are order-free; the
+    gather oracle stays available as ``exact_impl="gather"``)."""
     block = jnp.asarray(block, dtype=jnp.int16)
     assert block.shape == (plan.block_in,), (block.shape, plan.block_in)
-    if not exact:
+    if not exact or exact_impl == "packed":
         # wt[s] = W_s [I_rep, D_rep]: wt[s, j, r] = w_frames_i16[25*s + r, j]
         wt = jnp.asarray(
             np.ascontiguousarray(
@@ -251,6 +264,7 @@ def resample_step(plan: ResamplerPlan, state: ResamplerState, block, *, exact=Tr
             d_rep=plan.d_rep,
             i_rep=plan.i_rep,
             k_out=plan.block_out,
+            exact=exact,
         )
         return ResamplerState(carry=new_carry), out
     idx = plan.offsets[:, None] + np.arange(plan.taps_sel_i16.shape[1])[None, :]
