@@ -150,8 +150,12 @@ class _SizedProgram:
                     ch_rows[i] = pcm[i]
             dc2 = {}
             for i, coeff in dc_items:
-                st2, out = dcb.dc_blocker_step_exact(
-                    dc[i], ch_rows[i], coeff
+                # production tier: log-depth associative scan — the exact
+                # per-sample scan would serialize ~100k steps per block on
+                # TPU (the host oracle path keeps it; outputs differ by a
+                # few PCM LSBs of filter transient, below decode margins)
+                st2, out = dcb.dc_blocker_step_fast(
+                    dc[i], ch_rows[i].astype(jnp.int16), coeff
                 )
                 dc2[i] = st2
                 ch_rows[i] = out
