@@ -49,7 +49,8 @@ def _capture(seed=21):
 
 def _specs():
     return [
-        ChannelSpec(CENTER + 250_000, "pocsag"),
+        # dc_block exercises the fused engine's per-channel DC stage
+        ChannelSpec(CENTER + 250_000, "pocsag", dc_block=True),
         ChannelSpec(CENTER - 180_000, "flex"),
         ChannelSpec(CENTER + 400_000, "ais"),
         ChannelSpec(CENTER - 350_000, "pocsag"),  # silent: gating target

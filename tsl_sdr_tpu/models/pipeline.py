@@ -369,6 +369,7 @@ class ReceivePipeline:
         self._pending_prefix = np.zeros((0, 2), np.int16)
 
     def _stream_init(self, prefix: np.ndarray | None):
+        import jax
         import jax.numpy as jnp
 
         from tsl_sdr_tpu.ops import dc_blocker as dcb
@@ -378,7 +379,14 @@ class ReceivePipeline:
             "chain": self.chain.init_state(prefix=prefix),
             "rs": prog.init_rs_states(self),
             "dc": {
-                i: dcb.init_dc_blocker_state() for i, _ in self._dc_items
+                # distinct device buffers per leaf: jnp scalar literals
+                # dedupe to one buffer, which the jit's donation rejects
+                # ("donate the same buffer twice")
+                i: jax.tree.map(
+                    lambda v: jnp.asarray(np.asarray(v).copy()),
+                    dcb.init_dc_blocker_state(),
+                )
+                for i, _ in self._dc_items
             },
             "tails": {
                 pgid: jnp.zeros(
