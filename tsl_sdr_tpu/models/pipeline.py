@@ -80,8 +80,6 @@ class _SizedProgram:
     ``resample_step`` call consumes the block) and the jitted fused fn."""
 
     def __init__(self, pipe: "ReceivePipeline", n: int):
-        import functools
-
         import jax
         import jax.numpy as jnp
 
@@ -194,7 +192,6 @@ class _SizedProgram:
         self.meta_bytes = {
             pgid: 1 + tail_bits[pgid] // 8 for pgid in pack_groups
         }
-        del functools
 
     def init_rs_states(self, pipe):
         import jax
