@@ -54,6 +54,7 @@ def _specs():
         ChannelSpec(CENTER - 180_000, "flex"),
         ChannelSpec(CENTER + 400_000, "ais"),
         ChannelSpec(CENTER - 350_000, "pocsag"),  # silent: gating target
+        ChannelSpec(CENTER + 480_000, "ais"),     # silent: AIS gating
     ]
 
 
@@ -85,27 +86,29 @@ def test_push_increments_equal_process_capture():
     assert want[0][0][2].startswith(b"STREAM POCSAG")
     assert any(k[0] == "ais" for k in want[2])
 
+    nch = len(_specs())
     pipe_b = ReceivePipeline(lpf, CENTER, FS, DECIM, _specs(), exact=False,
                              block_size=262_144)
     rng = np.random.default_rng(3)
-    got = [[] for _ in range(4)]
+    got = [[] for _ in range(nch)]
     i = 0
     while i < len(iq):
         ln = int(rng.integers(50_000, 400_000))
         part = pipe_b.push(iq[i : i + ln])
-        for c in range(4):
+        for c in range(nch):
             got[c].extend(part[c])
         i += ln
     part = pipe_b.flush()
-    for c in range(4):
+    for c in range(nch):
         got[c].extend(part[c])
     assert _keys(got) == want
 
-    # the silent channel was egress-gated: its bit rows were fetched for
-    # (at most) a couple of false-positive blocks, not every block
+    # the silent channels were egress-gated: their bit rows were fetched
+    # for (at most) a couple of false-positive blocks, not every block
     stats = pipe_b.stream_stats
     assert stats["blocks"] >= 10
-    assert stats["fetched"][3] <= stats["blocks"] // 3, stats
+    assert stats["fetched"][3] <= stats["blocks"] // 3, stats  # pocsag idle
+    assert stats["fetched"][4] <= stats["blocks"] // 3, stats  # ais idle
     # the active POCSAG channel fetched at least its burst blocks
     assert stats["fetched"][0] >= 1
 
