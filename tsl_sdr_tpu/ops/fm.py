@@ -91,8 +91,6 @@ def fm_from_baseband(ar, ai, prev_r, prev_i, omega_d, nr_channels=None):
     c = nr_channels or shape[-1]
     arf = ar.reshape(-1)
     aif = ai.reshape(-1)
-    pr = jnp.concatenate([prev_r.astype(jnp.float32), arf[:-c]])
-    pi_ = jnp.concatenate([prev_i.astype(jnp.float32), aif[:-c]])
 
     flat = arf.shape[0]
     pad = (-flat) % 128
@@ -104,29 +102,35 @@ def fm_from_baseband(ar, ai, prev_r, prev_i, omega_d, nr_channels=None):
         omega_d = omega_d - 2 * np.pi * np.round(omega_d / (2 * np.pi))
     omega_d = jnp.asarray(omega_d, dtype=jnp.float32)
     omega_d = omega_d - 2 * _PI_F32 * jnp.round(omega_d / (2 * _PI_F32))
+
+    # lag-c correlation computed from SLICE views (fusible reads — the old
+    # form materialized four shifted+padded operand copies, ~4x this
+    # stage's whole HBM traffic); only the c head products need prev.
+    main_re = arf[c:] * arf[:-c] + aif[c:] * aif[:-c]
+    main_im = aif[c:] * arf[:-c] - arf[c:] * aif[:-c]
+    head_re = arf[:c] * prev_r.astype(jnp.float32) + (
+        aif[:c] * prev_i.astype(jnp.float32))
+    head_im = aif[:c] * prev_r.astype(jnp.float32) - (
+        arf[:c] * prev_i.astype(jnp.float32))
+
     if 128 % c == 0:
         # lane-packed fast path: reshape to [*, 128]; omega is a static
         # 128-lane pattern (c divides 128)
-        w_row = jnp.tile(omega_d, 128 // c)
+        w = jnp.tile(omega_d, 128 // c)[None, :]
 
-        def pack(v):
-            v = jnp.concatenate([v, jnp.zeros((pad,), jnp.float32)])
+        def pack(head, main):
+            v = jnp.concatenate(
+                [head, main, jnp.zeros((pad,), jnp.float32)]
+            )
             return v.reshape(-1, 128)
 
-        yr, yi, qr, qi = pack(arf), pack(aif), pack(pr), pack(pi_)
-        w = w_row[None, :]
+        sre = pack(head_re, main_re)
+        sim = pack(head_im, main_im)
     else:
-        yr, yi, qr, qi = (
-            arf.reshape(-1, c),
-            aif.reshape(-1, c),
-            pr.reshape(-1, c),
-            pi_.reshape(-1, c),
-        )
         pad = 0
         w = omega_d[None, :]
-
-    sre = yr * qr + yi * qi
-    sim = yi * qr - yr * qi
+        sre = jnp.concatenate([head_re, main_re]).reshape(-1, c)
+        sim = jnp.concatenate([head_im, main_im]).reshape(-1, c)
     phi = jnp.arctan2(sim, sre) + w
     phi = jnp.where(phi > _PI_F32, phi - 2 * _PI_F32, phi)
     phi = jnp.where(phi <= -_PI_F32, phi + 2 * _PI_F32, phi)
