@@ -269,3 +269,80 @@ def test_exact_packed_process_array_device_multichannel():
     host = np.asarray(chain.process_array(iq, block_size=16_384))
     dev = np.asarray(chain.process_array_device(iq, block_size=16_384))
     np.testing.assert_array_equal(host, dev)
+
+
+def test_grouped_tier_bitexact_and_streaming():
+    """Phase-grouped windowed matmuls produce BIT-IDENTICAL accumulators to
+    the chunked form (int32 wrap sums are order-free), across block splits.
+    Covers g < opr (C=16: g=4) and g == 1 (C=64)."""
+    rng = np.random.default_rng(7)
+    fs, d, t = 1_000_000, 40, 128
+    lpf = firdes_low_pass(1.0, fs, 12_500, 9_000)[:t]
+    for c in (16, 64):
+        offs = rng.integers(-fs // 3, fs // 3, size=c)
+        plan = packed_fir.make_packed_fir_plan(lpf, offs, fs, d)
+        assert packed_fir.grouped_fir_worthwhile(plan)
+        g = packed_fir.make_grouped_from_plan(plan)
+        n = plan.block_quantum * 6
+        iq = rng.integers(
+            -12000, 12000, size=(2 * n + plan.carry_vals,), dtype=np.int64
+        ).astype(np.int16)
+        carry1 = packed_fir.init_packed_carry(plan)
+        carry2 = packed_fir.init_packed_carry(plan)
+        import jax.numpy as jnp
+
+        carry1 = jnp.asarray(iq[: plan.carry_vals])
+        carry2 = jnp.asarray(iq[: plan.carry_vals])
+        body = iq[plan.carry_vals :]
+        # chunked: one shot; grouped: three uneven streaming steps
+        _, ar_ref, ai_ref = packed_fir.packed_fir_step(plan, carry1, body)
+        outs_r, outs_i = [], []
+        q2 = plan.block_quantum * 2
+        for part in (body[: 2 * q2], body[2 * q2 : 2 * (q2 + q2)],
+                     body[2 * (q2 + q2):]):
+            carry2, ar, ai = packed_fir.packed_fir_step(
+                plan, carry2, part, gplan=g
+            )
+            outs_r.append(np.asarray(ar).reshape(-1, ar.shape[-1]))
+            outs_i.append(np.asarray(ai).reshape(-1, ai.shape[-1]))
+        ar_g = np.concatenate(outs_r)
+        ai_g = np.concatenate(outs_i)
+        assert np.array_equal(
+            np.asarray(ar_ref).reshape(ar_g.shape), ar_g
+        )
+        assert np.array_equal(
+            np.asarray(ai_ref).reshape(ai_g.shape), ai_g
+        )
+        # exact tier: rounded int16 accumulators also identical
+        carry3 = jnp.asarray(iq[: plan.carry_vals])
+        carry4 = jnp.asarray(iq[: plan.carry_vals])
+        _, er1, ei1 = packed_fir.packed_fir_step_exact(plan, carry3, body)
+        _, er2, ei2 = packed_fir.packed_fir_step_exact(
+            plan, carry4, body, gplan=g
+        )
+        assert np.array_equal(np.asarray(er1), np.asarray(er2))
+        assert np.array_equal(np.asarray(ei1), np.asarray(ei2))
+
+
+def test_multifm_chain_auto_grouped_matches_narrow_logic():
+    """MultifmChain picks the grouped tier only where it cuts FLOPs, and
+    its fast-tier output is unchanged by the regrouping."""
+    rng = np.random.default_rng(3)
+    fs, d, t = 1_000_000, 40, 128
+    lpf = firdes_low_pass(1.0, fs, 12_500, 9_000)[:t]
+    offs8 = rng.integers(-fs // 3, fs // 3, size=8)
+    chain8 = MultifmChain(lpf, offs8, fs, d, exact=False)
+    assert chain8.grouped_plan is None  # g == opr: no FLOP cut at 8ch
+
+    offs16 = rng.integers(-fs // 3, fs // 3, size=16)
+    chain16 = MultifmChain(lpf, offs16, fs, d, exact=False)
+    assert chain16.grouped_plan is not None
+    n = chain16.packed_plan.block_quantum * 8 + chain16.carry_len
+    iq = rng.integers(-9000, 9000, size=(n, 2), dtype=np.int64).astype(
+        np.int16
+    )
+    pcm_g = chain16.process_array(iq)
+    chain16.grouped_plan = None
+    del chain16.__dict__["scan_fn"]  # drop the cached jitted scan
+    pcm_c = chain16.process_array(iq)
+    assert np.array_equal(pcm_g, pcm_c)

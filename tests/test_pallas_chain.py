@@ -58,3 +58,35 @@ def test_pallas_block_boundary_invariance():
         outs.append(np.asarray(pcm))
     blocked = np.concatenate(outs, axis=1)
     np.testing.assert_array_equal(whole, blocked)
+
+
+def test_pallas_grouped_matches_chunked():
+    """The phase-grouped windowed kernel (auto-selected for wide banks)
+    produces the same PCM as the chunked kernel (both HIGHEST-precision
+    f32 over the same quantized taps -> identical sums, diff == 0)."""
+    import jax.numpy as jnp
+
+    from tsl_sdr_tpu.ops import packed_fir
+    from tsl_sdr_tpu.ops.pallas_chain import PallasChain
+
+    rng = np.random.default_rng(11)
+    fs, d, t = 1_000_000, 40, 128
+    lpf = firdes_low_pass(1.0, fs, 12_500, 9_000)[:t]
+    for c in (16, 64):
+        offs = rng.integers(-fs // 3, fs // 3, size=c)
+        plan = packed_fir.make_packed_fir_plan(lpf, offs, fs, d)
+        w = plan.omega_d.astype(np.float64)
+        om = (w - 2 * np.pi * np.round(w / (2 * np.pi))).astype(np.float32)
+        n = plan.block_quantum * 8
+        iq = rng.integers(
+            -9000, 9000, size=(plan.carry_len + n, 2), dtype=np.int64
+        ).astype(np.int16)
+        blk = jnp.asarray(iq[plan.carry_len:].reshape(-1))
+        outs = {}
+        for grouped in (False, True):
+            ch = PallasChain(plan, om, interpret=True, grouped=grouped)
+            assert (ch._gspec is not None) == grouped
+            st = ch.init_carry(iq[: plan.carry_len])
+            _, pcm = ch.step(st, blk)
+            outs[grouped] = np.asarray(pcm)
+        assert np.array_equal(outs[False], outs[True])

@@ -92,6 +92,13 @@ class MultifmChain:
         self.packed_plan = packed_fir.make_packed_fir_plan(
             lpf_taps, offsets_hz, sample_rate, decimation, gains
         )
+        # wide banks: phase-grouped windowed matmuls (bit-identical, ~3.5x
+        # fewer MXU FLOPs at 64ch); narrow banks keep the chunked form
+        self.grouped_plan = (
+            packed_fir.make_grouped_from_plan(self.packed_plan)
+            if packed_fir.grouped_fir_worthwhile(self.packed_plan)
+            else None
+        )
         self.exact = exact
         if exact_tier not in ("packed", "scan"):
             raise ValueError(f"unknown exact_tier {exact_tier!r}")
@@ -183,10 +190,13 @@ class MultifmChain:
     @functools.cached_property
     def _exact_packed_fir_fn(self):
         plan = self.packed_plan
+        gplan = self.grouped_plan
 
         @jax.jit
         def f(carry, block):
-            return packed_fir.packed_fir_step_exact(plan, carry, block)
+            return packed_fir.packed_fir_step_exact(
+                plan, carry, block, gplan=gplan
+            )
 
         return f
 
@@ -250,7 +260,8 @@ class MultifmChain:
                 block = block.reshape(-1)
             return self._pallas.step(state, block)
         carry, ar, ai = packed_fir.packed_fir_step(
-            self.packed_plan, state.carry_vals, block
+            self.packed_plan, state.carry_vals, block,
+            gplan=self.grouped_plan,
         )
         pcm, pr, pi_ = fm.fm_from_baseband(
             ar,
@@ -307,7 +318,8 @@ class MultifmChain:
                 "never materializes the baseband)"
             )
         carry, ar, ai = packed_fir.packed_fir_step(
-            self.packed_plan, state.carry_vals, block
+            self.packed_plan, state.carry_vals, block,
+            gplan=self.grouped_plan,
         )
         pcm, pr, pi_ = fm.fm_from_baseband(
             ar, ai, state.prev_r, state.prev_i,
@@ -369,12 +381,13 @@ class MultifmChain:
         blocks = jnp.asarray(body.reshape(n_blocks, 2 * block_size))
 
         plan = self.packed_plan
+        gplan = self.grouped_plan
 
         @jax.jit
         def run(carry, blocks):
             def body_fn(cv, bv):
                 cv, a_re, a_im = packed_fir.packed_fir_step_exact(
-                    plan, cv, bv
+                    plan, cv, bv, gplan=gplan
                 )
                 return cv, (a_re, a_im)
 

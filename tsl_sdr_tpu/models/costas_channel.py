@@ -51,6 +51,11 @@ class CostasChannelizer:
         self.packed_plan = packed_fir.make_packed_fir_plan(
             lpf_taps, offsets_hz, sample_rate, decimation, gains
         )
+        self.grouped_plan = (
+            packed_fir.make_grouped_from_plan(self.packed_plan)
+            if packed_fir.grouped_fir_worthwhile(self.packed_plan)
+            else None
+        )
         self.params = costas.make_costas_params(
             f_shift, alpha=alpha, beta=beta, e_max_q14=e_max_q14
         )
@@ -104,6 +109,7 @@ class CostasChannelizer:
             if block_size <= 0:
                 raise ValueError("capture shorter than one block quantum")
         plan = self.packed_plan
+        gplan = self.grouped_plan
         carry = packed_fir.init_packed_carry(plan, iq[:c_len] if c_len else None)
         body = iq[c_len : c_len + n_blocks * block_size]
         blocks = jnp.asarray(body.reshape(n_blocks, 2 * block_size))
@@ -114,7 +120,9 @@ class CostasChannelizer:
         def run(carry, blocks):
             def body_fn(st, bv):
                 cv, k0 = st
-                cv, ar, ai = packed_fir.packed_fir_step(plan, cv, bv)
+                cv, ar, ai = packed_fir.packed_fir_step(
+                    plan, cv, bv, gplan=gplan
+                )
                 yr, yi = packed_fir.nco_rotate(
                     ar.reshape(-1, c), ai.reshape(-1, c), oi32, k0
                 )
@@ -151,7 +159,8 @@ class CostasChannelizer:
         if isinstance(block, np.ndarray):
             block = block.reshape(-1)
         carry, ar, ai = packed_fir.packed_fir_step(
-            self.packed_plan, state.carry_vals, block
+            self.packed_plan, state.carry_vals, block,
+            gplan=self.grouped_plan,
         )
         c = self.nr_channels
         yr, yi = packed_fir.nco_rotate(

@@ -73,6 +73,11 @@ class PackedFirPlan(NamedTuple):
     decimation: int
     nr_taps: int
     nr_channels: int
+    # per-chunk nonzero-row count, rounded up to a 128 lane tile (chunk i>0
+    # is zero past row ``win - i*row``; contracting over those rows is pure
+    # MXU waste — trimming cuts ~30% of the matmul FLOPs at the flagship
+    # 8ch/128-tap shape). Empty tuple = untrimmed (legacy plans).
+    chunk_nnz: tuple = ()
 
     @property
     def carry_vals(self) -> int:
@@ -163,6 +168,10 @@ def make_packed_fir_plan(
     chunks_q = tuple(
         padded_q[i * row : (i + 1) * row] for i in range(cr_rows + 1)
     )
+    chunk_nnz = tuple(
+        row if i == 0 else min(row, -(-(win - i * row) // 128) * 128)
+        for i in range(cr_rows + 1)
+    )
     return PackedFirPlan(
         w_chunks=chunks,
         w_chunks_i16=chunks_q,
@@ -175,7 +184,143 @@ def make_packed_fir_plan(
         decimation=d,
         nr_taps=nr_taps,
         nr_channels=nr_ch,
+        chunk_nnz=chunk_nnz,
     )
+
+
+def _chunk_nnz(plan: PackedFirPlan, i: int) -> int:
+    return plan.chunk_nnz[i] if plan.chunk_nnz else plan.row
+
+
+class GroupedFirPlan(NamedTuple):
+    """Phase-grouped windowed reformulation of a :class:`PackedFirPlan`.
+
+    The chunked form contracts every output column over the full
+    ``(cr+1) * ROW`` tap rows even though each phase ``j`` only reads the
+    ``2T`` window starting at ``2*D*j`` — at 64 channels that is ~70%
+    structural zeros fed to the MXU. Here the ``opr`` phases are split into
+    ``n_groups`` groups of ``g`` consecutive phases with ``g*2C >= 128``
+    (full output lanes); group ``G`` is one dense matmul
+
+        xw[:, 2*D*g*G : 2*D*g*G + win_g] @ Wg[G]      (win_g = (g-1)*2D + 2T)
+
+    over the windowed row view ``xw[r] = rows[r] ++ rows[r+1][:win-ROW]``.
+    Tap density rises from ``2T / ((cr+1)*ROW)`` to ``2T / win_g`` — a
+    ~3.5x MXU FLOP cut at 64ch/128taps (where ``g == 1``), fading to parity
+    at 8ch (``g == opr`` degenerates to the trimmed chunked form, which
+    needs no windowed copy — so narrow banks keep the chunked tier).
+    """
+
+    wg_f32: np.ndarray   # [n_groups, win_g, 2*g*C] float32
+    wg_i16: np.ndarray   # same, int16 Q.14
+    g: int               # phases per group
+    n_groups: int        # = opr // g
+    win_g: int           # window values per group
+    spill: int           # = win - row (windowed-view overhang into next row)
+
+
+def make_grouped_from_plan(plan: PackedFirPlan) -> GroupedFirPlan:
+    """Regroup a packed plan's taps into the phase-grouped windowed form."""
+    row, opr, c = plan.row, plan.opr, plan.nr_channels
+    d = plan.decimation
+    t = plan.nr_taps
+    # opr = 128 / gcd(2D, 128) is a power of two; pick the smallest
+    # power-of-two group with >= 128 output columns (or the whole row)
+    g = 1
+    while g < opr and g * 2 * c < 128:
+        g *= 2
+    n_groups = opr // g
+    win_g = (g - 1) * 2 * d + 2 * t
+    # rebuild the full [win, 2, opr, C] tap tensor from the padded chunks
+    w_full = np.concatenate([np.asarray(w) for w in plan.w_chunks], axis=0)
+    w_full = w_full[: plan.win].reshape(plan.win, 2, opr, c)
+    wq_full = np.concatenate(
+        [np.asarray(w) for w in plan.w_chunks_i16], axis=0
+    )[: plan.win].reshape(plan.win, 2, opr, c)
+    wg = np.zeros((n_groups, win_g, 2, g, c), dtype=np.float32)
+    wgq = np.zeros((n_groups, win_g, 2, g, c), dtype=np.int16)
+    for grp in range(n_groups):
+        off = 2 * d * g * grp
+        for jj in range(g):
+            j = grp * g + jj
+            # phase j's taps live at absolute rows [2*D*j, 2*D*j + 2T)
+            a0 = 2 * d * j
+            wg[grp, a0 - off : a0 - off + 2 * t, :, jj] = (
+                w_full[a0 : a0 + 2 * t, :, j]
+            )
+            wgq[grp, a0 - off : a0 - off + 2 * t, :, jj] = (
+                wq_full[a0 : a0 + 2 * t, :, j]
+            )
+    return GroupedFirPlan(
+        wg_f32=wg.reshape(n_groups, win_g, 2 * g * c),
+        wg_i16=wgq.reshape(n_groups, win_g, 2 * g * c),
+        g=g,
+        n_groups=n_groups,
+        win_g=win_g,
+        spill=plan.win - row,
+    )
+
+
+def grouped_fir_worthwhile(plan: PackedFirPlan, threshold=1.3) -> bool:
+    """True when the grouped form cuts MXU work by at least ``threshold``."""
+    chunk_macs = sum(
+        _chunk_nnz(plan, i) for i in range(plan.cr_rows + 1)
+    )
+    c = plan.nr_channels
+    g = 1
+    while g < plan.opr and g * 2 * c < 128:
+        g *= 2
+    n_groups = plan.opr // g
+    win_g = (g - 1) * 2 * plan.decimation + 2 * plan.nr_taps
+    grouped_macs = n_groups * win_g * (g / plan.opr)
+    return chunk_macs / max(grouped_macs, 1) >= threshold
+
+
+def packed_fir_step_grouped(
+    plan: PackedFirPlan, gplan: GroupedFirPlan, carry_vals, block
+):
+    """Grouped-window int16 tier of :func:`packed_fir_step`.
+
+    Same streaming contract and BIT-IDENTICAL accumulators (int32 wrap
+    sums are order-free; the grouped matmuls add the same nonzero
+    products). Returns (new_carry, ar, ai) float32 ``[rows, opr*C]``.
+    """
+    return packed_fir_step(plan, carry_vals, block, gplan=gplan)
+
+
+def _grouped_matmul(rows, wg, *, r_valid, row, spill, g, n_groups, win_g, d,
+                    nr_ch):
+    """[r_tot, ROW] int16 rows -> [r_valid, 2*opr*C] int32 accumulators.
+
+    Column layout of the result: ``[re/im, j, c]`` flattened — identical to
+    the chunked form's ``P`` so downstream reshapes are unchanged.
+    """
+    # windowed view xw[r] = rows[r] ++ rows[r+1] ++ ... (spill may span
+    # several following rows when 2T >> ROW)
+    parts = [rows[:r_valid]]
+    rem, k = spill, 1
+    while rem > 0:
+        take = min(rem, row)
+        parts.append(rows[k : k + r_valid, :take])
+        rem -= take
+        k += 1
+    xw = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    xg = jnp.stack(
+        [
+            xw[:, 2 * d * g * grp : 2 * d * g * grp + win_g]
+            for grp in range(n_groups)
+        ]
+    )  # [n_groups, r_valid, win_g]
+    q = jax.lax.dot_general(
+        xg,
+        wg,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [n_groups, r_valid, 2*g*C]
+    q = q.reshape(n_groups, r_valid, 2, g * nr_ch)
+    # [G, r, 2, g*C] -> [r, 2, G, g*C] -> [r, 2*opr*C] (j = G*g + jj)
+    q = jnp.transpose(q, (1, 2, 0, 3))
+    return q.reshape(r_valid, 2 * n_groups * g * nr_ch)
 
 
 def init_packed_carry(plan: PackedFirPlan, prefix=None) -> jnp.ndarray:
@@ -192,7 +337,7 @@ def init_packed_carry(plan: PackedFirPlan, prefix=None) -> jnp.ndarray:
     return prefix.reshape(-1)
 
 
-def packed_fir_step(plan: PackedFirPlan, carry_vals, block):
+def packed_fir_step(plan: PackedFirPlan, carry_vals, block, gplan=None):
     """One streaming step.
 
     carry_vals: [plan.carry_vals] int16 (interleaved values)
@@ -200,6 +345,9 @@ def packed_fir_step(plan: PackedFirPlan, carry_vals, block):
     array shaped ``[N, 2]`` has a pathological 2-lane layout; np arrays
     reshape for free on the host) or ``[N, 2]``. N must be a multiple of
     ``plan.block_quantum``.
+    ``gplan``: optional :class:`GroupedFirPlan` — runs the phase-grouped
+    windowed matmuls instead of the chunked ones (bit-identical
+    accumulators, far fewer MXU FLOPs for wide banks).
     Returns (new_carry_vals, ar, ai) with ar/ai ``[rows, opr*C]`` float32 —
     channelized, decimated, NOT derotated baseband in flat (k, c) order.
     """
@@ -227,14 +375,26 @@ def packed_fir_step(plan: PackedFirPlan, carry_vals, block):
     # Only r_valid output rows exist and i <= cr_rows, so Q_i[i : i+r_valid]
     # is always in bounds: plain STATIC slices — no zero-concat, no
     # dynamic slice, nothing materialized beyond the matmul results.
-    p = jnp.dot(
-        rows,
-        jnp.asarray(plan.w_chunks_i16[0]),
-        preferred_element_type=jnp.int32,
-    )[:r_valid]
-    for i, w in enumerate(plan.w_chunks_i16[1:], start=1):
-        q = jnp.dot(rows, jnp.asarray(w), preferred_element_type=jnp.int32)
-        p = p + q[i : i + r_valid]
+    if gplan is not None:
+        p = _grouped_matmul(
+            rows, jnp.asarray(gplan.wg_i16), r_valid=r_valid,
+            row=plan.row, spill=gplan.spill, g=gplan.g,
+            n_groups=gplan.n_groups, win_g=gplan.win_g,
+            d=plan.decimation, nr_ch=plan.nr_channels,
+        )
+    else:
+        p = jnp.dot(
+            rows,
+            jnp.asarray(plan.w_chunks_i16[0]),
+            preferred_element_type=jnp.int32,
+        )[:r_valid]
+        for i, w in enumerate(plan.w_chunks_i16[1:], start=1):
+            nnz = _chunk_nnz(plan, i)  # spill chunks are zero past nnz rows
+            q = jnp.dot(
+                rows[:, :nnz], jnp.asarray(w[:nnz]),
+                preferred_element_type=jnp.int32,
+            )
+            p = p + q[i : i + r_valid]
     p = p.astype(jnp.float32)
     half = plan.opr * plan.nr_channels
     # Keep the natural [rows, opr*C] layout — its flat order is (k, c), so
@@ -248,7 +408,8 @@ def packed_fir_step(plan: PackedFirPlan, carry_vals, block):
     return new_carry, ar, ai
 
 
-def packed_fir_step_exact(plan: PackedFirPlan, carry_vals, block):
+def packed_fir_step_exact(plan: PackedFirPlan, carry_vals, block,
+                          gplan=None):
     """Bit-exact integer tier of :func:`packed_fir_step`.
 
     The reference's per-output complex MAC accumulates int16*int16 products
@@ -278,13 +439,25 @@ def packed_fir_step_exact(plan: PackedFirPlan, carry_vals, block):
 
     # static-slice spill adds (see packed_fir_step): wrap-exact int32 sums
     # are order-independent, so the restructuring preserves bit-exactness
-    p = jnp.dot(
-        rows, jnp.asarray(plan.w_chunks_i16[0]),
-        preferred_element_type=jnp.int32,
-    )[:r_valid]
-    for i, w in enumerate(plan.w_chunks_i16[1:], start=1):
-        q = jnp.dot(rows, jnp.asarray(w), preferred_element_type=jnp.int32)
-        p = p + q[i : i + r_valid]
+    if gplan is not None:
+        p = _grouped_matmul(
+            rows, jnp.asarray(gplan.wg_i16), r_valid=r_valid,
+            row=plan.row, spill=gplan.spill, g=gplan.g,
+            n_groups=gplan.n_groups, win_g=gplan.win_g,
+            d=plan.decimation, nr_ch=plan.nr_channels,
+        )
+    else:
+        p = jnp.dot(
+            rows, jnp.asarray(plan.w_chunks_i16[0]),
+            preferred_element_type=jnp.int32,
+        )[:r_valid]
+        for i, w in enumerate(plan.w_chunks_i16[1:], start=1):
+            nnz = _chunk_nnz(plan, i)  # zero products drop out of wrap sums
+            q = jnp.dot(
+                rows[:, :nnz], jnp.asarray(w[:nnz]),
+                preferred_element_type=jnp.int32,
+            )
+            p = p + q[i : i + r_valid]
     half = plan.opr * plan.nr_channels
     from tsl_sdr_tpu.ops import q14
 

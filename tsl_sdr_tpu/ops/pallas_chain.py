@@ -82,8 +82,62 @@ def _atan2_poly(y, x):
     return jnp.where(x_major, ax, ay)
 
 
+def _fir_acc(x, w_ref, *, tr, cr, precision, chunk_nnz, gspec):
+    """FIR accumulators [TR+1, 2*halfcols] from the f32 row view ``x``.
+
+    ``gspec`` None: chunked form (one matmul per tap chunk + row shift,
+    spill chunks trimmed to their nonzero prefix). ``gspec`` = (g,
+    n_groups, win_g, spill, d, gc): phase-grouped windowed form — far
+    fewer MXU FLOPs for wide banks (see
+    :class:`tsl_sdr_tpu.ops.packed_fir.GroupedFirPlan`); returns the same
+    ``[re | im]`` column split.
+    """
+    if gspec is None:
+        p = jnp.dot(
+            x,
+            w_ref[0],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        acc = p[: tr + 1]
+        for i in range(1, cr + 1):
+            nnz = chunk_nnz[i]
+            q = jnp.dot(
+                x[:, :nnz],
+                w_ref[i][:nnz],
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            acc = acc + q[i : tr + 1 + i]
+        return acc
+    g, n_groups, win_g, spill, d, gc = gspec
+    row = x.shape[1]
+    parts = [x[: tr + 1]]
+    rem, k = spill, 1
+    while rem > 0:
+        take = min(rem, row)
+        parts.append(x[k : k + tr + 1, :take])
+        rem -= take
+        k += 1
+    xw = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    res, ims = [], []
+    for grp in range(n_groups):
+        off = 2 * d * g * grp
+        q = jnp.dot(
+            xw[:, off : off + win_g],
+            w_ref[grp],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [TR+1, 2*g*C]
+        res.append(q[:, :gc])
+        ims.append(q[:, gc:])
+    ar = res[0] if n_groups == 1 else jnp.concatenate(res, axis=1)
+    ai = ims[0] if n_groups == 1 else jnp.concatenate(ims, axis=1)
+    return jnp.concatenate([ar, ai], axis=1)
+
+
 def _chain_kernel(xa_ref, xb_ref, w_ref, om_ref, out_ref, *, cr, halfcols,
-                  nr_ch, opr, precision):
+                  nr_ch, opr, precision, chunk_nnz, gspec=None):
     tr = xa_ref.shape[0]
     row = xa_ref.shape[1]
     # halo: 1 look-back row + cr spill rows from the next tile
@@ -91,22 +145,8 @@ def _chain_kernel(xa_ref, xb_ref, w_ref, om_ref, out_ref, *, cr, halfcols,
         [xa_ref[:].astype(jnp.float32), xb_ref[: 1 + cr].astype(jnp.float32)]
     )  # [TR + 1 + cr, ROW]
 
-    # packed FIR: one MXU matmul per tap chunk + row shift
-    p = jnp.dot(
-        x,
-        w_ref[0],
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    acc = p[: tr + 1]
-    for i in range(1, cr + 1):
-        q = jnp.dot(
-            x,
-            w_ref[i],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        acc = acc + q[i : tr + 1 + i]
+    acc = _fir_acc(x, w_ref, tr=tr, cr=cr, precision=precision,
+                   chunk_nnz=chunk_nnz, gspec=gspec)
 
     ar = acc[:, :halfcols]           # [TR+1, halfcols] — flat (k, c) order
     ai = acc[:, halfcols : 2 * halfcols]
@@ -135,15 +175,15 @@ def _chain_kernel(xa_ref, xb_ref, w_ref, om_ref, out_ref, *, cr, halfcols,
 
 @functools.partial(
     jax.jit, static_argnames=("tr", "cr", "halfcols", "nr_ch", "opr",
-                              "interpret", "precision")
+                              "interpret", "precision", "chunk_nnz", "gspec")
 )
 def _chain_call(padded_rows, w_stack, omega_row, *, tr, cr, halfcols, nr_ch,
-                opr, interpret, precision):
+                opr, interpret, precision, chunk_nnz, gspec=None):
     n_rows, row = padded_rows.shape
     grid = n_rows // tr - 1
     kernel = functools.partial(
         _chain_kernel, cr=cr, halfcols=halfcols, nr_ch=nr_ch, opr=opr,
-        precision=precision,
+        precision=precision, chunk_nnz=chunk_nnz, gspec=gspec,
     )
     return pl.pallas_call(
         kernel,
@@ -164,7 +204,7 @@ def _chain_call(padded_rows, w_stack, omega_row, *, tr, cr, halfcols, nr_ch,
 
 
 def _chain_kernel_v2(xc_ref, xa_ref, carry_ref, w_ref, om_ref, out_ref, *,
-                     cr, halfcols, nr_ch, precision):
+                     cr, halfcols, nr_ch, precision, chunk_nnz, gspec=None):
     """Zero-copy variant: block rows arrive as two views (previous tile,
     clamped, and this tile) and the stream carry as a tiny replicated input;
     program 0 swaps the carry in for the head. x row j == stream row
@@ -175,26 +215,18 @@ def _chain_kernel_v2(xc_ref, xa_ref, carry_ref, w_ref, om_ref, out_ref, *,
     head_prev = xc_ref[tr - 1 - cr :]          # last 1+cr rows of tile i-1
     head = jnp.where(i == 0, carry_ref[:], head_prev)
     _chain_body(head, xa_ref[:], w_ref, om_ref, out_ref, cr=cr,
-                halfcols=halfcols, nr_ch=nr_ch, precision=precision)
+                halfcols=halfcols, nr_ch=nr_ch, precision=precision,
+                chunk_nnz=chunk_nnz, gspec=gspec)
 
 
 def _chain_body(head_i16, block_i16, w_ref, om_ref, out_ref, *, cr, halfcols,
-                nr_ch, precision):
+                nr_ch, precision, chunk_nnz, gspec=None):
     tr = block_i16.shape[0]
     x = jnp.concatenate(
         [head_i16.astype(jnp.float32), block_i16.astype(jnp.float32)]
     )  # [1+cr+TR, ROW], x row j == stream row i*TR + j
-    p = jnp.dot(
-        x, w_ref[0], preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    acc = p[: tr + 1]
-    for k in range(1, cr + 1):
-        q = jnp.dot(
-            x, w_ref[k], preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        acc = acc + q[k : tr + 1 + k]
+    acc = _fir_acc(x, w_ref, tr=tr, cr=cr, precision=precision,
+                   chunk_nnz=chunk_nnz, gspec=gspec)
 
     ar = acc[:, :halfcols]
     ai = acc[:, halfcols : 2 * halfcols]
@@ -221,10 +253,11 @@ def _chain_body(head_i16, block_i16, w_ref, om_ref, out_ref, *, cr, halfcols,
 @functools.partial(
     jax.jit,
     static_argnames=("tr", "cr", "halfcols", "nr_ch", "interpret",
-                     "precision"),
+                     "precision", "chunk_nnz", "gspec"),
 )
 def _chain_call_v2(block_rows, carry_rows, w_stack, omega_row, *, tr, cr,
-                   halfcols, nr_ch, interpret, precision):
+                   halfcols, nr_ch, interpret, precision, chunk_nnz,
+                   gspec=None):
     """Streaming call with NO copy of the block: requires tr | n_rows.
 
     x row j == stream row i*TR + j where stream = [carry(1+cr) ++ block];
@@ -235,7 +268,7 @@ def _chain_call_v2(block_rows, carry_rows, w_stack, omega_row, *, tr, cr,
     grid = n_rows // tr
     kernel = functools.partial(
         _chain_kernel_v2, cr=cr, halfcols=halfcols, nr_ch=nr_ch,
-        precision=precision,
+        precision=precision, chunk_nnz=chunk_nnz, gspec=gspec,
     )
     return pl.pallas_call(
         kernel,
@@ -273,7 +306,8 @@ class PallasChain:
     def __init__(self, plan: PackedFirPlan, omega_reduced,
                  tile_rows: int | None = None,
                  interpret: bool | None = None,
-                 precision: str = "highest"):
+                 precision: str = "highest",
+                 grouped: bool | None = None):
         """``precision``: MXU pass count for the f32 tap matmuls.
         "highest" (6 bf16 passes) tracks the int16 tier to ~1 PCM LSB;
         "high" (bf16x3, ~1e-5 relative) halves the MXU work and still
@@ -299,13 +333,30 @@ class PallasChain:
         # within f32's exact range per-term; the HIGHEST-precision MXU sum
         # tracks the integer path to ~1 PCM LSB). Keeps the same filter
         # response as the XLA int16 tier.
-        self.w_stack = jnp.asarray(
-            np.stack(plan.w_chunks_i16).astype(np.float32)
-        )
+        from tsl_sdr_tpu.ops.packed_fir import (
+            grouped_fir_worthwhile, make_grouped_from_plan)
+
+        if grouped is None:
+            grouped = grouped_fir_worthwhile(plan)
+        if grouped:
+            gp = make_grouped_from_plan(plan)
+            # quantized-tap VALUES in f32, like the chunked stack below
+            self.w_stack = jnp.asarray(gp.wg_i16.astype(np.float32))
+            self._gspec = (gp.g, gp.n_groups, gp.win_g, gp.spill,
+                           plan.decimation, gp.g * plan.nr_channels)
+        else:
+            self._gspec = None
+            self.w_stack = jnp.asarray(
+                np.stack(plan.w_chunks_i16).astype(np.float32)
+            )
         # omega per output column (j, c): tile over j
         om = np.tile(np.asarray(omega_reduced, np.float32), plan.opr)
         self.omega_row = jnp.asarray(om[None, :])
         self.interpret = (not _is_tpu()) if interpret is None else interpret
+        self._chunk_nnz = (
+            tuple(plan.chunk_nnz) if plan.chunk_nnz
+            else (plan.row,) * (plan.cr_rows + 1)
+        )
         import jax.lax as _lax
 
         self.precision = {
@@ -363,6 +414,8 @@ class PallasChain:
                 nr_ch=self.plan.nr_channels,
                 interpret=self.interpret,
                 precision=self.precision,
+                chunk_nnz=self._chunk_nnz,
+                gspec=self._gspec,
             )
             new_carry = jax.lax.dynamic_slice_in_dim(
                 block_rows, r_b - self.carry_rows, self.carry_rows
@@ -386,6 +439,8 @@ class PallasChain:
             opr=self.plan.opr,
             interpret=self.interpret,
             precision=self.precision,
+            chunk_nnz=self._chunk_nnz,
+            gspec=self._gspec,
         )
         # last 1+cr real rows of (carry ++ block) — sliced from the already
         # materialized buffer, NOT a second concat (that would re-copy the

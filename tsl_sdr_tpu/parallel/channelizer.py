@@ -47,7 +47,8 @@ from tsl_sdr_tpu.parallel.mesh import CHANNEL_AXIS, TIME_AXIS
 _PI_F32 = np.float32(np.pi)
 
 
-def _local_packed_fm(vals_local, w_all, omega_all, *, row, opr, cr, cols):
+def _local_packed_fm(vals_local, w_all, omega_all, *, row, opr, cr, cols,
+                     chunk_nnz=None):
     """Per-shard kernel. vals_local [2N] int16 (interleaved IQ values) ->
     pcm [C_local, N//D] int16."""
     w = w_all[0]          # [cr+1, ROW, cols_local] (leading shard dim squeezed)
@@ -75,7 +76,10 @@ def _local_packed_fm(vals_local, w_all, omega_all, *, row, opr, cr, cols):
     # packed tier, so shards agree with it bit-for-bit) ---
     p = jnp.dot(total, w[0], preferred_element_type=jnp.int32)
     for i in range(1, cr + 1):
-        q = jnp.dot(total, w[i], preferred_element_type=jnp.int32)
+        nnz = chunk_nnz[i] if chunk_nnz else row  # spill chunk zero past nnz
+        q = jnp.dot(
+            total[:, :nnz], w[i][:nnz], preferred_element_type=jnp.int32
+        )
         p = p + jax.lax.dynamic_slice_in_dim(
             jnp.concatenate([q, jnp.zeros((i, cols), jnp.int32)]), i, r_tot
         )
@@ -210,6 +214,7 @@ def make_sharded_multifm(plan, mesh, omega_reduced=None):
         opr=plan.opr,
         cr=plan.cr_rows,
         cols=2 * plan.opr * c_local,
+        chunk_nnz=tuple(plan.chunk_nnz) if plan.chunk_nnz else None,
     )
 
     fn = shard_map(
