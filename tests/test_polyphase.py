@@ -126,3 +126,86 @@ def test_exact_packed_impl_matches_gather_oracle():
             st_b, ob = polyphase.resample_step(plan, st_b, blk, exact=True,
                                                exact_impl="gather")
             assert np.array_equal(np.asarray(oa), np.asarray(ob)), (i_, d_, b)
+
+
+def test_packed_row_tier_bitexact_all_tiers():
+    """The packed-row matmul tier (plan.k_row) is bit-identical to the
+    gather oracle across streaming steps, and the fast tier matches the
+    transposed-residue fast tier exactly (same int32 accumulators)."""
+    import jax.numpy as jnp
+
+    from tsl_sdr_tpu.ops import polyphase, q14
+    from tsl_sdr_tpu.utils.filter_design import (
+        design_rational_resampler_filter,
+    )
+
+    rng = np.random.default_rng(5)
+    for (i_f, d_f) in ((16, 25), (3, 2), (4, 5)):
+        coeffs = design_rational_resampler_filter(i_f, d_f, 0.4)
+        plan = polyphase.make_resampler_plan(
+            q14.quantize_q14(coeffs), i_f, d_f, block_out_target=2048
+        )
+        assert plan.k_row > 0 and plan.k_row % 128 == 0
+        x = rng.integers(
+            -12000, 12000, size=(plan.carry_len + 3 * plan.block_in,),
+            dtype=np.int64,
+        ).astype(np.int16)
+        pre = x[: plan.carry_len] if plan.carry_len else None
+        sts = [polyphase.init_resampler_state(plan, prefix=pre)
+               for _ in range(3)]
+        outs = [[], [], []]
+        for b in range(3):
+            blk = x[
+                plan.carry_len + b * plan.block_in :
+                plan.carry_len + (b + 1) * plan.block_in
+            ]
+            sts[0], o0 = polyphase.resample_step(
+                plan, sts[0], blk, exact=True, exact_impl="gather"
+            )
+            sts[1], o1 = polyphase.resample_step(
+                plan, sts[1], blk, exact=True, exact_impl="packed"
+            )
+            sts[2], o2 = polyphase.resample_step(
+                plan, sts[2], blk, exact=False
+            )
+            outs[0].append(np.asarray(o0))
+            outs[1].append(np.asarray(o1))
+            outs[2].append(np.asarray(o2))
+        gather = np.concatenate(outs[0])
+        packed = np.concatenate(outs[1])
+        fast = np.concatenate(outs[2])
+        assert np.array_equal(gather, packed)
+        # fast tier: same int32 accumulators scaled to float
+        assert np.allclose(
+            fast, gather.astype(np.float32), atol=1.0
+        )
+
+
+def test_packed_row_fallback_for_awkward_ratio():
+    """Ratios whose lcm(I_rep, 128) explodes fall back to the
+    transposed-residue tier and stay bit-exact."""
+    from tsl_sdr_tpu.ops import polyphase, q14
+    from tsl_sdr_tpu.utils.filter_design import (
+        design_rational_resampler_filter,
+    )
+
+    rng = np.random.default_rng(6)
+    coeffs = design_rational_resampler_filter(147, 160, 0.4)
+    plan = polyphase.make_resampler_plan(
+        q14.quantize_q14(coeffs), 147, 160, block_out_target=2048
+    )
+    assert plan.k_row == 0
+    x = rng.integers(
+        -12000, 12000, size=(plan.carry_len + plan.block_in,),
+        dtype=np.int64,
+    ).astype(np.int16)
+    pre = x[: plan.carry_len] if plan.carry_len else None
+    st1 = polyphase.init_resampler_state(plan, prefix=pre)
+    st2 = polyphase.init_resampler_state(plan, prefix=pre)
+    _, o1 = polyphase.resample_step(
+        plan, st1, x[plan.carry_len :], exact=True, exact_impl="gather"
+    )
+    _, o2 = polyphase.resample_step(
+        plan, st2, x[plan.carry_len :], exact=True, exact_impl="packed"
+    )
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))

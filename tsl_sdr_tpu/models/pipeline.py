@@ -101,6 +101,7 @@ class _SizedProgram:
             self.plans[gid] = polyphase.make_resampler_plan(
                 q14.quantize_q14(coeffs), i_, d_,
                 block_out_target=k_chain * i_ // d_,
+                align_k_row=False,  # n_in must equal k_chain exactly
             )
             assert self.plans[gid].block_in == k_chain, (
                 self.plans[gid].block_in, k_chain)

@@ -50,6 +50,17 @@ class ResamplerPlan(NamedTuple):
     frame_shifts: int         # S
     i_rep: int
     d_rep: int
+    # packed-row tier (the channelizer's [rows, ROW] @ [ROW, COLS] form,
+    # see ops/packed_fir.py): K_ROW = lcm(I_rep, 128) outputs per row ride
+    # the LANES of the result; the input reshapes to [M, ROW_IN] rows with
+    # one trimmed spill-chunk matmul. k_row == 0 when the form would need
+    # an oversized tap matrix (lcm(I_rep, 128) > 1024) — the
+    # transposed-residue tier covers those.
+    k_row: int = 0
+    row_in: int = 0
+    spill: int = 0
+    w_row_i16: np.ndarray | None = None    # [ROW_IN, K_ROW] int16
+    w_spill_i16: np.ndarray | None = None  # [spill_pad, K_ROW] or None
 
 
 class ResamplerState(NamedTuple):
@@ -74,14 +85,27 @@ def make_resampler_plan(
     decimate: int,
     block_out_target: int = 1024,
     phase0: int = 0,
+    align_k_row: bool = True,
 ) -> ResamplerPlan:
     """Build the static plan. ``fir_coeff_q14``: int16 Q.14 taps (use
     :func:`tsl_sdr_tpu.ops.q14.quantize_q14` on float coefficients)."""
     phases = build_phase_filters(fir_coeff_q14, interpolate)
     p = phases.shape[1]
 
-    base = interpolate // math.gcd(interpolate, decimate)
-    k_out = base * max(1, -(-block_out_target // base))
+    g = math.gcd(interpolate, decimate)
+    base = interpolate // g
+    k_row = math.lcm(base, 128)
+    if k_row > 1024:
+        k_row = 0  # tap matrix would be huge; transposed tier handles it
+    if align_k_row and k_row:
+        # round the block up to a packed-row multiple (the fast kernel's
+        # K_ROW outputs/row); callers that need an EXACT n_in (the fused
+        # pipeline) pass align_k_row=False and get the base quantum
+        k_out = k_row * max(1, -(-block_out_target // k_row))
+    else:
+        k_out = base * max(1, -(-block_out_target // base))
+        if k_row and k_out % k_row:
+            k_row = 0  # this block size can't ride the packed-row kernel
     n_in = k_out * decimate // interpolate
 
     k = np.arange(k_out, dtype=np.int64)
@@ -96,7 +120,6 @@ def make_resampler_plan(
     # x[m*D_rep + oj : + P] with oj = (phase0 + j*D) // I  constant per j —
     # window span <= max(oj) + P, covered by S consecutive frames. One tiny
     # dense tap matrix [S*D_rep, I_rep] replaces the per-output gather.
-    g = math.gcd(interpolate, decimate)
     i_rep = interpolate // g
     d_rep = decimate // g
     oj = (phase0 + np.arange(i_rep, dtype=np.int64) * decimate) // interpolate
@@ -108,6 +131,29 @@ def make_resampler_plan(
         ph = phases[(phase0 + j * decimate) % interpolate]
         wf[oj[j] : oj[j] + p, j] = ph.astype(np.float32) / q14.Q14_ONE
         wq[oj[j] : oj[j] + p, j] = ph
+
+    # Packed-row tier: K_ROW outputs per input row of ROW_IN samples.
+    # Output kk = f*I_rep + j of a row reads the window starting at
+    # f*D_rep + oj[j] within the row; span spills at most
+    # win_r - ROW_IN = carry_len values into the next row.
+    w_row = None
+    w_spill = None
+    row_in = 0
+    spill = 0
+    if k_row:
+        frames = k_row // i_rep
+        row_in = frames * d_rep
+        win_r = (frames - 1) * d_rep + span
+        spill = max(0, win_r - row_in)
+        spill_pad = min(row_in, -(-spill // 128) * 128) if spill else 0
+        wp = np.zeros((row_in + spill_pad, k_row), dtype=np.int16)
+        for f in range(frames):
+            for j in range(i_rep):
+                ph = phases[(phase0 + j * decimate) % interpolate]
+                u0 = f * d_rep + int(oj[j])
+                wp[u0 : u0 + p, f * i_rep + j] = ph
+        w_row = wp[:row_in]
+        w_spill = np.ascontiguousarray(wp[row_in:]) if spill else None
 
     return ResamplerPlan(
         taps_sel_i16=taps_sel,
@@ -124,6 +170,11 @@ def make_resampler_plan(
         frame_shifts=int(s_shifts),
         i_rep=int(i_rep),
         d_rep=int(d_rep),
+        k_row=int(k_row),
+        row_in=int(row_in),
+        spill=int(spill),
+        w_row_i16=w_row,
+        w_spill_i16=w_spill,
     )
 
 
@@ -238,15 +289,65 @@ def _resample_fast_kernel_t(carry, block, wt, *, s_shifts, d_rep, i_rep,
     return new_carry, out.T.reshape(-1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("row_in", "k_row", "exact")
+)
+def _resample_row_kernel(carry, block, w0, w1, *, row_in, k_row, exact):
+    """Packed-row matmul tier — the channelizer's re-blocking applied to
+    the polyphase resampler (VERDICT r2 item 5; reference hot loop
+    ``filter/polyphase_fir.c:162-233``).
+
+    Input rows ``[M, ROW_IN]`` hit one dense ``[ROW_IN, K_ROW]`` tap
+    matrix (K_ROW >= 128 outputs on the LANES of the result — the
+    transposed-residue tier's [I_rep, D_rep] operands fill <8% of the MXU
+    tile; this form fills it completely) plus one trimmed spill-chunk
+    matmul, exactly like ops/packed_fir. int16*int16->int32 wrap
+    accumulation is order-free, so ``exact=True`` output is BIT-IDENTICAL
+    to the gather oracle after the reference's Q.28->Q.14 rounding.
+    """
+    total = jnp.concatenate([carry, block], axis=0)
+    new_carry = total[block.shape[0] :]
+    m = block.shape[0] // row_in
+    pad = (m + 1) * row_in - total.shape[0]
+    tot = jnp.concatenate([total, jnp.zeros((pad,), total.dtype)])
+    rows = tot.reshape(m + 1, row_in)
+    acc = jnp.dot(rows[:m], w0, preferred_element_type=jnp.int32)
+    if w1 is not None:
+        sp = w1.shape[0]
+        acc = acc + jnp.dot(
+            rows[1 : m + 1, :sp], w1, preferred_element_type=jnp.int32
+        )
+    if exact:
+        out = q14.round_q28_q14(acc)
+    else:
+        out = acc.astype(jnp.float32) * jnp.float32(1.0 / q14.Q14_ONE)
+    return new_carry, out.reshape(-1)
+
+
 def resample_step(plan: ResamplerPlan, state: ResamplerState, block, *,
                   exact=True, exact_impl: str = "packed"):
     """block: [N_in] int16 -> (state, out[K]) (int16 exact / float32 fast).
 
     The exact tier defaults to the lane-packed matmul form (bit-identical
     to the per-output window gather — wrap-int32 sums are order-free; the
-    gather oracle stays available as ``exact_impl="gather"``)."""
+    gather oracle stays available as ``exact_impl="gather"``). Both the
+    fast tier and the default exact tier ride the packed-row kernel when
+    the plan supports it (``plan.k_row``), else the transposed-residue
+    kernel."""
     block = jnp.asarray(block, dtype=jnp.int16)
     assert block.shape == (plan.block_in,), (block.shape, plan.block_in)
+    if (not exact or exact_impl == "packed") and plan.k_row:
+        assert plan.carry_len == plan.spill, (plan.carry_len, plan.spill)
+        w1 = (
+            jnp.asarray(plan.w_spill_i16)
+            if plan.w_spill_i16 is not None
+            else None
+        )
+        new_carry, out = _resample_row_kernel(
+            state.carry, block, jnp.asarray(plan.w_row_i16), w1,
+            row_in=plan.row_in, k_row=plan.k_row, exact=exact,
+        )
+        return ResamplerState(carry=new_carry), out
     if not exact or exact_impl == "packed":
         # wt[s] = W_s [I_rep, D_rep]: wt[s, j, r] = w_frames_i16[25*s + r, j]
         wt = jnp.asarray(

@@ -58,13 +58,41 @@ def _local_resample(x_local, wt, *, s_shifts, d_rep, i_rep):
     return out.T.reshape(-1)
 
 
+def _local_resample_row(x_local, w0, w1, *, row_in, k_row, spill):
+    """Packed-row per-shard kernel (ops/polyphase._resample_row_kernel):
+    [M, ROW_IN] rows @ [ROW_IN, K_ROW] taps + trimmed spill chunk. The
+    right-neighbor halo is the ``spill`` window overhang."""
+    from tsl_sdr_tpu.ops import q14
+
+    n_t = jax.lax.axis_size(TIME_AXIS)
+    head = x_local[:spill]
+    nxt = jax.lax.ppermute(
+        head, TIME_AXIS, [(i + 1, i) for i in range(n_t - 1)]
+    )  # last shard receives zeros
+    total = jnp.concatenate([x_local, nxt])
+    m = x_local.shape[0] // row_in
+    pad = (m + 1) * row_in - total.shape[0]
+    tot = jnp.concatenate([total, jnp.zeros((pad,), total.dtype)])
+    rows = tot.reshape(m + 1, row_in)
+    acc = jnp.dot(rows[:m], w0, preferred_element_type=jnp.int32)
+    if w1 is not None:
+        sp = w1.shape[0]
+        acc = acc + jnp.dot(
+            rows[1 : m + 1, :sp], w1, preferred_element_type=jnp.int32
+        )
+    out = acc.astype(jnp.float32) * jnp.float32(1.0 / q14.Q14_ONE)
+    return out.reshape(-1)
+
+
 def make_sharded_resampler(plan: ResamplerPlan, mesh):
     """fn(pcm[N] int16) -> float32 [N * I/D], N split over the time axis.
 
     Requires ``phase0 == 0`` plans (the default) and per-shard sample counts
     divisible by ``D_rep``. Output index k is the global output index
     (window at input offset ``k*D//I``), identical to the single-chip fast
-    tier modulo the f32 sum order.
+    tier modulo the f32 sum order. Shard lengths divisible by ``ROW_IN``
+    ride the packed-row kernel (full MXU lanes); others fall back to the
+    transposed-residue kernel.
     """
     if plan.phase0 != 0:
         raise ValueError("sharded resampler supports phase0 == 0 plans")
@@ -89,6 +117,27 @@ def make_sharded_resampler(plan: ResamplerPlan, mesh):
     )
     n_t = mesh.shape[TIME_AXIS]
 
+    fn_row = None
+    if plan.k_row and plan.spill:
+        local_row = functools.partial(
+            _local_resample_row,
+            row_in=plan.row_in,
+            k_row=plan.k_row,
+            spill=plan.spill,
+        )
+        fn_row = shard_map(
+            local_row,
+            mesh=mesh,
+            in_specs=(P(TIME_AXIS), P(), P()),
+            out_specs=P(TIME_AXIS),
+        )
+        w_row = jnp.asarray(plan.w_row_i16)
+        w_spill = (
+            jnp.asarray(plan.w_spill_i16)
+            if plan.w_spill_i16 is not None
+            else None
+        )
+
     def process(pcm):
         n = pcm.shape[0]
         q = n_t * plan.d_rep
@@ -97,10 +146,16 @@ def make_sharded_resampler(plan: ResamplerPlan, mesh):
                 f"input length {n} must be a multiple of "
                 f"time_shards*D_rep = {q} (pad or trim the capture)"
             )
+        if fn_row is not None and n % (n_t * plan.row_in) == 0:
+            return _jitted_row(pcm, w_row, w_spill)
         return _jitted(pcm, wf)
 
     @jax.jit
     def _jitted(pcm, wf):
         return fn(pcm, wf)
+
+    @jax.jit
+    def _jitted_row(pcm, w0, w1):
+        return fn_row(pcm, w0, w1)
 
     return process
