@@ -128,7 +128,7 @@ def tpu_trials() -> dict:
     """Per-backend per-trial Msps, trials INTERLEAVED across backends so a
     co-tenant noise burst cannot poison one backend's whole set."""
     prepared = {}
-    for backend in ("xla", "pallas"):
+    for backend in ("xla", "pallas", "pallas-high"):
         try:
             prepared[backend] = _backend_prepare(backend)
         except Exception as e:  # noqa: BLE001

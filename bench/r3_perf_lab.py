@@ -107,6 +107,25 @@ def resampler():
     print("plain frame tier:      ",
           round(_rate(step_plain, st0, blocks, n), 0), "Msps", flush=True)
 
+    # packed-row tier (ops/polyphase._resample_row_kernel)
+    if plan.k_row:
+        from tsl_sdr_tpu.ops.polyphase import _resample_row_kernel
+
+        w0 = jnp.asarray(plan.w_row_i16)
+        w1 = (jnp.asarray(plan.w_spill_i16)
+              if plan.w_spill_i16 is not None else None)
+
+        def step_row(st, blk):
+            c, out = _resample_row_kernel(
+                st.carry, blk, w0, w1, row_in=plan.row_in,
+                k_row=plan.k_row, exact=False)
+            return polyphase.ResamplerState(carry=c), out.astype(jnp.int32)
+
+        print("packed-row tier:       ",
+              round(_rate(step_row, st0, blocks, n), 0), "Msps", flush=True)
+    else:
+        print("packed-row tier: unsupported for this ratio", flush=True)
+
     # pallas whole-capture (non-streaming API) — wall-clock differential
     pcm = x[plan.carry_len:]
     for tm in (256, 512, 1024):

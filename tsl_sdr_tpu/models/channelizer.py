@@ -111,10 +111,17 @@ class MultifmChain:
         self._omega_reduced = (
             w - 2 * np.pi * np.round(w / (2 * np.pi))
         ).astype(np.float32)
-        if backend == "pallas":
+        if backend in ("pallas", "pallas-high"):
             from tsl_sdr_tpu.ops.pallas_chain import PallasChain
 
-            self._pallas = PallasChain(self.packed_plan, self._omega_reduced)
+            # "pallas-high" runs the bf16x3 MXU pass count — half of
+            # HIGHEST's work; lands within a PCM LSB for full-scale
+            # signals (see PallasChain docstring)
+            self._pallas = PallasChain(
+                self.packed_plan, self._omega_reduced,
+                precision="high" if backend == "pallas-high" else "highest",
+            )
+            self.backend = "pallas"
         elif backend != "xla":
             raise ValueError(f"unknown backend {backend!r}")
 
