@@ -48,7 +48,7 @@ _PI_F32 = np.float32(np.pi)
 
 
 def _local_packed_fm(vals_local, w_all, omega_all, *, row, opr, cr, cols,
-                     chunk_nnz=None):
+                     chunk_nnz=None, gspec=None):
     """Per-shard kernel. vals_local [2N] int16 (interleaved IQ values) ->
     pcm [C_local, N//D] int16."""
     w = w_all[0]          # [cr+1, ROW, cols_local] (leading shard dim squeezed)
@@ -73,17 +73,29 @@ def _local_packed_fm(vals_local, w_all, omega_all, *, row, opr, cr, cols,
 
     # --- packed FIR: native int16 MXU matmul per tap chunk + row shift
     # (same quantized taps and integer accumulation as the single-chip
-    # packed tier, so shards agree with it bit-for-bit) ---
-    p = jnp.dot(total, w[0], preferred_element_type=jnp.int32)
-    for i in range(1, cr + 1):
-        nnz = chunk_nnz[i] if chunk_nnz else row  # spill chunk zero past nnz
-        q = jnp.dot(
-            total[:, :nnz], w[i][:nnz], preferred_element_type=jnp.int32
-        )
-        p = p + jax.lax.dynamic_slice_in_dim(
-            jnp.concatenate([q, jnp.zeros((i, cols), jnp.int32)]), i, r_tot
-        )
-    p = p[:r_valid].astype(jnp.float32)
+    # packed tier, so shards agree with it bit-for-bit); wide channel
+    # shards ride the phase-grouped windowed form instead (bit-identical,
+    # fewer MXU FLOPs — see ops/packed_fir.GroupedFirPlan) ---
+    if gspec is not None:
+        from tsl_sdr_tpu.ops.packed_fir import _grouped_matmul
+
+        g_, n_groups, win_g, spill, d_ = gspec
+        p = _grouped_matmul(
+            total, w, r_valid=r_valid, row=row, spill=spill, g=g_,
+            n_groups=n_groups, win_g=win_g, d=d_, nr_ch=nr_ch,
+        ).astype(jnp.float32)
+    else:
+        p = jnp.dot(total, w[0], preferred_element_type=jnp.int32)
+        for i in range(1, cr + 1):
+            nnz = chunk_nnz[i] if chunk_nnz else row  # zero past nnz
+            q = jnp.dot(
+                total[:, :nnz], w[i][:nnz], preferred_element_type=jnp.int32
+            )
+            p = p + jax.lax.dynamic_slice_in_dim(
+                jnp.concatenate([q, jnp.zeros((i, cols), jnp.int32)]),
+                i, r_tot,
+            )
+        p = p[:r_valid].astype(jnp.float32)
     half = opr * nr_ch
 
     # --- FM with folded derotator; the extra leading row provides history
@@ -199,6 +211,34 @@ def make_sharded_multifm(plan, mesh, omega_reduced=None):
     w_sh = np.ascontiguousarray(np.moveaxis(w_full, 4, 0)).reshape(
         n_ch_shards, plan.cr_rows + 1, plan.row, 2 * plan.opr * c_local
     )
+
+    # shard-width grouped form: group size is chosen for C_LOCAL (a
+    # full-bank grouping would leave each shard's matmuls sub-lane)
+    from tsl_sdr_tpu.ops.packed_fir import (
+        grouped_fir_worthwhile, make_grouped_from_plan)
+
+    def _shard_plan(sh):
+        wc = tuple(
+            np.ascontiguousarray(
+                np.asarray(c).reshape(
+                    plan.row, 2, plan.opr, n_ch_shards, c_local
+                )[:, :, :, sh].reshape(plan.row, 2 * plan.opr * c_local)
+            )
+            for c in plan.w_chunks_i16
+        )
+        return plan._replace(
+            w_chunks=wc, w_chunks_i16=wc, nr_channels=c_local,
+            omega_d=plan.omega_d.reshape(n_ch_shards, c_local)[sh],
+        )
+
+    gspec = None
+    wg_sh = None
+    if grouped_fir_worthwhile(_shard_plan(0)):
+        gplans = [make_grouped_from_plan(_shard_plan(sh))
+                  for sh in range(n_ch_shards)]
+        gp0 = gplans[0]
+        wg_sh = np.stack([gp.wg_i16 for gp in gplans])
+        gspec = (gp0.g, gp0.n_groups, gp0.win_g, gp0.spill, plan.decimation)
     if omega_reduced is None:
         w = plan.omega_d.astype(np.float64)
         omega_reduced = (w - 2 * np.pi * np.round(w / (2 * np.pi))).astype(
@@ -215,6 +255,7 @@ def make_sharded_multifm(plan, mesh, omega_reduced=None):
         cr=plan.cr_rows,
         cols=2 * plan.opr * c_local,
         chunk_nnz=tuple(plan.chunk_nnz) if plan.chunk_nnz else None,
+        gspec=gspec,
     )
 
     fn = shard_map(
@@ -228,7 +269,7 @@ def make_sharded_multifm(plan, mesh, omega_reduced=None):
         out_specs=P(CHANNEL_AXIS, TIME_AXIS),
     )
 
-    w_j = jnp.asarray(w_sh)
+    w_j = jnp.asarray(wg_sh if gspec is not None else w_sh)
     omega_j = jnp.asarray(omega_sh)
 
     @jax.jit
