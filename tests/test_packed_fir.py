@@ -287,8 +287,6 @@ def test_grouped_tier_bitexact_and_streaming():
         iq = rng.integers(
             -12000, 12000, size=(2 * n + plan.carry_vals,), dtype=np.int64
         ).astype(np.int16)
-        carry1 = packed_fir.init_packed_carry(plan)
-        carry2 = packed_fir.init_packed_carry(plan)
         import jax.numpy as jnp
 
         carry1 = jnp.asarray(iq[: plan.carry_vals])

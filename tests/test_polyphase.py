@@ -195,6 +195,13 @@ def test_packed_row_fallback_for_awkward_ratio():
         q14.quantize_q14(coeffs), 147, 160, block_out_target=2048
     )
     assert plan.k_row == 0
+    # heavy upsamplers (spill > ROW_IN) must also fall back, not crash
+    for i_f, d_f in ((64, 1), (64, 3), (32, 5)):
+        up = polyphase.make_resampler_plan(
+            q14.quantize_q14(design_rational_resampler_filter(i_f, d_f, 0.4)),
+            i_f, d_f, block_out_target=2048,
+        )
+        assert up.k_row == 0
     x = rng.integers(
         -12000, 12000, size=(plan.carry_len + plan.block_in,),
         dtype=np.int64,

@@ -219,16 +219,23 @@ class GroupedFirPlan(NamedTuple):
     spill: int           # = win - row (windowed-view overhang into next row)
 
 
+def _group_size(opr: int, nr_channels: int) -> int:
+    """Smallest power-of-two phase-group with >= 128 output columns (or
+    the whole row). opr = 128 / gcd(2D, 128) is a power of two, so the
+    result always divides it. Shared by the builder and the cost model —
+    they must agree on the grouping."""
+    g = 1
+    while g < opr and g * 2 * nr_channels < 128:
+        g *= 2
+    return g
+
+
 def make_grouped_from_plan(plan: PackedFirPlan) -> GroupedFirPlan:
     """Regroup a packed plan's taps into the phase-grouped windowed form."""
     row, opr, c = plan.row, plan.opr, plan.nr_channels
     d = plan.decimation
     t = plan.nr_taps
-    # opr = 128 / gcd(2D, 128) is a power of two; pick the smallest
-    # power-of-two group with >= 128 output columns (or the whole row)
-    g = 1
-    while g < opr and g * 2 * c < 128:
-        g *= 2
+    g = _group_size(opr, c)
     n_groups = opr // g
     win_g = (g - 1) * 2 * d + 2 * t
     # rebuild the full [win, 2, opr, C] tap tensor from the padded chunks
@@ -266,26 +273,11 @@ def grouped_fir_worthwhile(plan: PackedFirPlan, threshold=1.3) -> bool:
     chunk_macs = sum(
         _chunk_nnz(plan, i) for i in range(plan.cr_rows + 1)
     )
-    c = plan.nr_channels
-    g = 1
-    while g < plan.opr and g * 2 * c < 128:
-        g *= 2
+    g = _group_size(plan.opr, plan.nr_channels)
     n_groups = plan.opr // g
     win_g = (g - 1) * 2 * plan.decimation + 2 * plan.nr_taps
     grouped_macs = n_groups * win_g * (g / plan.opr)
     return chunk_macs / max(grouped_macs, 1) >= threshold
-
-
-def packed_fir_step_grouped(
-    plan: PackedFirPlan, gplan: GroupedFirPlan, carry_vals, block
-):
-    """Grouped-window int16 tier of :func:`packed_fir_step`.
-
-    Same streaming contract and BIT-IDENTICAL accumulators (int32 wrap
-    sums are order-free; the grouped matmuls add the same nonzero
-    products). Returns (new_carry, ar, ai) float32 ``[rows, opr*C]``.
-    """
-    return packed_fir_step(plan, carry_vals, block, gplan=gplan)
 
 
 def _grouped_matmul(rows, wg, *, r_valid, row, spill, g, n_groups, win_g, d,

@@ -145,6 +145,14 @@ def make_resampler_plan(
         row_in = frames * d_rep
         win_r = (frames - 1) * d_rep + span
         spill = max(0, win_r - row_in)
+        if spill > row_in:
+            # the kernel's single spill-row assumption breaks (heavy
+            # upsamplers: ROW_IN shrinks below the filter span); the
+            # transposed-residue tier covers these
+            k_row = 0
+            row_in = 0
+            spill = 0
+    if k_row:
         spill_pad = min(row_in, -(-spill // 128) * 128) if spill else 0
         wp = np.zeros((row_in + spill_pad, k_row), dtype=np.int16)
         for f in range(frames):
@@ -289,6 +297,20 @@ def _resample_fast_kernel_t(carry, block, wt, *, s_shifts, d_rep, i_rep,
     return new_carry, out.T.reshape(-1)
 
 
+def row_matmul_acc(rows, m, w0, w1):
+    """[m+1, ROW_IN] int16 rows -> [m, K_ROW] int32 wrap accumulators:
+    main chunk + trimmed spill chunk (the delicate slice bounds live in
+    exactly one place — the streaming kernel and the sharded local kernel
+    both call this)."""
+    acc = jnp.dot(rows[:m], w0, preferred_element_type=jnp.int32)
+    if w1 is not None:
+        sp = w1.shape[0]
+        acc = acc + jnp.dot(
+            rows[1 : m + 1, :sp], w1, preferred_element_type=jnp.int32
+        )
+    return acc
+
+
 @functools.partial(
     jax.jit, static_argnames=("row_in", "k_row", "exact")
 )
@@ -311,12 +333,7 @@ def _resample_row_kernel(carry, block, w0, w1, *, row_in, k_row, exact):
     pad = (m + 1) * row_in - total.shape[0]
     tot = jnp.concatenate([total, jnp.zeros((pad,), total.dtype)])
     rows = tot.reshape(m + 1, row_in)
-    acc = jnp.dot(rows[:m], w0, preferred_element_type=jnp.int32)
-    if w1 is not None:
-        sp = w1.shape[0]
-        acc = acc + jnp.dot(
-            rows[1 : m + 1, :sp], w1, preferred_element_type=jnp.int32
-        )
+    acc = row_matmul_acc(rows, m, w0, w1)
     if exact:
         out = q14.round_q28_q14(acc)
     else:

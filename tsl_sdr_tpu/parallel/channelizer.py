@@ -218,16 +218,20 @@ def make_sharded_multifm(plan, mesh, omega_reduced=None):
         grouped_fir_worthwhile, make_grouped_from_plan)
 
     def _shard_plan(sh):
-        wc = tuple(
-            np.ascontiguousarray(
-                np.asarray(c).reshape(
-                    plan.row, 2, plan.opr, n_ch_shards, c_local
-                )[:, :, :, sh].reshape(plan.row, 2 * plan.opr * c_local)
+        def _slice(chunks):
+            return tuple(
+                np.ascontiguousarray(
+                    np.asarray(c).reshape(
+                        plan.row, 2, plan.opr, n_ch_shards, c_local
+                    )[:, :, :, sh].reshape(plan.row, 2 * plan.opr * c_local)
+                )
+                for c in chunks
             )
-            for c in plan.w_chunks_i16
-        )
+
         return plan._replace(
-            w_chunks=wc, w_chunks_i16=wc, nr_channels=c_local,
+            w_chunks=_slice(plan.w_chunks),
+            w_chunks_i16=_slice(plan.w_chunks_i16),
+            nr_channels=c_local,
             omega_d=plan.omega_d.reshape(n_ch_shards, c_local)[sh],
         )
 

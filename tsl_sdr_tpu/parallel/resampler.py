@@ -61,25 +61,24 @@ def _local_resample(x_local, wt, *, s_shifts, d_rep, i_rep):
 def _local_resample_row(x_local, w0, w1, *, row_in, k_row, spill):
     """Packed-row per-shard kernel (ops/polyphase._resample_row_kernel):
     [M, ROW_IN] rows @ [ROW_IN, K_ROW] taps + trimmed spill chunk. The
-    right-neighbor halo is the ``spill`` window overhang."""
+    right-neighbor halo is the ``spill`` window overhang (none needed
+    when the filter span fits a row)."""
     from tsl_sdr_tpu.ops import q14
+    from tsl_sdr_tpu.ops.polyphase import row_matmul_acc
 
-    n_t = jax.lax.axis_size(TIME_AXIS)
-    head = x_local[:spill]
-    nxt = jax.lax.ppermute(
-        head, TIME_AXIS, [(i + 1, i) for i in range(n_t - 1)]
-    )  # last shard receives zeros
-    total = jnp.concatenate([x_local, nxt])
+    total = x_local
+    if spill:
+        n_t = jax.lax.axis_size(TIME_AXIS)
+        head = x_local[:spill]
+        nxt = jax.lax.ppermute(
+            head, TIME_AXIS, [(i + 1, i) for i in range(n_t - 1)]
+        )  # last shard receives zeros
+        total = jnp.concatenate([x_local, nxt])
     m = x_local.shape[0] // row_in
     pad = (m + 1) * row_in - total.shape[0]
     tot = jnp.concatenate([total, jnp.zeros((pad,), total.dtype)])
     rows = tot.reshape(m + 1, row_in)
-    acc = jnp.dot(rows[:m], w0, preferred_element_type=jnp.int32)
-    if w1 is not None:
-        sp = w1.shape[0]
-        acc = acc + jnp.dot(
-            rows[1 : m + 1, :sp], w1, preferred_element_type=jnp.int32
-        )
+    acc = row_matmul_acc(rows, m, w0, w1)
     out = acc.astype(jnp.float32) * jnp.float32(1.0 / q14.Q14_ONE)
     return out.reshape(-1)
 
@@ -118,24 +117,27 @@ def make_sharded_resampler(plan: ResamplerPlan, mesh):
     n_t = mesh.shape[TIME_AXIS]
 
     fn_row = None
-    if plan.k_row and plan.spill:
+    if plan.k_row:
+        has_spill = plan.w_spill_i16 is not None
         local_row = functools.partial(
             _local_resample_row,
             row_in=plan.row_in,
             k_row=plan.k_row,
             spill=plan.spill,
         )
+        if not has_spill:
+            base_row = local_row
+            local_row = lambda x, w0: base_row(x, w0, None)  # noqa: E731
         fn_row = shard_map(
             local_row,
             mesh=mesh,
-            in_specs=(P(TIME_AXIS), P(), P()),
+            in_specs=(P(TIME_AXIS), P(), P()) if has_spill
+            else (P(TIME_AXIS), P()),
             out_specs=P(TIME_AXIS),
         )
         w_row = jnp.asarray(plan.w_row_i16)
         w_spill = (
-            jnp.asarray(plan.w_spill_i16)
-            if plan.w_spill_i16 is not None
-            else None
+            jnp.asarray(plan.w_spill_i16) if has_spill else None
         )
 
     def process(pcm):
@@ -147,7 +149,9 @@ def make_sharded_resampler(plan: ResamplerPlan, mesh):
                 f"time_shards*D_rep = {q} (pad or trim the capture)"
             )
         if fn_row is not None and n % (n_t * plan.row_in) == 0:
-            return _jitted_row(pcm, w_row, w_spill)
+            if w_spill is not None:
+                return _jitted_row(pcm, w_row, w_spill)
+            return _jitted_row_nospill(pcm, w_row)
         return _jitted(pcm, wf)
 
     @jax.jit
@@ -157,5 +161,9 @@ def make_sharded_resampler(plan: ResamplerPlan, mesh):
     @jax.jit
     def _jitted_row(pcm, w0, w1):
         return fn_row(pcm, w0, w1)
+
+    @jax.jit
+    def _jitted_row_nospill(pcm, w0):
+        return fn_row(pcm, w0)
 
     return process
