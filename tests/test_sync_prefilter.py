@@ -103,3 +103,48 @@ def test_ais_signal_flags_and_noise_does_not():
                              dtype=np.int64).astype(np.uint8)
         fp += int(_ais_flag(noise, 100_000).sum())
     assert fp == 0, fp
+
+
+def test_pocsag_trigger_on_first_new_sample_flags():
+    """Regression: the FSM fires on the first NON-matching sample after a
+    long match run. If the run ends exactly at the block boundary, every
+    matching position is in the old span and the trigger is the new
+    block's first sample — that block must still flag (it used to not)."""
+    pcm = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=55, function=2, kind="alpha",
+                                content="Z")],
+        baud=1200, tail_bits=0)
+    pred = (pcm < 0).astype(np.uint8)
+    spb = 32
+    start = 31 * spb
+    n = len(pred)
+    # position-wise 32-tap register match, exactly the FSM's test
+    w = np.zeros(n, np.uint32)
+    for k in range(32):
+        w[start:] |= pred[start - k * spb : n - k * spb].astype(
+            np.uint32
+        ) << np.uint32(k)
+    x = (w ^ np.uint32(sp.POCSAG_SYNC)).astype(np.uint32)
+    ham = np.zeros(n, np.uint32)
+    for b in range(32):
+        ham += (x >> np.uint32(b)) & np.uint32(1)
+    match = ham <= sp.POCSAG_MAX_HAM
+    match[:start] = False
+    # trigger = first non-match after a run of > spb//2 matches
+    run, q = 0, None
+    for p in range(start, n):
+        if match[p]:
+            run += 1
+        else:
+            if run > spb // 2:
+                q = p
+                break
+            run = 0
+    assert q is not None
+    # truncate shortly after the trigger so the new span contains no later
+    # sync run of its own — isolates the boundary case
+    n2 = min(n, q + 100)
+    t = sp.POCSAG_TAIL
+    head = np.concatenate([np.zeros(t, np.uint8), pred[:q]])
+    blk2 = np.concatenate([head[-t:], pred[q:n2]])[None, :]
+    assert _pocsag_flag(blk2, n2 - q)[0]

@@ -162,6 +162,11 @@ class _SizedProgram:
             pack_out = {}
             for pgid, pg in pack_groups.items():
                 rows = jnp.stack([ch_rows[i] for i in pg["idx"]])
+                if jnp.issubdtype(rows.dtype, jnp.floating):
+                    # match the host oracle and the C reference, which
+                    # slice int16-TRUNCATED PCM: a -0.4 sample is bit 0,
+                    # not bit 1 (np.asarray(pcm, np.int16) truncates)
+                    rows = jnp.trunc(rows)
                 pred = (rows > 0) if pg["is_gt"] else (rows < 0)
                 predu = pred.astype(jnp.uint8)
                 k_out = predu.shape[1]
@@ -342,14 +347,31 @@ class ReceivePipeline:
 
         # block quantum: chain quantum, every resampler's input grid, and
         # a whole number of channel samples per byte of packed bits
+        # (group ids come from a reduced Fraction, so d_ needs no gcd)
         q = self.chain.block_quantum
         for (i_, d_), _ in self._rs_groups.items():
-            g = math.gcd(i_, d_)
-            q = math.lcm(q, decim * (d_ // g))
+            q = math.lcm(q, decim * d_)
         q = math.lcm(q, decim * 8)
         self.block_quantum = q
         bs = block_size or 4_194_304
         self.block_size = max(q, bs // q * q)
+        # gap-tail soundness: every pack channel's per-block output must
+        # cover the carried prefilter tail — otherwise a skipped block's
+        # tail would re-feed bits from earlier, already-decoded blocks
+        # after a gap (duplicate messages)
+        min_n = 0
+        for pgid, pg in self._pack_groups.items():
+            tail = self._tail_bits[pgid]
+            for i in pg["idx"]:
+                gid = self._ratio_gid[i]
+                if gid is None:
+                    need = tail * decim
+                else:
+                    i_, d_ = gid
+                    need = -(-tail * d_ // i_) * decim
+                min_n = max(min_n, need)
+        if min_n:
+            self.block_size = max(self.block_size, -(-min_n // q) * q)
 
         self._programs: dict[int, _SizedProgram] = {}
         self._stream = None
@@ -466,7 +488,7 @@ class ReceivePipeline:
                 self._drain(s["inflight"].popleft(), new)
         return new
 
-    def _dispatch(self, block: np.ndarray):
+    def _dispatch(self, block: np.ndarray, valid_n: int | None = None):
         import jax
 
         s = self._stream
@@ -493,10 +515,22 @@ class ReceivePipeline:
                 pre[pgid] = ("head", head)
         for rows in raw_out.values():
             rows.copy_to_host_async()
-        s["inflight"].append((prog, outs, pre))
+        s["inflight"].append((prog, outs, pre, valid_n))
+
+    def _valid_k(self, prog, i: int, valid_n: int | None) -> int:
+        """Real (non-pad) output samples of channel ``i`` for a block whose
+        first ``valid_n`` wideband samples are real."""
+        if valid_n is None:
+            return prog.k_out[i]
+        k_chain = valid_n // self.chain.decimation
+        gid = self._ratio_gid[i]
+        if gid is None:
+            return min(k_chain, prog.k_out[i])
+        i_, d_ = gid
+        return min(k_chain * i_ // d_, prog.k_out[i])
 
     def _drain(self, entry, new: list):
-        prog, (pack_out, raw_out), pre = entry
+        prog, (pack_out, raw_out), pre, valid_n = entry
         raws = {rgid: np.asarray(rows) for rgid, rows in raw_out.items()}
 
         s = self._stream
@@ -509,7 +543,6 @@ class ReceivePipeline:
             flags = meta[:, 0].astype(bool)
             tail_bytes = meta[:, 1:mb]
             is_gt = pg["is_gt"]
-            k_out = prog.k_out[pg["idx"][0]]
             # rows needing a full fetch: flagged, or decoder mid-message,
             # or gating unsupported (no native FSM)
             need_rows = []
@@ -531,7 +564,8 @@ class ReceivePipeline:
                 i = pg["idx"][row]
                 s["fetched"][i] += 1
                 dec = self._decoders[i]
-                bits = np.unpackbits(packed[j])[:k_out]
+                bits = np.unpackbits(packed[j])[: self._valid_k(
+                    prog, i, valid_n)]
                 pcm = (np.where(bits, 1, -1) if is_gt
                        else np.where(bits, -1, 1)).astype(np.int16)
                 if s["gap"][i]:
@@ -552,7 +586,8 @@ class ReceivePipeline:
         for rgid, idxs in self._raw_groups.items():
             rows = raws[rgid]
             for j, i in enumerate(idxs):
-                audio = np.asarray(rows[j]).astype(np.int16)
+                audio = np.asarray(rows[j]).astype(np.int16)[
+                    : self._valid_k(prog, i, valid_n)]
                 dec = self._decoders[i]
                 if dec is None:
                     new[i].append(audio)
@@ -562,22 +597,30 @@ class ReceivePipeline:
     def flush(self) -> list:
         """Drain in-flight blocks and process the buffered tail.
 
-        The tail is zero-padded up to the block quantum so every pushed
-        sample is processed (a truncated stream ends in silence, exactly
-        as the reference's file source reads EOF)."""
+        The tail is zero-padded up to the FULL block size — reusing the
+        already-compiled fused program (a fresh tail-sized program would
+        cost a 30-160 s first compile per distinct capture length) — and
+        the pad-derived output samples are trimmed before any decoder or
+        pcm channel sees them (a truncated stream ends at its last real
+        sample, exactly as the reference's file source reads EOF)."""
         new = [[] for _ in self.channels]
         s = self._stream
         if s is None:
+            if self._pending_prefix.shape[0]:
+                raise ValueError(
+                    f"capture shorter than the pipeline prefix "
+                    f"({self._pending_prefix.shape[0]} <= "
+                    f"{self.chain.carry_len} samples); nothing processed"
+                )
             return new
         if s["buf_len"]:
-            q = self.block_quantum
-            tail_len = -(-s["buf_len"] // q) * q
+            valid = s["buf_len"]
             buf = np.concatenate(s["buf"]) if len(s["buf"]) > 1 else s["buf"][0]
-            block = np.zeros((tail_len, 2), np.int16)
-            block[: s["buf_len"]] = buf
+            block = np.zeros((self.block_size, 2), np.int16)
+            block[:valid] = buf
             s["buf"] = []
             s["buf_len"] = 0
-            self._dispatch(block)
+            self._dispatch(block, valid_n=valid)
         while s["inflight"]:
             self._drain(s["inflight"].popleft(), new)
         return new

@@ -103,9 +103,11 @@ def _costas_chunks(params: CostasParams, phase0, f_dev0, xr, xi, L: int):
         phase' = phase0 + L*f_dev + beta * sum_k (L-k)*err_k + alpha * S
 
     (the ``(L-k)`` ramp is the exact integral of the serial recurrence
-    ``phase += f_dev + alpha*err; f_dev += beta*err`` with the predicted
-    errors; only the per-sample f_dev clamp collapses to one clamp per
-    chunk). For loop gains ``alpha, beta << 1`` and ``L * loop_bandwidth
+    ``f_dev += beta*err; phase += f_dev + alpha*err`` — f_dev updates
+    BEFORE the phase increment, matching costas_step and the reference
+    ``multifm/costas_demod.c:56-115``; the other order would need a
+    ``(L-1-k)`` ramp — with the predicted errors; only the per-sample
+    f_dev clamp collapses to one clamp per chunk). For loop gains ``alpha, beta << 1`` and ``L * loop_bandwidth
     << 1`` this tracks the serial loop (diffed in tests).
     """
     alpha = jnp.float32(params.alpha)
@@ -182,6 +184,9 @@ def costas_block_planes(
     if chunk is None:
         chunk = stable_chunk(params)
     k_tot, c = xr.shape
+    if k_tot == 0:
+        empty = jnp.zeros((0, c), xr.dtype)
+        return state, empty, empty
     st = (state.last_phase, state.f_dev)
     outs_r, outs_i = [], []
     n_full = k_tot // chunk

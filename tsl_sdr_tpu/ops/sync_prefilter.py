@@ -71,12 +71,20 @@ def pocsag_any_candidate(pred, k_new: int):
     within hamming 4 (pager_pocsag.c eye counter), i.e. a run of >=
     spb/2 + 1 matching positions — which always contains a pair at
     distance spb//4, so the pair test is a strict superset of the
-    trigger."""
+    trigger.
+
+    Boundary case: the FSM fires on the first NON-matching sample after
+    the run, so a run ending exactly at the last OLD-span sample triggers
+    on the new span's first sample while every matching position sits in
+    the old span. The pair span therefore starts one position earlier
+    (t - d - 1) so a pair whose later element is the final old-span
+    position still flags this block; runs ending before that were already
+    flagged when their positions were a previous block's new span."""
     t = pred.shape[1] - k_new
     flag = jnp.zeros((pred.shape[0],), bool)
     for spb in POCSAG_SPBS:
         d = max(1, spb // 4)
-        m = _matches(pred, t - d, k_new + d, spb, POCSAG_SYNC,
+        m = _matches(pred, t - d - 1, k_new + d + 1, spb, POCSAG_SYNC,
                      POCSAG_MAX_HAM)
         flag = flag | (m[:, :-d] & m[:, d:]).any(axis=1)
     return flag
