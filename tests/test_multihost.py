@@ -56,6 +56,7 @@ def test_multiprocess_channelizer_matches_single_process(n_processes, n_local):
     plan = chain.packed_plan
     assert res["dcn_halo_bytes"] == (
         (n_processes - 1) * (plan.cr_rows + 1) * plan.row * 2
+        * channels_per_host  # one time-axis ppermute per channel column
     )
     # tiny test capture; production blocks are MBs so the ratio only shrinks
     block_bytes = multihost.selftest_capture(plan, n_time).nbytes

@@ -50,17 +50,11 @@ def _iq_block_iter(path, fmt, block_samples):
     from tsl_sdr_tpu.runtime.stream import iter_file_blocks
 
     if fmt == "cs16":
-        pending = np.zeros((0, 2), np.int16)
-        for flat in iter_file_blocks(path, dtype=np.int16):
-            flat = flat[: len(flat) // 2 * 2].reshape(-1, 2)
-            yield flat
+        for flat in iter_file_blocks(path, dtype=np.int16, unit_items=2):
+            yield flat.reshape(-1, 2)
     else:
-        for raw in iter_file_blocks(path, dtype=np.uint8):
-            if fmt == "rtl_u8":
-                flat = iqio.rtl_u8_to_q14(raw)
-            else:
-                flat = iqio.widen_iq_bytes(raw, fmt)
-            yield flat[: len(flat) // 2 * 2].reshape(-1, 2)
+        for raw in iter_file_blocks(path, dtype=np.uint8, unit_items=2):
+            yield iqio.widen_iq_bytes(raw, fmt).reshape(-1, 2)
 
 
 def make_hw_source(cfg, dev_type: str):

@@ -45,6 +45,12 @@ def build_argparser():
                         "shape (multifm.c:163-165) in one process")
     p.add_argument("--block-size", type=int, default=None,
                    help="streaming block length in wideband samples")
+    p.add_argument("--idle-exit", type=float, default=1.0,
+                   help="with --follow on a regular file: stop after the "
+                        "file has not grown for this many seconds "
+                        "(default 1.0 — tolerates a writer momentarily "
+                        "ahead of the reader; pass 0 to stop at first "
+                        "EOF, a large value to follow like tail -f)")
     return p
 
 
@@ -141,9 +147,23 @@ def main(argv=None):
                 blocks = (b[: b.size // 2 * 2].reshape(-1, 2)
                           for b in hw_source.blocks())
             else:
-                blocks = _follow_blocks(iq_path, fmt)
+                blocks = _follow_blocks(iq_path, fmt,
+                                        idle_exit=args.idle_exit)
+            # startup mute gate for live hardware (receiver.h:98,
+            # multifm/multifm.c:158) — drop the tuner-settling head like
+            # multifm-tpu does
+            mute_left = (
+                cfg.sample_rate_hz * cfg.mute_startup_ms // 1000
+                if hw_source is not None else 0
+            )
             try:
                 for iq in blocks:
+                    if mute_left > 0:
+                        drop = min(mute_left, len(iq))
+                        iq = iq[drop:]
+                        mute_left -= drop
+                        if not len(iq):
+                            continue
                     n_samples += len(iq)
                     emit(pipe.push(iq))
             except KeyboardInterrupt:
@@ -171,30 +191,41 @@ def main(argv=None):
     return 0
 
 
-def _follow_blocks(path, fmt, chunk_bytes: int = 1 << 20):
+def _follow_blocks(path, fmt, chunk_bytes: int = 1 << 20,
+                   idle_exit: float | None = None):
     """Yield [N, 2] int16 blocks from a FIFO or regular file as data
-    arrives; ends at EOF (for a FIFO: when every writer has closed)."""
+    arrives. A FIFO ends when every writer has closed; a regular file is
+    polled past EOF (it may still be growing — tail -f semantics) until
+    Ctrl-C, or until it has not grown for ``idle_exit`` seconds."""
+    import os
+    import stat
+
     from tsl_sdr_tpu.utils import iq as iqio
 
     itemsize = 2 if fmt == "cs16" else 1
     unit = 2 * itemsize
     residue = b""
     with open(path, "rb") as f:
+        is_fifo = stat.S_ISFIFO(os.fstat(f.fileno()).st_mode)
+        idle = 0.0
         while True:
             chunk = f.read(chunk_bytes)
             if not chunk:
-                break
+                if is_fifo:
+                    break  # all writers closed
+                if idle_exit is not None and idle >= idle_exit:
+                    break
+                time.sleep(0.05)
+                idle += 0.05
+                continue
+            idle = 0.0
             data = residue + chunk
             usable = len(data) // unit * unit
             residue = data[usable:]
             if not usable:
                 continue
             raw = np.frombuffer(data[:usable], np.uint8)
-            if fmt == "rtl_u8":
-                flat = iqio.rtl_u8_to_q14(raw)
-            else:
-                flat = iqio.widen_iq_bytes(raw, fmt)
-            yield flat.reshape(-1, 2)
+            yield iqio.widen_iq_bytes(raw, fmt).reshape(-1, 2)
 
 
 if __name__ == "__main__":

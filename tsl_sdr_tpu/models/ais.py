@@ -278,9 +278,23 @@ class AisLongRangePositionReport:
     raw: str = ""
 
 
+# minimum payload length (bits) actually read per message type; the
+# reference instead BUG_ONs on a short read (ais_decode.c:34) — fatal by
+# design there, but a run-forever pipeline must survive the ~1/65536 noise
+# packets whose CRC collides, so short packets are rejected, not crashed on
+_MIN_BITS = {1: 143, 2: 143, 3: 143, 4: 138, 5: 422, 9: 134, 18: 139,
+             19: 305, 21: 270, 24: 160, 27: 94}
+
+
 def decode_fields(packet: bytes):
-    """Packet bytes (CRC stripped) -> typed report, or None for other types."""
+    """Packet bytes (CRC stripped) -> typed report, or None for other
+    types or for packets too short to carry their type's fields."""
+    if len(packet) < 5:
+        return None
     msg_id = (packet[0] >> 2) & 0x3F
+    need = _MIN_BITS.get(msg_id)
+    if need is not None and len(packet) * 8 < need:
+        return None
     repeat = packet[0] & 0x3
     mmsi = (
         (packet[1] << 22)
@@ -342,6 +356,8 @@ def decode_fields(packet: bytes):
                 ship_name=get_string(packet, 40, 20),
                 repeat=repeat, raw=raw,
             )
+        if len(packet) * 8 < 162:  # part B reads past the part-A span
+            return None
         return AisStaticDataReport(
             mmsi=mmsi, part="B",
             ship_type=get_bitfield(packet, 40, 8),

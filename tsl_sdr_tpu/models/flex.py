@@ -162,7 +162,6 @@ class FlexDecoder:
         self._scan_want = 0
         self._scan_ever = False
         self._in_scan = False
-        self._nat_used = False
 
     # -- resets ---------------------------------------------------------------
 
@@ -367,7 +366,6 @@ class FlexDecoder:
     _CODING_LIST = list(CODINGS.values())
 
     def _on_pcm_native(self, pcm: np.ndarray):
-        self._nat_used = True
         off = 0
         n = pcm.shape[0]
         while off < n:

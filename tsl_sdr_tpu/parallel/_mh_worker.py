@@ -71,7 +71,7 @@ def main() -> int:
     from jax.experimental import multihost_utils
 
     pcm = np.asarray(multihost_utils.process_allgather(out, tiled=True))
-    halo = multihost.dcn_halo_bytes(plan, args.nproc)
+    halo = multihost.dcn_halo_bytes(plan, args.nproc, args.channels_per_host)
     np.savez(
         os.path.join(args.outdir, f"mh_out_{args.pid}.npz"),
         pcm=pcm,

@@ -47,9 +47,16 @@ def init(coordinator_address: str | None = None, num_processes: int | None = Non
 
     if getattr(_distributed.global_state, "client", None) is not None:
         return  # already initialized
+    # CPU cross-process collectives need an explicit implementation (gloo
+    # ships in jaxlib). The platform may be selected via env OR
+    # jax.config.update('jax_platforms', ...), so check both; attempting
+    # the update on a non-CPU platform is harmless (it only applies to the
+    # CPU client) and older jaxlibs that lack the option just pass.
     import os
 
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    plat = (os.environ.get("JAX_PLATFORMS", "")
+            or str(jax.config.jax_platforms or "")).lower()
+    if plat.startswith("cpu") or plat == "":
         try:
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
         except Exception:
@@ -106,7 +113,7 @@ def distribute_iq(mesh: Mesh, local_vals: np.ndarray):
     return jax.make_array_from_process_local_data(sharding, local_vals)
 
 
-def dcn_halo_bytes(plan, n_processes: int) -> int:
+def dcn_halo_bytes(plan, n_processes: int, channels_per_host: int = 1) -> int:
     """Bytes per block that cross the host (DCN) boundary in the sharded
     channelizer's halo exchange.
 
@@ -114,9 +121,13 @@ def dcn_halo_bytes(plan, n_processes: int) -> int:
     ``cr_rows`` window-spill rows backward (see
     :func:`tsl_sdr_tpu.parallel.channelizer._local_packed_fm`); only the
     ``n_processes - 1`` boundaries between hosts ride DCN — the rest stay
-    on ICI.
+    on ICI. The IQ rows are sharded over time only, so EVERY channel-mesh
+    column runs its own time-axis ppermute across the boundary — the halo
+    crosses DCN once per channel shard (XLA does not dedupe distinct
+    ppermute pairs).
     """
-    return (n_processes - 1) * (plan.cr_rows + 1) * plan.row * 2
+    return ((n_processes - 1) * (plan.cr_rows + 1) * plan.row * 2
+            * channels_per_host)
 
 
 # ---------------------------------------------------------------------------
@@ -171,6 +182,22 @@ def run_multiprocess_selftest(
     import tempfile
     from pathlib import Path
 
+    # the probed port can be grabbed by another process between close and
+    # the coordinator's bind (TOCTOU); retry the whole launch on failure
+    last_err = None
+    for _attempt in range(3):
+        try:
+            return _run_selftest_once(
+                n_processes, n_local, channels_per_host, timeout,
+                socket, subprocess, sys, tempfile, Path,
+            )
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            last_err = e
+    raise last_err
+
+
+def _run_selftest_once(n_processes, n_local, channels_per_host, timeout,
+                       socket, subprocess, sys, tempfile, Path):
     with socket.socket() as s:  # free port for the coordinator
         s.bind(("localhost", 0))
         port = s.getsockname()[1]

@@ -80,9 +80,15 @@ class PushResampler:
         return self.push(np.zeros(need, dtype=np.int16))
 
 
-def iter_file_blocks(path, block_bytes: int = 1 << 18, dtype=np.int16):
-    """Yield dtype blocks from a file or FIFO until EOF."""
-    itemsize = np.dtype(dtype).itemsize
+def iter_file_blocks(path, block_bytes: int = 1 << 18, dtype=np.int16,
+                     unit_items: int = 1):
+    """Yield dtype blocks from a file or FIFO until EOF.
+
+    ``unit_items``: carry the byte residue to a multiple of this many
+    items (2 for interleaved IQ — a FIFO short read can otherwise split
+    an I/Q pair across chunks, and a consumer that truncates instead of
+    carrying swaps I and Q for the rest of the stream)."""
+    unit = np.dtype(dtype).itemsize * unit_items
     with open(path, "rb", buffering=0) as f:
         carry = b""
         while True:
@@ -90,7 +96,7 @@ def iter_file_blocks(path, block_bytes: int = 1 << 18, dtype=np.int16):
             if not data:
                 break
             data = carry + data
-            usable = len(data) - (len(data) % itemsize)
+            usable = len(data) - (len(data) % unit)
             carry = data[usable:]
             if usable:
                 yield np.frombuffer(data[:usable], dtype=dtype)

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-IQ_FORMATS = ("cs16", "cs8", "cu8", "cu8_unbiased")
+IQ_FORMATS = ("cs16", "cs8", "cu8", "cu8_unbiased", "rtl_u8")
 
 
 def rtl_u8_to_q14(raw: np.ndarray) -> np.ndarray:
@@ -36,6 +36,8 @@ def widen_iq_bytes(raw: np.ndarray, fmt: str) -> np.ndarray:
         out = raw.view(np.int8).astype(np.int16) - 127  # reference quirk
     elif fmt == "cu8_unbiased":
         out = raw.view(np.uint8).astype(np.int16) - 127
+    elif fmt == "rtl_u8":
+        out = rtl_u8_to_q14(raw.view(np.uint8))
     else:
         raise ValueError(f"unknown IQ format {fmt!r}; expected one of {IQ_FORMATS}")
     return out.astype(np.int16)
