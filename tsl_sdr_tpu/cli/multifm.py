@@ -45,6 +45,19 @@ def build_argparser():
     return p
 
 
+def _pairs(block_iter):
+    """Carry odd trailing int16 values across hardware blocks: truncating
+    them would swap I and Q for the rest of the run (same failure the
+    ``unit_items=2`` residue carry fixes for file/FIFO reads)."""
+    residue = np.zeros((0,), np.int16)
+    for b in block_iter:
+        flat = np.concatenate([residue, np.asarray(b, np.int16).reshape(-1)])
+        usable = flat.size // 2 * 2
+        residue = flat[usable:]
+        if usable:
+            yield flat[:usable].reshape(-1, 2)
+
+
 def _iq_block_iter(path, fmt, block_samples):
     from tsl_sdr_tpu.utils import iq as iqio
     from tsl_sdr_tpu.runtime.stream import iter_file_blocks
@@ -200,8 +213,7 @@ def main(argv=None):
         pending = np.zeros((0, 2), np.int16)
         carry_done = chain.carry_len == 0
         if hw_source is not None:
-            raw_iter = (b[: b.size // 2 * 2].reshape(-1, 2)
-                        for b in hw_source.blocks())
+            raw_iter = _pairs(hw_source.blocks())
         else:
             raw_iter = _iq_block_iter(iq_path, iq_fmt or "cs16", block)
         for iq in raw_iter:
@@ -269,12 +281,17 @@ def main(argv=None):
                 lag = target - (time.monotonic() - t0)
                 if lag > 0:
                     time.sleep(lag)
-        if pending_pcm is not None:
-            _emit(np.asarray(pending_pcm))
-            pending_pcm = None
     except (KeyboardInterrupt, BrokenPipeError):
         pass
     finally:
+        # drain the deferred PCM block HERE: Ctrl-C is the normal way to
+        # stop a live hw run and must not drop the last computed block
+        if pending_pcm is not None:
+            try:
+                _emit(np.asarray(pending_pcm))
+            except (BrokenPipeError, ValueError):
+                pass
+            pending_pcm = None
         feeder.close()
         if hw_source is not None:
             hw_source.stop()

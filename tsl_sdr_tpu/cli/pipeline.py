@@ -141,11 +141,12 @@ def main(argv=None):
         if args.follow:
             fmt = iq_fmt or "cs16"
             if hw_source is not None:
+                from tsl_sdr_tpu.cli.multifm import _pairs
+
                 hw_source.open(cfg.sample_rate_hz, cfg.center_freq_hz)
                 hw_source.set_mute(False)
                 hw_source.start()
-                blocks = (b[: b.size // 2 * 2].reshape(-1, 2)
-                          for b in hw_source.blocks())
+                blocks = _pairs(hw_source.blocks())
             else:
                 blocks = _follow_blocks(iq_path, fmt,
                                         idle_exit=args.idle_exit)

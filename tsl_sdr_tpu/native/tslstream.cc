@@ -709,16 +709,6 @@ void tsl_flex_sync_reset_only(void* h) {
   flex_sync_reset_only(static_cast<FlexState*>(h));
 }
 
-// Sync progress for the scan() prefilter's "searching" gate (models/flex.py
-// scan: safe to fast-forward only while hunting BS1 with no bits banked).
-void tsl_flex_sync_info(void* h, int* state, int* sync_state,
-                        int* bit_counter) {
-  auto* st = static_cast<FlexState*>(h);
-  *state = st->state;
-  *sync_state = st->sync_state;
-  *bit_counter = st->bit_counter;
-}
-
 // FIW verdict from the Python BCH: ok -> SYNC_2 at the matched coding's
 // cadence; fail -> full sync reset (models/flex.py on_pcm FIW handling).
 void tsl_flex_verdict(void* h, int ok) {

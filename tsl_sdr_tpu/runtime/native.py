@@ -94,10 +94,6 @@ def load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_size_t),
         ]
-        lib.tsl_flex_sync_info.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-        ]
         lib.tsl_bch3121_decode.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
@@ -200,14 +196,6 @@ class FlexNative:
 
     def sync_reset_only(self):
         self._lib.tsl_flex_sync_reset_only(self._h)
-
-    def sync_info(self):
-        """(state, sync_state, bit_counter) — the scan() prefilter's
-        fast-forward gate."""
-        a, b, c = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
-        self._lib.tsl_flex_sync_info(
-            self._h, ctypes.byref(a), ctypes.byref(b), ctypes.byref(c))
-        return a.value, b.value, c.value
 
     @property
     def state(self) -> int:
