@@ -208,3 +208,80 @@ def test_pipeline_cli_follow_fifo(tmp_path):
     assert len(msgs) == sum(len(w) for w in want)
     caps = {m.get("capCode") for m in msgs}
     assert 1122334 in caps and 1234567 in caps
+
+
+def test_pipeline_cli_follow_growing_regular_file(tmp_path):
+    """--follow on a REGULAR file that is still being written must poll
+    past momentary EOF (a writer ahead of the reader used to truncate the
+    capture at the first empty read) and stop via --idle-exit."""
+    import json
+    import threading
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+
+    iq = _capture(seed=41)
+    path = tmp_path / "grow.cs16"
+    path.write_bytes(b"")
+
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    cfg = {
+        "device": {"type": "file", "filename": str(path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": FS,
+        "centerFreqHz": CENTER,
+        "decimationFactor": DECIM,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [
+            {"chanCenterFreq": CENTER + 250_000, "protocol": "pocsag"},
+        ],
+    }
+    cfg_path = tmp_path / "pipe.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out_path = tmp_path / "msgs.jsonl"
+
+    raw = np.ascontiguousarray(iq).tobytes()
+
+    def writer():
+        import time as _t
+
+        _t.sleep(0.3)  # reader hits EOF on the empty file first
+        with open(path, "ab") as f:
+            step = 1 << 18
+            for o in range(0, len(raw), step):
+                f.write(raw[o : o + step])
+                f.flush()
+                _t.sleep(0.02)
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    rc = pipeline_cli.main(
+        [str(cfg_path), "--follow", "--block-size", "262144",
+         "--idle-exit", "1.5", "-o", str(out_path)]
+    )
+    t.join(timeout=60)
+    assert rc == 0
+    msgs = [json.loads(line) for line in out_path.read_text().splitlines()]
+    ref = ReceivePipeline(
+        lpf, CENTER, FS, DECIM,
+        [ChannelSpec(CENTER + 250_000, "pocsag")],
+        exact=False, block_size=262144,
+    ).process_capture(iq)
+    assert len(msgs) == len(ref[0]) > 0
+
+
+def test_pipeline_block_size_floor_covers_gap_tail():
+    """A tiny requested block_size is bumped so each pack channel's
+    per-block output covers the carried prefilter tail (gap-rewind
+    soundness: a shorter block would re-feed already-decoded bits)."""
+    from tsl_sdr_tpu.ops import sync_prefilter
+
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    pipe = ReceivePipeline(
+        lpf, CENTER, FS, DECIM,
+        [ChannelSpec(CENTER + 250_000, "pocsag")],
+        exact=False, block_size=1,
+    )
+    gid = pipe._ratio_gid[0]
+    k_chain = pipe.block_size // DECIM
+    k_out = (k_chain * gid[0] // gid[1]) if gid else k_chain
+    assert k_out >= sync_prefilter.POCSAG_TAIL
