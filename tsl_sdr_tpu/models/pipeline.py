@@ -351,6 +351,14 @@ class ReceivePipeline:
         q = self.chain.block_quantum
         for (i_, d_), _ in self._rs_groups.items():
             q = math.lcm(q, decim * d_)
+            # align each group's per-block output to its K_ROW so the
+            # MXU packed-row resampler kernel engages (the plans are
+            # built with align_k_row=False for the exact-n_in contract,
+            # which keeps k_row only when K is already aligned)
+            k_row = math.lcm(i_, 128)
+            if k_row <= 1024:
+                row_in = (k_row // i_) * d_
+                q = math.lcm(q, decim * row_in)
         q = math.lcm(q, decim * 8)
         self.block_quantum = q
         bs = block_size or 4_194_304
