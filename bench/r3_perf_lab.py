@@ -126,6 +126,28 @@ def resampler():
     else:
         print("packed-row tier: unsupported for this ratio", flush=True)
 
+    # awkward-ratio probe: does 15/16 (AIS group; k_row = 1920 > default
+    # cap) win on a big packed row despite its ~8% tap density?
+    coeffs2 = design_rational_resampler_filter(15, 16, 0.4)
+    for cap in (1024, 2048):
+        p2 = polyphase.make_resampler_plan(
+            q14.quantize_q14(coeffs2), 15, 16,
+            block_out_target=1 << 20, k_row_max=cap)
+        tag = f"15/16 cap={cap} ({'row' if p2.k_row else 'residue'})"
+        x2 = rng.integers(-12000, 12000,
+                          size=(p2.carry_len + nb * p2.block_in,),
+                          dtype=np.int64).astype(np.int16)
+        blocks2 = jax.device_put(jnp.asarray(
+            x2[p2.carry_len:].reshape(nb, p2.block_in)))
+        st2 = polyphase.init_resampler_state(p2, prefix=x2[: p2.carry_len])
+
+        def step2(st, blk, _p=p2):
+            st, out = polyphase.resample_step(_p, st, blk, exact=False)
+            return st, out.astype(jnp.int32)
+
+        print(tag, round(_rate(step2, st2, blocks2, nb * p2.block_in), 0),
+              "Msps", flush=True)
+
     # pallas whole-capture (non-streaming API) — wall-clock differential
     pcm = x[plan.carry_len:]
     for tm in (256, 512, 1024):

@@ -86,6 +86,7 @@ def make_resampler_plan(
     block_out_target: int = 1024,
     phase0: int = 0,
     align_k_row: bool = True,
+    k_row_max: int = 1024,
 ) -> ResamplerPlan:
     """Build the static plan. ``fir_coeff_q14``: int16 Q.14 taps (use
     :func:`tsl_sdr_tpu.ops.q14.quantize_q14` on float coefficients)."""
@@ -95,7 +96,7 @@ def make_resampler_plan(
     g = math.gcd(interpolate, decimate)
     base = interpolate // g
     k_row = math.lcm(base, 128)
-    if k_row > 1024:
+    if k_row > k_row_max:
         k_row = 0  # tap matrix would be huge; transposed tier handles it
     if align_k_row and k_row:
         # round the block up to a packed-row multiple (the fast kernel's
