@@ -190,7 +190,13 @@ class _SizedProgram:
                 )
             raw_out = {}
             for rgid, idxs in raw_groups.items():
-                raw_out[rgid] = jnp.stack([ch_rows[i] for i in idxs])
+                rows = jnp.stack([ch_rows[i] for i in idxs])
+                if jnp.issubdtype(rows.dtype, jnp.floating):
+                    # decoders/pcm sinks consume int16; converting on
+                    # device (same round-toward-zero as np.astype) halves
+                    # the raw-channel egress over the tunnel
+                    rows = rows.astype(jnp.int16)
+                raw_out[rgid] = rows
             return chain_st, rs2, dc2, tails2, (pack_out, raw_out)
 
         self.fn = jax.jit(dev_step, donate_argnums=(0, 1, 2, 3))
@@ -304,11 +310,9 @@ class ReceivePipeline:
     # the device can slice + bit-pack before transfer (16x less egress than
     # int16). FLEX is excluded: 4FSK slicing needs trained amplitude
     # thresholds (pager_flex.c:149-171).
-    _PACK_PREDICATE = {
-        "pocsag": lambda a: a < 0,   # pager_pocsag.c:91 (and FLEX 2FSK's
-                                     # >= 0 is its complement)
-        "ais": lambda a: a > 0,      # ais_demod.c:126
-    }
+    # value = is_gt: True slices pcm > 0 (ais_demod.c:126), False pcm < 0
+    # (pager_pocsag.c:91; FLEX 2FSK's >= 0 is its complement)
+    _PACK_PREDICATE = {"pocsag": False, "ais": True}
 
     # -- streaming engine ---------------------------------------------------
 
@@ -335,7 +339,7 @@ class ReceivePipeline:
             if spec.protocol in self._PACK_PREDICATE:
                 pg = self._pack_groups.setdefault(
                     spec.protocol,
-                    {"idx": [], "is_gt": spec.protocol == "ais"},
+                    {"idx": [], "is_gt": self._PACK_PREDICATE[spec.protocol]},
                 )
                 pg["idx"].append(i)
             else:
@@ -428,6 +432,19 @@ class ReceivePipeline:
             "buf": [],
             "buf_len": 0,
             "inflight": deque(),
+            # zero-primed resampler carries time-shift the fused engine's
+            # output grid by carry_len channel samples vs the head-primed
+            # host path (pure delay — harmless to the asynchronous
+            # protocols); the first ceil(carry_len*I/D) outputs are
+            # zero-history filter transient and are dropped here so
+            # decoders and pcm sinks never see fabricated samples
+            "lead_drop": {
+                i: -(-prog.plans[gid].carry_len
+                     * prog.plans[gid].interpolation
+                     // prog.plans[gid].decimation)
+                for gid, idxs in self._rs_groups.items()
+                for i in idxs
+            },
             # host-side per-pack-channel gating state
             "gap": {i: False for pg in self._pack_groups.values()
                     for i in pg["idx"]},
@@ -451,6 +468,8 @@ class ReceivePipeline:
         counts} — idle gated channels stay near zero."""
         s = self._stream
         if s is None:
+            if getattr(self, "_last_stream_stats", None) is not None:
+                return dict(self._last_stream_stats)
             return {"blocks": 0,
                     "fetched": np.zeros(len(self.channels), np.int64)}
         return {"blocks": s["blocks"], "fetched": s["fetched"].copy()}
@@ -576,6 +595,11 @@ class ReceivePipeline:
                     prog, i, valid_n)]
                 pcm = (np.where(bits, 1, -1) if is_gt
                        else np.where(bits, -1, 1)).astype(np.int16)
+                ld = s["lead_drop"].get(i, 0)
+                if ld:
+                    take = min(ld, len(pcm))
+                    pcm = pcm[take:]
+                    s["lead_drop"][i] = ld - take
                 if s["gap"][i]:
                     dec.notify_gap()
                     tp = s["tail_pcm"][i]
@@ -596,6 +620,11 @@ class ReceivePipeline:
             for j, i in enumerate(idxs):
                 audio = np.asarray(rows[j]).astype(np.int16)[
                     : self._valid_k(prog, i, valid_n)]
+                ld = s["lead_drop"].get(i, 0)
+                if ld:
+                    take = min(ld, len(audio))
+                    audio = audio[take:]
+                    s["lead_drop"][i] = ld - take
                 dec = self._decoders[i]
                 if dec is None:
                     new[i].append(audio)
@@ -621,6 +650,7 @@ class ReceivePipeline:
                     f"{self.chain.carry_len} samples); nothing processed"
                 )
             return new
+        padded = False
         if s["buf_len"]:
             valid = s["buf_len"]
             buf = np.concatenate(s["buf"]) if len(s["buf"]) > 1 else s["buf"][0]
@@ -629,8 +659,14 @@ class ReceivePipeline:
             s["buf"] = []
             s["buf_len"] = 0
             self._dispatch(block, valid_n=valid)
+            padded = True
         while s["inflight"]:
             self._drain(s["inflight"].popleft(), new)
+        if padded:
+            # the device carries have consumed fabricated pad zeros; a
+            # later push() must not splice real samples onto that history
+            self._last_stream_stats = self.stream_stats
+            self.stream_reset()
         return new
 
     # -- whole-capture API ---------------------------------------------------
