@@ -461,8 +461,10 @@ def main():
         "multifm_1ch_pallas": prep_multifm(1, "pallas"),
         "multifm_8ch_xla": prep_multifm(8, "xla"),
         "multifm_8ch_pallas": prep_multifm(8, "pallas"),
+        "multifm_8ch_pallas_high": prep_multifm(8, "pallas-high"),
         "multifm_64ch_xla": prep_multifm(64, "xla"),
         "multifm_64ch_pallas": prep_multifm(64, "pallas"),
+        "multifm_64ch_pallas_high": prep_multifm(64, "pallas-high"),
         "exact_fir_8ch": prep_exact_fir(),
         "resampler_16_25": prep_resampler(),
         "costas_chain_device": prep_costas_device(),
@@ -493,8 +495,10 @@ def main():
         return max(sts, key=lambda s: s["best"])
 
     r1 = best_of("multifm_1ch_xla", "multifm_1ch_pallas")
-    r8 = best_of("multifm_8ch_xla", "multifm_8ch_pallas")
-    r64 = best_of("multifm_64ch_xla", "multifm_64ch_pallas")
+    r8 = best_of("multifm_8ch_xla", "multifm_8ch_pallas",
+                 "multifm_8ch_pallas_high")
+    r64 = best_of("multifm_64ch_xla", "multifm_64ch_pallas",
+                  "multifm_64ch_pallas_high")
     cpu8 = cpu_baseline(8, 128, 40)
     b1 = roofline.channelizer(1, 128, 40)
     b8 = roofline.channelizer(8, 128, 40)
