@@ -148,3 +148,53 @@ def test_pocsag_trigger_on_first_new_sample_flags():
     head = np.concatenate([np.zeros(t, np.uint8), pred[:q]])
     blk2 = np.concatenate([head[-t:], pred[q:n2]])[None, :]
     assert _pocsag_flag(blk2, n2 - q)[0]
+
+
+def test_pocsag_flag_soundness_split_sweep():
+    """For ANY block split around the trigger, the block containing the
+    trigger sample must flag (gating soundness, not just union-coverage)."""
+    pcm = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=31337, function=0, kind="numeric",
+                                content="42")],
+        baud=1200, tail_bits=0)
+    pred = (pcm < 0).astype(np.uint8)
+    spb = 32
+    start = 31 * spb
+    n = len(pred)
+    w = np.zeros(n, np.uint32)
+    for k in range(32):
+        w[start:] |= pred[start - k * spb : n - k * spb].astype(
+            np.uint32
+        ) << np.uint32(k)
+    x = (w ^ np.uint32(sp.POCSAG_SYNC)).astype(np.uint32)
+    ham = np.zeros(n, np.uint32)
+    for b in range(32):
+        ham += (x >> np.uint32(b)) & np.uint32(1)
+    match = ham <= sp.POCSAG_MAX_HAM
+    match[:start] = False
+    run, q = 0, None
+    for p in range(start, n):
+        if match[p]:
+            run += 1
+        else:
+            if run > spb // 2:
+                q = p
+                break
+            run = 0
+    assert q is not None
+    t = sp.POCSAG_TAIL
+    n2 = min(n, q + 100)  # no later sync run in the tested span
+    rng = np.random.default_rng(3)
+    splits = np.unique(np.concatenate([
+        np.arange(q - 2, q + 3),                       # the boundary itself
+        rng.integers(q - 2 * spb, q + 64, size=24),    # random neighborhood
+    ]))
+    for s in splits:
+        s = int(s)
+        head = np.concatenate([np.zeros(t, np.uint8), pred[:s]])
+        if s <= q:   # trigger is in block 2
+            blk = np.concatenate([head[-t:], pred[s:n2]])[None, :]
+            assert _pocsag_flag(blk, n2 - s)[0], s
+        else:        # trigger is in block 1
+            blk = head[None, :]
+            assert _pocsag_flag(blk, s)[0], s
