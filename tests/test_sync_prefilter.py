@@ -14,7 +14,7 @@ import pytest
 import jax.numpy as jnp
 
 from tsl_sdr_tpu.ops import sync_prefilter as sp
-from tsl_sdr_tpu.testing import ais_gen, pocsag_gen
+from tsl_sdr_tpu.testing import ais_gen, flex_gen, pocsag_gen
 
 
 def _pocsag_flag(pred_2d, k_new):
@@ -103,6 +103,79 @@ def test_ais_signal_flags_and_noise_does_not():
                              dtype=np.int64).astype(np.uint8)
         fp += int(_ais_flag(noise, 100_000).sum())
     assert fp == 0, fp
+
+
+def _flex_flag(pred_2d, k_new):
+    return np.asarray(sp.flex_any_candidate(jnp.asarray(pred_2d), k_new))
+
+
+def _flex_match_positions(pred):
+    """Exact 32-tap stride-10 register == BS1, the FSM's own trigger test
+    (models/flex.py _sync_update SEARCH_BS1)."""
+    n = len(pred)
+    start = 31 * sp.FLEX_SPB
+    w = np.zeros(n, np.uint32)
+    for k in range(32):
+        w[start:] |= pred[start - k * sp.FLEX_SPB : n - k * sp.FLEX_SPB
+                          ].astype(np.uint32) << np.uint32(k)
+    match = w == np.uint32(sp.FLEX_BS1)
+    match[:start] = False
+    return match
+
+
+@pytest.mark.parametrize("fsk_levels", [2, 4])
+def test_flex_burst_flags(fsk_levels):
+    baud = 1600 if fsk_levels == 2 else 3200
+    pcm, _ = flex_gen.generate(
+        [flex_gen.FlexBurstMessage(capcode=4321, kind="alnum", content="X")],
+        baud=baud, fsk_levels=fsk_levels, tail_bits=64)
+    pred = (np.asarray(pcm, np.int16) >= 0).astype(np.uint8)[None, :]
+    full = np.concatenate(
+        [np.zeros((1, sp.FLEX_TAIL), np.uint8), pred], axis=1)
+    assert _flex_flag(full, pred.shape[1])[0]
+
+
+def test_flex_noise_false_positive_rate():
+    """The FLEX trigger is an EXACT 32-bit register match, so random bits
+    false-flag at ~2^-32 per probe — effectively never."""
+    rng = np.random.default_rng(4)
+    fp = 0
+    for _ in range(4):
+        noise = rng.integers(0, 2, size=(8, sp.FLEX_TAIL + 100_000),
+                             dtype=np.int64).astype(np.uint8)
+        fp += int(_flex_flag(noise, 100_000).sum())
+    assert fp == 0, fp
+
+
+def test_flex_flag_soundness_split_sweep():
+    """For ANY block split around the first exact-BS1 trigger, the block
+    containing the trigger sample must flag (FLEX triggers are immediate:
+    the FSM leaves SEARCH on the matching sample itself)."""
+    pcm, _ = flex_gen.generate(
+        [flex_gen.FlexBurstMessage(capcode=777, kind="alnum",
+                                   content="GATE")],
+        baud=1600, fsk_levels=2, tail_bits=0)
+    pred = (np.asarray(pcm, np.int16) >= 0).astype(np.uint8)
+    match = _flex_match_positions(pred)
+    qs = np.flatnonzero(match)
+    assert qs.size
+    q = int(qs[0])
+    t = sp.FLEX_TAIL
+    n2 = min(len(pred), q + 100)  # isolate the first trigger
+    rng = np.random.default_rng(5)
+    splits = np.unique(np.concatenate([
+        np.arange(q - 1, q + 3),                     # the boundary itself
+        rng.integers(q - 400, q + 90, size=24),      # random neighborhood
+    ]))
+    for s in splits:
+        s = int(s)
+        head = np.concatenate([np.zeros(t, np.uint8), pred[:s]])
+        if s <= q:   # trigger is in block 2
+            blk = np.concatenate([head[-t:], pred[s:n2]])[None, :]
+            assert _flex_flag(blk, n2 - s)[0], s
+        else:        # trigger is in block 1
+            blk = head[None, :]
+            assert _flex_flag(blk, s)[0], s
 
 
 def test_pocsag_trigger_on_first_new_sample_flags():

@@ -862,6 +862,38 @@ class FlexDecoder:
             )
         )
 
+    # -- egress-gating hooks (ReceivePipeline device prefilter) ------------
+
+    @property
+    def supports_gating(self) -> bool:
+        """Egress gating feeds via scan() with explicit gap notifications;
+        only the native FSM tier keeps exact stream semantics under that
+        protocol (see PocsagDecoder.supports_gating)."""
+        return self._nat is not None
+
+    @property
+    def in_search(self) -> bool:
+        """True while the SYNC_1 hunt has made no progress at all — the
+        only state in which a sync-free (unflagged) block may be skipped.
+        A mid-BS1 run (bit_counter > 0) returns False: the run may
+        complete on the next block's first samples even though that
+        block's own span shows no exact BS1 match."""
+        if self._nat is not None:
+            return self._nat.in_search
+        return (self.state == _ST_SYNC1
+                and self.sync_state in (_SY_SEARCH_BS1, _SY_BS1)
+                and self.bit_counter == 0 and self.skip_count == 0)
+
+    def notify_gap(self):
+        """A sync-free span of PCM was skipped upstream (the device
+        prefilter raised no flag — ReceivePipeline egress gating): reset
+        the SYNC_1 registers so no partial register content straddles the
+        gap. Only valid while :attr:`in_search` is True."""
+        if self._nat is not None:
+            self._nat.sync_reset_only()
+            return
+        self._sync_reset_only()
+
     # -- sample pump ----------------------------------------------------------
 
     def scan(self, pcm) -> list[FlexMessage]:

@@ -20,10 +20,11 @@ k+1, the host decodes block k — mirroring the reference's run-forever
 deployment (``multifm/multifm.c:163-165``) in one process.
 
 Egress gating: the device prefilter (:mod:`tsl_sdr_tpu.ops.sync_prefilter`)
-flags, per channel per block, whether any POCSAG/AIS sync candidate exists.
-Unflagged idle channels transfer ~½KB of carry tail instead of their sign
-bits, and their decoders do no work — device->host egress stops scaling
-with channel count on quiet bands.
+flags, per channel per block, whether any POCSAG/AIS/FLEX sync candidate
+exists. Unflagged idle channels transfer ~½–1KB of carry tail instead of
+their sign bits (POCSAG/AIS) or int16 PCM (FLEX), and their decoders do no
+work — device->host egress stops scaling with channel count on quiet
+bands.
 
 The resampler ratio is derived automatically from the channel rate and the
 protocol rate; its anti-alias filter is designed with the same Kaiser recipe
@@ -162,6 +163,24 @@ class _SizedProgram:
             pack_out = {}
             for pgid, pg in pack_groups.items():
                 rows = jnp.stack([ch_rows[i] for i in pg["idx"]])
+                if pg["kind"] == "pcm":
+                    # FLEX: the decoder needs real amplitudes (trained
+                    # 4FSK thresholds), but its SYNC_1 hunt is the sign
+                    # slice pcm >= 0 — prefilter on-device, gate the
+                    # int16 rows. float->int16 truncates toward zero,
+                    # matching the host path's np.astype.
+                    rows = rows.astype(jnp.int16)
+                    predu = (rows >= 0).astype(jnp.uint8)
+                    k_out = rows.shape[1]
+                    full = jnp.concatenate([tails[pgid], predu], axis=1)
+                    flags = sync_prefilter.flex_any_candidate(full, k_out)
+                    tails2[pgid] = full[:, -tail_bits[pgid]:]
+                    # ONE int16 buffer: [flag | last TAIL pcm | pcm rows]
+                    pack_out[pgid] = jnp.concatenate(
+                        [flags.astype(jnp.int16)[:, None],
+                         rows[:, -tail_bits[pgid]:], rows], axis=1,
+                    )
+                    continue
                 if jnp.issubdtype(rows.dtype, jnp.floating):
                     # match the host oracle and the C reference, which
                     # slice int16-TRUNCATED PCM: a -0.4 sample is bit 0,
@@ -200,9 +219,13 @@ class _SizedProgram:
             return chain_st, rs2, dc2, tails2, (pack_out, raw_out)
 
         self.fn = jax.jit(dev_step, donate_argnums=(0, 1, 2, 3))
-        # combined pack payload layout: [flags byte | tail bytes | bits]
+        # combined pack payload layout, in ELEMENTS of the group's dtype:
+        # bits kind [flags u8 | packed tail bytes | packed bits], pcm kind
+        # [flags i16 | tail pcm samples | pcm samples]
         self.meta_bytes = {
-            pgid: 1 + tail_bits[pgid] // 8 for pgid in pack_groups
+            pgid: (1 + tail_bits[pgid] if pg["kind"] == "pcm"
+                   else 1 + tail_bits[pgid] // 8)
+            for pgid, pg in pack_groups.items()
         }
 
     def init_rs_states(self, pipe):
@@ -308,10 +331,12 @@ class ReceivePipeline:
 
     # protocols whose decoders consume ONLY a sign predicate of the PCM, so
     # the device can slice + bit-pack before transfer (16x less egress than
-    # int16). FLEX is excluded: 4FSK slicing needs trained amplitude
-    # thresholds (pager_flex.c:149-171).
+    # int16). FLEX is gated too but with an int16 payload ("pcm" kind):
+    # its 4FSK slicing needs trained amplitude thresholds
+    # (pager_flex.c:149-171), while its SYNC_1 hunt is sign-only — so the
+    # device prefilter still decides whether the full rows transfer at all.
     # value = is_gt: True slices pcm > 0 (ais_demod.c:126), False pcm < 0
-    # (pager_pocsag.c:91; FLEX 2FSK's >= 0 is its complement)
+    # (pager_pocsag.c:91)
     _PACK_PREDICATE = {"pocsag": False, "ais": True}
 
     # -- streaming engine ---------------------------------------------------
@@ -339,7 +364,13 @@ class ReceivePipeline:
             if spec.protocol in self._PACK_PREDICATE:
                 pg = self._pack_groups.setdefault(
                     spec.protocol,
-                    {"idx": [], "is_gt": self._PACK_PREDICATE[spec.protocol]},
+                    {"idx": [], "kind": "bits",
+                     "is_gt": self._PACK_PREDICATE[spec.protocol]},
+                )
+                pg["idx"].append(i)
+            elif spec.protocol == "flex":
+                pg = self._pack_groups.setdefault(
+                    spec.protocol, {"idx": [], "kind": "pcm"},
                 )
                 pg["idx"].append(i)
             else:
@@ -347,6 +378,7 @@ class ReceivePipeline:
         self._tail_bits = {
             "pocsag": sync_prefilter.POCSAG_TAIL,
             "ais": sync_prefilter.AIS_TAIL,
+            "flex": sync_prefilter.FLEX_TAIL,
         }
 
         # block quantum: chain quantum, every resampler's input grid, and
@@ -568,8 +600,9 @@ class ReceivePipeline:
             host = np.asarray(arr)
             meta = host[:, :mb]
             flags = meta[:, 0].astype(bool)
-            tail_bytes = meta[:, 1:mb]
-            is_gt = pg["is_gt"]
+            tail_cols = meta[:, 1:mb]
+            pcm_kind = pg["kind"] == "pcm"
+            is_gt = pg.get("is_gt")
             # rows needing a full fetch: flagged, or decoder mid-message,
             # or gating unsupported (no native FSM)
             need_rows = []
@@ -591,10 +624,13 @@ class ReceivePipeline:
                 i = pg["idx"][row]
                 s["fetched"][i] += 1
                 dec = self._decoders[i]
-                bits = np.unpackbits(packed[j])[: self._valid_k(
-                    prog, i, valid_n)]
-                pcm = (np.where(bits, 1, -1) if is_gt
-                       else np.where(bits, -1, 1)).astype(np.int16)
+                vk = self._valid_k(prog, i, valid_n)
+                if pcm_kind:
+                    pcm = packed[j][:vk].astype(np.int16)
+                else:
+                    bits = np.unpackbits(packed[j])[:vk]
+                    pcm = (np.where(bits, 1, -1) if is_gt
+                           else np.where(bits, -1, 1)).astype(np.int16)
                 ld = s["lead_drop"].get(i, 0)
                 if ld:
                     take = min(ld, len(pcm))
@@ -610,10 +646,13 @@ class ReceivePipeline:
             for row, i in enumerate(pg["idx"]):
                 if row not in need_rows:
                     s["gap"][i] = True
-                tb = np.unpackbits(tail_bytes[row])
-                s["tail_pcm"][i] = (
-                    np.where(tb, 1, -1) if is_gt else np.where(tb, -1, 1)
-                ).astype(np.int16)
+                if pcm_kind:
+                    s["tail_pcm"][i] = tail_cols[row].astype(np.int16)
+                else:
+                    tb = np.unpackbits(tail_cols[row])
+                    s["tail_pcm"][i] = (
+                        np.where(tb, 1, -1) if is_gt else np.where(tb, -1, 1)
+                    ).astype(np.int16)
 
         for rgid, idxs in self._raw_groups.items():
             rows = raws[rgid]

@@ -705,6 +705,19 @@ void* tsl_flex_new(void) {
 void tsl_flex_free(void* h) { delete static_cast<FlexState*>(h); }
 int tsl_flex_state(void* h) { return static_cast<FlexState*>(h)->state; }
 
+// True while the SYNC_1 hunt has made no progress at all (SEARCH_BS1 or
+// the idle BS1 reset state with an empty match run): egress gating may
+// skip sync-free blocks and reset the registers. A mid-run BS1 state
+// (bit_counter > 0) vetoes the skip — the run may complete in the next
+// block whose own span shows no exact match (models/pipeline.py).
+int tsl_flex_in_search(void* h) {
+  auto* st = static_cast<FlexState*>(h);
+  return st->state == 0 && st->sync_state <= 1 && st->bit_counter == 0 &&
+                 st->skip_count == 0
+             ? 1
+             : 0;
+}
+
 void tsl_flex_sync_reset_only(void* h) {
   flex_sync_reset_only(static_cast<FlexState*>(h));
 }

@@ -3,8 +3,9 @@
 TPU form of the host prefilters in ``models/pocsag.py`` (scan(): any
 32-bit phase-interleaved slicer register within hamming 4 of the POCSAG
 sync word ``pager_pocsag.c:298-334``) and ``models/ais.py`` (scan(): NRZI
-register within hamming 2 of the AIS preamble ``ais_demod.c:114-213``) —
-tightened one step: the decoders' sync triggers need a RUN of matching
+register within hamming 2 of the AIS preamble ``ais_demod.c:114-213``;
+plus FLEX's exact-BS1 SYNC_1 hunt, ``pager_flex.c``) — POCSAG/AIS
+tightened one step: those decoders' sync triggers need a RUN of matching
 positions (POCSAG: > spb/2 consecutive eye matches; AIS: >= 3 of 5 phase
 registers), so a true trigger always yields two matches a fixed distance
 apart and requiring the pair keeps the strict-superset property while
@@ -40,6 +41,13 @@ AIS_PREAMBLE = 0x5555557E    # ais_demod.c preamble (HDLC flag tail)
 AIS_DECIM = 5                # 48 kHz / 9600 bps
 AIS_MAX_HAM = 2
 AIS_TAIL = 256
+
+FLEX_BS1 = 0xAAAAAAAA        # pager_flex.c SYNC_1 bit-sync pattern
+FLEX_SPB = 10                # 16 kHz / 1600 bps SYNC_1 (pager_flex.c)
+# carried-tail SAMPLES (FLEX's gated payload is int16 PCM, so tail bits
+# and tail samples coincide): >= the 31*10 register span, and >= the
+# 34*10 pre-candidate lookback margin the numpy scan tier would need
+FLEX_TAIL = 384
 
 
 def _popcount32(v):
@@ -88,6 +96,27 @@ def pocsag_any_candidate(pred, k_new: int):
                      POCSAG_MAX_HAM)
         flag = flag | (m[:, :-d] & m[:, d:]).any(axis=1)
     return flag
+
+
+def flex_any_candidate(pred, k_new: int):
+    """``pred`` [C, T+K] = (pcm >= 0) bits (the SYNC_1 2FSK slice,
+    ``models/flex.py _slice_2fsk``; ``pager_flex.c`` 2FSK sample slicer).
+
+    A FLEX SYNC_1 trigger is IMMEDIATE and EXACT: the FSM leaves
+    SEARCH_BS1 the moment one of its ten phase-staggered 32-bit slicer
+    registers equals BS1 ``0xAAAAAAAA`` (``models/flex.py _sync_update``),
+    so the device probe is an exact register match at EVERY position of
+    the new span — the ten phase registers collectively test each sample
+    exactly once, and the all-positions probe is their strict superset.
+    No run/pair test applies (unlike POCSAG there is no deferred "first
+    non-matching sample" trigger; mid-BS1 runs straddling a boundary are
+    vetoed host-side by ``FlexDecoder.in_search``). A partially refilled
+    register can never alias to a match (BS1's top bit is 1, zero
+    backfill pins it 0), so the carried tail only needs the 31*10-sample
+    register span."""
+    t = pred.shape[1] - k_new
+    m = _matches(pred, t, k_new, FLEX_SPB, FLEX_BS1, 0)
+    return m.any(axis=1)
 
 
 def ais_any_candidate(pred, k_new: int):

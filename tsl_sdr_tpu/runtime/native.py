@@ -86,6 +86,8 @@ def load():
         lib.tsl_flex_free.argtypes = [ctypes.c_void_p]
         lib.tsl_flex_state.restype = ctypes.c_int
         lib.tsl_flex_state.argtypes = [ctypes.c_void_p]
+        lib.tsl_flex_in_search.restype = ctypes.c_int
+        lib.tsl_flex_in_search.argtypes = [ctypes.c_void_p]
         lib.tsl_flex_sync_reset_only.argtypes = [ctypes.c_void_p]
         lib.tsl_flex_verdict.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.tsl_flex_on_pcm.restype = ctypes.c_long
@@ -200,6 +202,11 @@ class FlexNative:
     @property
     def state(self) -> int:
         return self._lib.tsl_flex_state(self._h)
+
+    @property
+    def in_search(self) -> bool:
+        """SYNC_1 hunt with zero progress (see tsl_flex_in_search)."""
+        return bool(self._lib.tsl_flex_in_search(self._h))
 
     def __del__(self):
         try:
