@@ -79,6 +79,41 @@ def test_multifm_fast_tier_runs():
     assert abs(peak - 800.0) < 10
 
 
+@pytest.mark.parametrize("exact", [False, True])
+def test_process_array_tail_not_dropped(exact):
+    """Regression: captures longer than block_size used to lose the tail
+    beyond n_blocks*block_size entirely (a 5M-sample capture through the
+    4.19M default dropped its last ~0.9M samples — burst decodes near the
+    capture end silently vanished). block_size must only affect blocking,
+    never output length/content (< quantum residue excepted)."""
+    fs, d, offset = 200_000, 8, 25_000
+    x = _nbfm_iq(fs, offset, 800.0, 3_000.0, 50_000, seed=9)
+    lpf = firdes_low_pass(1.0, fs, 10_000, 5_000)
+    chain = MultifmChain(lpf, [offset], fs, d, exact=exact)
+    # whole capture in one block = the no-tail oracle
+    want = np.asarray(chain.process_array(x, block_size=len(x)))
+    # block size chosen so the capture splits into >=2 full blocks + a tail
+    got = np.asarray(chain.process_array(x, block_size=18_000))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_array_equal(got, want)
+    # device-resident variant follows the same contract
+    got_dev = np.asarray(chain.process_array_device(x, block_size=18_000))
+    np.testing.assert_array_equal(got_dev, want)
+
+
+def test_costas_process_array_native_tail_not_dropped():
+    from tsl_sdr_tpu.models.costas_channel import CostasChannelizer
+
+    fs, d, offset = 200_000, 8, 25_000
+    x = _nbfm_iq(fs, offset, 800.0, 3_000.0, 50_000, seed=11)
+    lpf = firdes_low_pass(1.0, fs, 10_000, 5_000)
+    chain = CostasChannelizer(lpf, [offset], fs, d)
+    want = chain.process_array_native(x, block_size=len(x))
+    got = chain.process_array_native(x, block_size=18_000)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_resampler_chain_matches_oracle():
     rng = np.random.default_rng(50)
     coeffs = design_rational_resampler_filter(16, 25, 0.4)

@@ -373,14 +373,18 @@ class MultifmChain:
 
         iq = np.asarray(iq, dtype=np.int16)
         q = self.packed_plan.block_quantum
-        block_size -= block_size % q
         c_len = self.packed_plan.carry_len
-        n_blocks = max((iq.shape[0] - c_len) // block_size, 0)
-        if n_blocks < 1:
-            block_size = (iq.shape[0] - c_len) // q * q
-            n_blocks = 1
-            if block_size <= 0:
-                raise ValueError("capture shorter than one block quantum")
+        usable = (iq.shape[0] - c_len) // q * q
+        if usable <= 0:
+            raise ValueError("capture shorter than one block quantum")
+        block_size = min(block_size - block_size % q, usable)
+        if block_size <= 0:
+            block_size = usable
+        n_blocks = usable // block_size
+        # the sub-block_size tail runs as one extra (shorter) block so no
+        # part of the capture is dropped; only the < quantum residue at the
+        # very end falls off the quantum grid
+        tail_len = usable - n_blocks * block_size
         carry = packed_fir.init_packed_carry(
             self.packed_plan, iq[:c_len] if c_len else None
         )
@@ -400,10 +404,19 @@ class MultifmChain:
 
             return jax.lax.scan(body_fn, carry, blocks)
 
-        _, (a_re, a_im) = run(carry, blocks)
+        carry, (a_re, a_im) = run(carry, blocks)
         c = self.nr_channels
-        a_re = np.asarray(a_re).reshape(-1, c)  # [K, C] int16
-        a_im = np.asarray(a_im).reshape(-1, c)
+        re_parts = [np.asarray(a_re).reshape(-1, c)]  # [K, C] int16
+        im_parts = [np.asarray(a_im).reshape(-1, c)]
+        if tail_len:
+            tb = iq[c_len + n_blocks * block_size : c_len + usable]
+            carry, (a_re, a_im) = run(
+                carry, jnp.asarray(tb.reshape(1, 2 * tail_len))
+            )
+            re_parts.append(np.asarray(a_re).reshape(-1, c))
+            im_parts.append(np.asarray(a_im).reshape(-1, c))
+        a_re = np.concatenate(re_parts)
+        a_im = np.concatenate(im_parts)
         k_total = a_re.shape[0]
 
         # serial Q.14 derotator (native precompute) + exact rounding
@@ -431,12 +444,7 @@ class MultifmChain:
         pcm [C, K_total] (no device->host transfer). Downstream device-side
         stages (resample, slice, bit-pack — see ReceivePipeline) chain off
         this so only protocol-rate bits ever cross to the host."""
-        out = self.process_array(iq, block_size=block_size, _device=True)
-        if self.exact and self.exact_tier == "packed":
-            return out  # the packed exact tier already returns [C, K]
-        if self.exact:
-            return jnp.moveaxis(out, 1, 0).reshape(self.nr_channels, -1)
-        return out.reshape(-1, self.nr_channels).T
+        return self.process_array(iq, block_size=block_size, _device=True)
 
     def process_array(self, iq, block_size: int = 4_194_304, _device=False):
         """Process a whole in-memory capture. Returns pcm [C, K_total] int16.
@@ -449,34 +457,51 @@ class MultifmChain:
             return jnp.asarray(pcm) if _device else pcm
         iq = np.asarray(iq, dtype=np.int16)
         q = self.block_quantum
-        block_size -= block_size % q
         c_len = self.carry_len
-        n_blocks = (iq.shape[0] - c_len) // block_size
-        if n_blocks < 1:
-            block_size = (iq.shape[0] - c_len) // q * q
-            n_blocks = 1
-            if block_size <= 0:
-                raise ValueError("capture shorter than one block quantum")
+        usable = (iq.shape[0] - c_len) // q * q
+        if usable <= 0:
+            raise ValueError("capture shorter than one block quantum")
+        block_size = min(block_size - block_size % q, usable)
+        if block_size <= 0:
+            block_size = usable
+        n_blocks = usable // block_size
+        # the sub-block_size tail runs as one extra (shorter) block so no
+        # part of the capture is dropped; only the < quantum residue at the
+        # very end falls off the quantum grid
+        tail_len = usable - n_blocks * block_size
         state = self.init_state(prefix=iq[:c_len] if c_len else None)
-        body = iq[c_len : c_len + n_blocks * block_size]
-        if self.exact:
-            blocks = jnp.asarray(body.reshape(n_blocks, block_size, 2))
-        else:
+
+        def _blocks(off, bs, nb):
+            body = iq[c_len + off : c_len + off + nb * bs]
+            if self.exact:
+                return jnp.asarray(body.reshape(nb, bs, 2))
             # flat interleaved values: free on the host, and keeps every
             # device-side slice/copy in a fully lane-packed layout
-            blocks = jnp.asarray(body.reshape(n_blocks, 2 * block_size))
-        state, pcm = self.scan_fn(state, blocks)
-        if _device:
-            return pcm
-        pcm = np.asarray(pcm)
+            return jnp.asarray(body.reshape(nb, 2 * bs))
+
+        state, pcm = self.scan_fn(state, _blocks(0, block_size, n_blocks))
+        parts = [pcm]
+        if tail_len:
+            state, pcm = self.scan_fn(
+                state, _blocks(n_blocks * block_size, tail_len, 1)
+            )
+            parts.append(pcm)
+        xp = jnp if _device else np
+        if not _device:
+            parts = [np.asarray(p) for p in parts]
         if self.exact:
             # pcm: [n_blocks, C, K] -> [C, n_blocks * K]
-            return np.moveaxis(pcm, 1, 0).reshape(self.nr_channels, -1)
-        # fast tier emits the packed [n_blocks, rows, opr*C] layout; one
-        # host-side reshape+transpose converts the whole capture at once
-        return (
-            pcm.reshape(-1, self.nr_channels).T.copy()
-        )
+            parts = [
+                xp.moveaxis(p, 1, 0).reshape(self.nr_channels, -1)
+                for p in parts
+            ]
+        else:
+            # fast tier emits the packed [n_blocks, rows, opr*C] layout; one
+            # reshape+transpose per part converts it to [C, K]
+            parts = [p.reshape(-1, self.nr_channels).T for p in parts]
+        if len(parts) == 1:
+            return parts[0] if _device else parts[0].copy()
+        return xp.concatenate(parts, axis=1)
 
     @functools.cached_property
     def scan_fn(self):

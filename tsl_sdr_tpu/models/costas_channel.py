@@ -101,13 +101,17 @@ class CostasChannelizer:
 
         iq = np.asarray(iq, np.int16)
         q = self.block_quantum
-        block_size -= block_size % q
         c_len = self.carry_len
-        n_blocks = max((iq.shape[0] - c_len) // block_size, 1)
-        if n_blocks == 1:
-            block_size = (iq.shape[0] - c_len) // q * q
-            if block_size <= 0:
-                raise ValueError("capture shorter than one block quantum")
+        usable = (iq.shape[0] - c_len) // q * q
+        if usable <= 0:
+            raise ValueError("capture shorter than one block quantum")
+        block_size = min(block_size - block_size % q, usable)
+        if block_size <= 0:
+            block_size = usable
+        n_blocks = usable // block_size
+        # the sub-block_size tail runs as one extra (shorter) block so no
+        # part of the capture is dropped (< quantum residue excepted)
+        tail_len = usable - n_blocks * block_size
         plan = self.packed_plan
         gplan = self.grouped_plan
         carry = packed_fir.init_packed_carry(plan, iq[:c_len] if c_len else None)
@@ -117,7 +121,7 @@ class CostasChannelizer:
         c = self.nr_channels
 
         @jax.jit
-        def run(carry, blocks):
+        def run(state, blocks):
             def body_fn(st, bv):
                 cv, k0 = st
                 cv, ar, ai = packed_fir.packed_fir_step(
@@ -136,11 +140,17 @@ class CostasChannelizer:
                 )  # [K, C, 2]
                 return (cv, k0 + jnp.int32(yr.shape[0])), iq16
 
-            _, out = jax.lax.scan(body_fn, (carry, jnp.int32(0)), blocks)
-            return out
+            return jax.lax.scan(body_fn, state, blocks)
 
-        rot = np.asarray(run(carry, blocks))  # [n, K, C, 2]
-        rot = rot.reshape(-1, c, 2)
+        state, rot = run((carry, jnp.int32(0)), blocks)  # rot [n, K, C, 2]
+        parts = [np.asarray(rot).reshape(-1, c, 2)]
+        if tail_len:
+            tb = iq[c_len + n_blocks * block_size : c_len + usable]
+            # same jitted runner, one shorter block; the threaded (carry,
+            # NCO index) state keeps the derotation phase continuous
+            _, rot_t = run(state, jnp.asarray(tb.reshape(1, 2 * tail_len)))
+            parts.append(np.asarray(rot_t).reshape(-1, c, 2))
+        rot = np.concatenate(parts) if len(parts) > 1 else parts[0]
         out = np.empty((c, rot.shape[0], 2), np.int16)
         for ci in range(c):
             out[ci], _ = costas_native(
