@@ -144,6 +144,65 @@ def test_burst_straddles_push_block_boundary():
     assert bytes(got[0].data).startswith(b"BOUNDARY")
 
 
+def test_gated_leading_blocks_consume_resampler_transient():
+    """The zero-history resampler transient (lead_drop) belongs to the
+    stream's first samples, which live in whatever block covers them —
+    fetched or egress-gated.  A silent (gated) leading block must consume
+    it; the first *fetched* block later in the stream must not lose real
+    samples to a stale lead_drop (regression: the trim used to apply to
+    the first fetched block regardless of stream position)."""
+    decim = 24
+    fs = 51200 * decim  # channel rate 51200 -> POCSAG resamples 3/4
+    lpf = firdes_low_pass(1.0, fs, 12_000, 8_000)
+
+    def mk():
+        return ReceivePipeline(
+            lpf, CENTER, fs, decim,
+            [ChannelSpec(CENTER + 250_000, "pocsag")], exact=False,
+            block_size=262_144)
+
+    pipe = mk()
+    bs = pipe.block_size
+    gid = pipe._ratio_gid[0]
+    assert gid is not None, "config must exercise a real resampler ratio"
+
+    p_bb = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=424242, function=1, kind="alpha",
+                                content="TRANSIENT")],
+        baud=1200, amplitude=4096, tail_bits=64)
+    p_iq = _fm_mod(p_bb, 38400, 250_000, fs)
+    rng = np.random.default_rng(11)
+    # two full blocks of noise first: the channel is idle, its bit rows
+    # are egress-gated, and the transient window passes entirely inside
+    # gated block 0
+    start = 2 * bs + pipe.chain.carry_len + 4_096
+    n = start + len(p_iq) + bs
+    iq = rng.normal(scale=120, size=(n, 2))
+    iq[start : start + len(p_iq)] += p_iq
+    iq = iq.astype(np.int16)
+
+    got = []
+    for part in (pipe.push(iq), pipe.flush()):
+        got.extend(part[0])
+    assert len(got) == 1 and got[0].capcode == 424242
+    assert bytes(got[0].data).startswith(b"TRANSIENT")
+    stats = pipe.stream_stats
+    assert stats["fetched"][0] < stats["blocks"], (
+        "leading noise blocks must be gated for this test to bite")
+
+    # same messages as the stage-by-stage host oracle
+    want = _keys(mk()._process_capture_host(iq, device_decode=False))
+    assert _keys([got]) == want
+
+    # whitebox: after the first drained (gated) block the transient is
+    # fully consumed — the old code left it pending until the first fetch
+    pipe2 = mk()
+    pipe2.push(iq[: 4 * bs + pipe2.chain.carry_len])
+    s = pipe2._stream
+    assert s["blocks"] >= 1
+    assert all(v == 0 for v in s["lead_drop"].values()), s["lead_drop"]
+
+
 def test_pipeline_cli_follow_fifo(tmp_path):
     """pipeline-tpu --follow on a FIFO fed incrementally produces the same
     JSON messages as a one-shot process_capture run (VERDICT r2 item 4)."""

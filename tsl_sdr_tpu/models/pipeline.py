@@ -620,6 +620,15 @@ class ReceivePipeline:
                         pack_out[pgid][np.asarray(need_rows), mb:]
                     )
             s["hot"][pgid] = bool(need_rows)
+            # zero-history resampler transient (lead_drop) is consumed by
+            # EVERY block's outputs, fetched or gated: a skipped block's
+            # outputs contained the transient too, so the next fetched
+            # block must not lose real samples to it
+            ld0 = {i: s["lead_drop"].get(i, 0) for i in pg["idx"]}
+            for row, i in enumerate(pg["idx"]):
+                if ld0[i]:
+                    vk = self._valid_k(prog, i, valid_n)
+                    s["lead_drop"][i] = max(ld0[i] - vk, 0)
             for j, row in enumerate(need_rows):
                 i = pg["idx"][row]
                 s["fetched"][i] += 1
@@ -631,11 +640,8 @@ class ReceivePipeline:
                     bits = np.unpackbits(packed[j])[:vk]
                     pcm = (np.where(bits, 1, -1) if is_gt
                            else np.where(bits, -1, 1)).astype(np.int16)
-                ld = s["lead_drop"].get(i, 0)
-                if ld:
-                    take = min(ld, len(pcm))
-                    pcm = pcm[take:]
-                    s["lead_drop"][i] = ld - take
+                if ld0[i]:
+                    pcm = pcm[min(ld0[i], len(pcm)):]
                 if s["gap"][i]:
                     dec.notify_gap()
                     tp = s["tail_pcm"][i]
@@ -647,12 +653,21 @@ class ReceivePipeline:
                 if row not in need_rows:
                     s["gap"][i] = True
                 if pcm_kind:
-                    s["tail_pcm"][i] = tail_cols[row].astype(np.int16)
+                    tail = tail_cols[row].astype(np.int16)
                 else:
                     tb = np.unpackbits(tail_cols[row])
-                    s["tail_pcm"][i] = (
+                    tail = (
                         np.where(tb, 1, -1) if is_gt else np.where(tb, -1, 1)
                     ).astype(np.int16)
+                if ld0[i]:
+                    # the tail covers output positions [vk-T, vk); if the
+                    # transient reaches into it, its head is fabricated
+                    # zero-history samples the host oracle never sees
+                    vk = self._valid_k(prog, i, valid_n)
+                    cut = min(ld0[i], vk) - (vk - len(tail))
+                    if cut > 0:
+                        tail = tail[cut:]
+                s["tail_pcm"][i] = tail
 
         for rgid, idxs in self._raw_groups.items():
             rows = raws[rgid]
