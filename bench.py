@@ -145,8 +145,56 @@ def tpu_trials() -> dict:
     return results
 
 
+def _fail_json(reason: str) -> str:
+    return json.dumps(
+        {
+            "metric": (
+                "wideband IQ Msamples/s/chip through 8-channel "
+                "channelize+FM demod (128 taps, decim 40)"
+            ),
+            "value": 0.0,
+            "unit": "Msamples/s",
+            "vs_baseline": None,
+            "error": reason,
+        }
+    )
+
+
+def _device_probe(timeout_s: int = 300) -> bool:
+    """True iff an accelerator initializes in a throwaway process.
+
+    The axon tunnel fails by HANGING device init, not by raising — probe in
+    a subprocess so a dead tunnel yields an honest error line instead of a
+    silent driver timeout with no JSON at all."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices()[0]; print(d.platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import statistics
+    import threading
+
+    if not _device_probe():
+        print(_fail_json("device init hung/failed (axon tunnel down); "
+                         "see BENCH_SUITE.json for last good numbers"))
+        return
+
+    # mid-run hang watchdog: the tunnel can die between probe and trials
+    def _die():
+        print(_fail_json("bench hung mid-run (tunnel died); watchdog"),
+              flush=True)
+        os._exit(0)
+
+    wd = threading.Timer(40 * 60, _die)
+    wd.daemon = True
+    wd.start()
 
     import jax
 
