@@ -125,6 +125,31 @@ def test_resampler_chain_matches_oracle():
     np.testing.assert_array_equal(got[:m], want[:m])
 
 
+@pytest.mark.parametrize("exact", [True, False])
+def test_resampler_chain_tail_not_dropped(exact):
+    """Regression: the capture tail past n_blocks*block_in vanished (up to
+    block_in-1 samples). Output must not depend on block geometry, and must
+    cover the whole capture down to the d_rep input grid."""
+    rng = np.random.default_rng(51)
+    coeffs = design_rational_resampler_filter(16, 25, 0.4)
+    x = rng.integers(-12000, 12000, size=61_337, dtype=np.int64).astype(
+        np.int16)
+    a = ResamplerChain(coeffs, 16, 25, block_out=256, exact=exact)
+    b = ResamplerChain(coeffs, 16, 25, block_out=4096, exact=exact)
+    ga, gb = a.process_array(x), b.process_array(x)
+    assert ga.shape == gb.shape
+    np.testing.assert_array_equal(ga, gb)
+    if exact:
+        want = oracles.polyphase_oracle(x, q14.quantize_q14(coeffs), 16, 25)
+        assert len(want) - len(ga) < 2 * 16, (len(ga), len(want))
+        np.testing.assert_array_equal(ga, want[: len(ga)])
+    # device-resident variant follows the same contract
+    import jax.numpy as jnp
+
+    gd = np.asarray(a.process_array_device(jnp.asarray(x)))
+    np.testing.assert_array_equal(gd, ga)
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_ETC), reason="reference etc/ absent")
 def test_reference_configs_load():
     cfg = MultifmConfig.load(
