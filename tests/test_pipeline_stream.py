@@ -203,6 +203,63 @@ def test_gated_leading_blocks_consume_resampler_transient():
     assert all(v == 0 for v in s["lead_drop"].values()), s["lead_drop"]
 
 
+def test_exact_tier_streaming_push_equals_host_oracle():
+    """The bit-exact tier streams through push()/flush() (host-coordinated
+    block loop over the exact steps) and must reproduce the whole-capture
+    host path bit-for-bit: identical messages on resampled protocol
+    channels, identical samples on a raw pcm channel."""
+    decim = 24
+    fs = 51200 * decim  # POCSAG 3/4, FLEX 5/16 resampler ratios
+    lpf = firdes_low_pass(1.0, fs, 12_000, 8_000)
+    specs = [
+        ChannelSpec(CENTER + 250_000, "pocsag", dc_block=True),
+        ChannelSpec(CENTER - 180_000, "flex"),
+        ChannelSpec(CENTER + 400_000, "pcm"),
+    ]
+
+    p_bb = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=555001, function=2, kind="alpha",
+                                content="EXACT STREAM")],
+        baud=1200, amplitude=4096, tail_bits=128)
+    p_iq = _fm_mod(p_bb, 38400, 250_000, fs)
+    f_bb, _ = flex_gen.generate(
+        [flex_gen.FlexBurstMessage(capcode=555002, kind="alnum",
+                                   content="EXACT FLEX")],
+        baud=1600, fsk_levels=2, amplitude=6144, tail_bits=200)
+    f_iq = _fm_mod(f_bb, 16000, -180_000, fs, amp=7000)
+
+    n = max(len(p_iq), len(f_iq)) + 500_000
+    rng = np.random.default_rng(17)
+    iq = rng.normal(scale=100, size=(n, 2))
+    iq[200_000:200_000 + len(p_iq)] += p_iq
+    iq[200_000:200_000 + len(f_iq)] += f_iq
+    iq = iq.astype(np.int16)
+
+    def mk():
+        return ReceivePipeline(lpf, CENTER, fs, decim, specs, exact=True,
+                               block_size=262_144)
+
+    want = mk().process_capture(iq)  # exact tier -> host whole-capture path
+    assert [m.capcode for m in want[0]] == [555001]
+    assert any(getattr(m, "capcode", None) == 555002 for m in want[1])
+
+    pipe = mk()
+    got = [[] for _ in specs]
+    i0 = 0
+    while i0 < len(iq):
+        ln = int(rng.integers(40_000, 300_000))
+        for c, part in enumerate(pipe.push(iq[i0 : i0 + ln])):
+            got[c].extend(part)
+        i0 += ln
+    for c, part in enumerate(pipe.flush()):
+        got[c].extend(part)
+
+    assert _keys(got[:2]) == _keys(want[:2])
+    pcm_got = (np.concatenate(got[2]) if got[2]
+               else np.zeros(0, np.int16))
+    np.testing.assert_array_equal(pcm_got, np.asarray(want[2]))
+
+
 def test_pipeline_cli_follow_fifo(tmp_path):
     """pipeline-tpu --follow on a FIFO fed incrementally produces the same
     JSON messages as a one-shot process_capture run (VERDICT r2 item 4)."""
@@ -326,6 +383,63 @@ def test_pipeline_cli_follow_growing_regular_file(tmp_path):
         exact=False, block_size=262144,
     ).process_capture(iq)
     assert len(msgs) == len(ref[0]) > 0
+
+
+def test_pipeline_cli_follow_exact_tier(tmp_path):
+    """--follow now streams the bit-exact tier too (host-coordinated
+    exact block loop); one POCSAG message decodes from a FIFO feed."""
+    import json
+    import os
+    import threading
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+
+    p_bb = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=808080, function=1, kind="alpha",
+                                content="EXACT FOLLOW")],
+        baud=1200, amplitude=4096, tail_bits=64)
+    p_iq = _fm_mod(p_bb, 38400, 250_000, FS)
+    rng = np.random.default_rng(7)
+    n = len(p_iq) + 700_000
+    iq = rng.normal(scale=120, size=(n, 2))
+    iq[300_000:300_000 + len(p_iq)] += p_iq
+    iq = iq.astype(np.int16)
+
+    fifo = tmp_path / "iq.fifo"
+    os.mkfifo(fifo)
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    cfg = {
+        "device": {"type": "file", "filename": str(fifo),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": FS,
+        "centerFreqHz": CENTER,
+        "decimationFactor": DECIM,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [
+            {"chanCenterFreq": CENTER + 250_000, "protocol": "pocsag"},
+        ],
+    }
+    cfg_path = tmp_path / "pipe.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out_path = tmp_path / "msgs.jsonl"
+    raw = np.ascontiguousarray(iq).tobytes()
+
+    def writer():
+        with open(fifo, "wb") as f:
+            step = 1 << 19
+            for o in range(0, len(raw), step):
+                f.write(raw[o : o + step])
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    rc = pipeline_cli.main(
+        [str(cfg_path), "--follow", "--exact", "--block-size", "262144",
+         "-o", str(out_path)]
+    )
+    t.join(timeout=60)
+    assert rc == 0
+    msgs = [json.loads(line) for line in out_path.read_text().splitlines()]
+    assert [m.get("capCode") for m in msgs] == [808080]
 
 
 def test_pipeline_block_size_floor_covers_gap_tail():

@@ -99,11 +99,6 @@ def main(argv=None):
             )
         )
 
-    if args.follow and args.exact:
-        print("pipeline-tpu: --follow streams the production tier "
-              "(the bit-exact tier is whole-capture)", file=sys.stderr)
-        return 2
-
     pipe = ReceivePipeline(
         cfg.lpf_taps, cfg.center_freq_hz, cfg.sample_rate_hz,
         cfg.decimation_factor, specs,

@@ -419,6 +419,7 @@ class ReceivePipeline:
 
         self._programs: dict[int, _SizedProgram] = {}
         self._stream = None
+        self._xstream = None
         self._pending_prefix = np.zeros((0, 2), np.int16)
 
     def _program(self, n: int) -> _SizedProgram:
@@ -430,6 +431,7 @@ class ReceivePipeline:
         """Forget all streaming state (device carries, input buffer,
         in-flight blocks). Decoder instances persist."""
         self._stream = None
+        self._xstream = None
         self._pending_prefix = np.zeros((0, 2), np.int16)
 
     def _stream_init(self, prefix: np.ndarray | None):
@@ -515,10 +517,7 @@ class ReceivePipeline:
         (reference run-forever semantics, ``multifm/multifm.c:163-165``).
         """
         if self.chain.exact:
-            raise NotImplementedError(
-                "streaming push() runs the production tier; use "
-                "process_capture for the bit-exact tier"
-            )
+            return self._push_exact(iq)
         iq = np.asarray(iq, np.int16).reshape(-1, 2)
         new = [[] for _ in self.channels]
         if self._stream is None:
@@ -685,6 +684,161 @@ class ReceivePipeline:
                 else:
                     new[i].extend(dec.scan(audio))
 
+    # -- bit-exact streaming engine ----------------------------------------
+    #
+    # The exact tier is the parity oracle: every stage already has a
+    # bit-exact (state, block) step, so streaming is a host-coordinated
+    # block loop — chain.step on device, then per channel invert ->
+    # buffered resampler steps -> DC block -> decoder scan, all carries
+    # threaded. No prefilter/gating (throughput is the production tier's
+    # job); output is bit-identical to _process_capture_host at any
+    # push() split points.
+
+    def _xstream_init(self, prefix):
+        from tsl_sdr_tpu.ops import dc_blocker as dcb
+
+        self._xstream = {
+            "st": self.chain.init_state(prefix=prefix),
+            "buf": [],
+            "buf_len": 0,
+            # per-channel resampler state: None until head-primed with the
+            # first carry_len channel samples (rs.process_array semantics)
+            "rs_st": {i: None for i, rs in enumerate(self._resamplers)
+                      if rs is not None},
+            "abuf": {i: np.zeros(0, np.int16)
+                     for i, rs in enumerate(self._resamplers)
+                     if rs is not None},
+            "dc_st": {i: dcb.init_dc_blocker_state()
+                      for i, _ in self._dc_items},
+        }
+
+    def _push_exact(self, iq) -> list:
+        iq = np.asarray(iq, np.int16).reshape(-1, 2)
+        new = [[] for _ in self.channels]
+        if self._xstream is None:
+            c_len = self.chain.carry_len
+            pend = np.concatenate([self._pending_prefix, iq])
+            if pend.shape[0] < c_len + 1:
+                self._pending_prefix = pend
+                return new
+            self._xstream_init(pend[:c_len] if c_len else None)
+            self._pending_prefix = np.zeros((0, 2), np.int16)
+            iq = pend[c_len:]
+        x = self._xstream
+        x["buf"].append(iq)
+        x["buf_len"] += iq.shape[0]
+        while x["buf_len"] >= self.block_size:
+            buf = np.concatenate(x["buf"]) if len(x["buf"]) > 1 else x["buf"][0]
+            block = buf[: self.block_size]
+            rest = buf[self.block_size :]
+            x["buf"] = [rest] if rest.shape[0] else []
+            x["buf_len"] = rest.shape[0]
+            x["st"], pcm = self.chain.step(x["st"], block)
+            self._drain_exact(np.asarray(pcm), new)
+        return new
+
+    def _drain_exact(self, pcm: np.ndarray, new: list):
+        import jax.numpy as jnp
+
+        x = self._xstream
+        for i, spec in enumerate(self.channels):
+            audio = np.asarray(pcm[i], np.int16)
+            if spec.invert:
+                audio = np.clip(
+                    -(audio.astype(np.int32)), -32768, 32767
+                ).astype(np.int16)
+            rs = self._resamplers[i]
+            if rs is not None:
+                buf = np.concatenate([x["abuf"][i], audio]) \
+                    if x["abuf"][i].size else audio
+                st = x["rs_st"][i]
+                if st is None:
+                    c_len = rs.plan.carry_len
+                    if buf.shape[0] < c_len + 1:
+                        x["abuf"][i] = buf
+                        continue
+                    st = rs.init_state(prefix=buf[:c_len])
+                    buf = buf[c_len:]
+                n_in = rs.plan.block_in
+                chunks = buf.shape[0] // n_in
+                if chunks:
+                    st, out = rs.scan_fn(
+                        st, jnp.asarray(buf[: chunks * n_in]
+                                        .reshape(chunks, n_in))
+                    )
+                    audio = np.asarray(out).reshape(-1)
+                    buf = buf[chunks * n_in :]
+                else:
+                    audio = np.zeros(0, np.int16)
+                x["rs_st"][i] = st
+                x["abuf"][i] = buf
+            self._exact_channel_out(i, audio, new)
+
+    def _exact_channel_out(self, i: int, audio: np.ndarray, new: list):
+        """Post-resampler per-channel stages: DC block -> decode/collect."""
+        from tsl_sdr_tpu.ops import dc_blocker as dcb
+
+        if audio.size == 0:
+            return
+        x = self._xstream
+        spec = self.channels[i]
+        if spec.dc_block:
+            p = dcb.make_pole_coeff(spec.dc_block_pole)
+            x["dc_st"][i], audio = dcb.dc_blocker_step_exact(
+                x["dc_st"][i], audio, p
+            )
+            audio = np.asarray(audio)
+        dec = self._decoders[i]
+        if dec is None:
+            new[i].append(np.asarray(audio, np.int16))
+        else:
+            new[i].extend(dec.scan(np.asarray(audio)))
+
+    def _flush_exact(self) -> list:
+        new = [[] for _ in self.channels]
+        x = self._xstream
+        if x is None:
+            if self._pending_prefix.shape[0]:
+                raise ValueError(
+                    f"capture shorter than the pipeline prefix "
+                    f"({self._pending_prefix.shape[0]} <= "
+                    f"{self.chain.carry_len} samples); nothing processed"
+                )
+            return new
+        if x["buf_len"]:
+            buf = np.concatenate(x["buf"]) if len(x["buf"]) > 1 else x["buf"][0]
+            q = self.chain.block_quantum
+            usable = buf.shape[0] // q * q
+            if usable:
+                x["st"], pcm = self.chain.step(x["st"], buf[:usable])
+                self._drain_exact(np.asarray(pcm), new)
+            x["buf"] = []
+            x["buf_len"] = 0
+        # sub-block_in resampler tails: one shorter-plan step each, chained
+        # through the live carry (same taps/phase0 => same carry_len)
+        for i, rs in enumerate(self._resamplers):
+            if rs is None:
+                continue
+            buf = x["abuf"][i]
+            st = x["rs_st"][i]
+            if st is None:
+                c_len = rs.plan.carry_len
+                if buf.shape[0] < c_len + 1:
+                    continue
+                st = rs.init_state(prefix=buf[:c_len])
+                buf = buf[c_len:]
+            tail_use = buf.shape[0] // rs.plan.d_rep * rs.plan.d_rep
+            if not tail_use:
+                continue
+            tp = rs._tail_plan(tail_use)
+            assert tp.carry_len == rs.plan.carry_len, (tp.carry_len,
+                                                       rs.plan.carry_len)
+            _, out = rs.step(st, buf[:tail_use], plan=tp)
+            self._exact_channel_out(i, np.asarray(out).reshape(-1), new)
+        # the stream consumed off-grid residue; a later push must re-prime
+        self.stream_reset()
+        return new
+
     def flush(self) -> list:
         """Drain in-flight blocks and process the buffered tail.
 
@@ -694,6 +848,8 @@ class ReceivePipeline:
         the pad-derived output samples are trimmed before any decoder or
         pcm channel sees them (a truncated stream ends at its last real
         sample, exactly as the reference's file source reads EOF)."""
+        if self.chain.exact:
+            return self._flush_exact()
         new = [[] for _ in self.channels]
         s = self._stream
         if s is None:
