@@ -78,7 +78,7 @@ def _keys(results):
     return out
 
 
-def main(n_seeds=5):
+def main(n_seeds=5, exact=False):
     lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
     fails = 0
     for seed in range(n_seeds):
@@ -97,21 +97,40 @@ def main(n_seeds=5):
         iq = (iq + rng.normal(scale=100, size=iq.shape)).astype(np.int16)
 
         specs = [ChannelSpec(CENTER + o, p) for p, o in zip(protos, offs)]
-        pipe = ReceivePipeline(lpf, CENTER, FS, DECIM, specs, exact=False,
+        pipe = ReceivePipeline(lpf, CENTER, FS, DECIM, specs, exact=exact,
                                block_size=393_216)
-        got = _keys(pipe.process_capture(iq))
         want = _keys(pipe._process_capture_host(iq, device_decode=False))
+        pipe2 = ReceivePipeline(lpf, CENTER, FS, DECIM, specs, exact=exact,
+                                block_size=393_216)
+        if exact:
+            # streaming exact engine at randomized push split points
+            got_l = [[] for _ in specs]
+            i0 = 0
+            while i0 < len(iq):
+                ln = int(rng.integers(50_000, 400_000))
+                for c, part in enumerate(pipe2.push(iq[i0 : i0 + ln])):
+                    got_l[c].extend(part)
+                i0 += ln
+            for c, part in enumerate(pipe2.flush()):
+                got_l[c].extend(part)
+            got = _keys(got_l)
+            label = "exact-stream"
+        else:
+            got = _keys(pipe2.process_capture(iq))
+            label = "fused"
         n_got = sum(len(c) for c in got)
         n_want = sum(len(c) for c in want)
         ok = got == want and n_want > 0
         fails += 0 if ok else 1
-        print(f"seed {seed}: {protos} -> fused {n_got}, host {n_want} "
+        print(f"seed {seed}: {protos} -> {label} {n_got}, host {n_want} "
               f"[{'OK' if ok else 'DIFF'}]", flush=True)
         if not ok:
-            print("  fused:", got, "\n  host:", want, flush=True)
+            print(f"  {label}:", got, "\n  host:", want, flush=True)
     print("fails:", fails)
     return 1 if fails else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 5))
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    sys.exit(main(int(argv[0]) if argv else 5,
+                  exact="--exact" in sys.argv[1:]))
