@@ -348,3 +348,54 @@ def test_multifm_cli_usrp_device_runs(tmp_path, monkeypatch):
     assert rc == 0
     pcm = np.fromfile(out_pcm, np.int16)
     assert pcm.size > 1000
+
+
+def test_pipeline_cli_follow_rtlsdr_device(tmp_path, monkeypatch):
+    """pipeline-tpu --follow with a hardware device: the one-process
+    deployment consumes the mock rtlsdr stream live and emits the decoded
+    POCSAG message as JSON lines (reference run-forever shape,
+    multifm.c:163-165 + decoder.c:581-656, collapsed into one process)."""
+    import json
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+    from tsl_sdr_tpu.testing import pocsag_gen
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    monkeypatch.setenv(mock_radios.ENV_VARS["rtlsdr"],
+                       str(mock_radios.build("rtlsdr")))
+
+    decim = 32
+    fs = 38400 * decim
+    offset = 150_000
+    baseband = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=246802, function=1, kind="alpha",
+                                content="LIVE HW PIPE")],
+        baud=1200, amplitude=4096, tail_bits=512)
+    dev = baseband.astype(np.float64) / 16384.0 * (38400 / 2)
+    phase = np.cumsum(np.repeat(2 * np.pi * (offset + dev) / fs, decim))
+    iq = np.stack([np.cos(phase), np.sin(phase)], -1)
+    u8 = np.clip(np.round(iq * 100 + 127), 0, 255).astype(np.uint8)
+    cap_path = tmp_path / "wire.u8"
+    u8.reshape(-1).tofile(cap_path)
+    monkeypatch.setenv("MOCK_RTLSDR_DATA", str(cap_path))
+
+    cfg = {
+        "device": {"type": "rtlsdr", "deviceIndex": 0, "dBGainLNA": 32.8},
+        "sampleRateHz": fs,
+        "centerFreqHz": 929_500_000,
+        "decimationFactor": decim,
+        "lpfTaps": list(map(float, firdes_low_pass(1.0, fs, 9_600, 7_000))),
+        "channels": [
+            {"chanCenterFreq": 929_500_000 + offset, "protocol": "pocsag"},
+        ],
+    }
+    cfg_path = tmp_path / "pipe_hw.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out = tmp_path / "msgs.json"
+
+    rc = pipeline_cli.main([str(cfg_path), "--follow", "-o", str(out)])
+    assert rc == 0
+    lines = [json.loads(x) for x in out.read_text().splitlines()]
+    want = pocsag_gen.expected_alpha_decode(b"LIVE HW PIPE").decode()
+    assert [(m["capCode"], m["message"]) for m in lines] == [(246802, want)]
+    assert lines[0]["freqHz"] == 929_500_000 + offset
