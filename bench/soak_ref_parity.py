@@ -79,7 +79,8 @@ def soak_flex(r, block):
                "".join(map(str, r.integers(0, 10, size=6))))
     burst, _ = flex_gen.generate(
         [flex_gen.FlexBurstMessage(
-            capcode=int(r.integers(0x8001, 0x1E0001)),
+            # short address = capcode + 32768 in (0x8000, 0x1E0000]
+            capcode=int(r.integers(1, 0x1D8001)),
             kind=kind, content=content)],
         baud=baud, fsk_levels=fsk,
         amplitude=int(r.integers(3500, 9000)),
