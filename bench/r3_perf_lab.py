@@ -235,11 +235,12 @@ def pipeline():
         parts[200_000:200_000 + len(sig)] += sig
     iq = (parts + rng.normal(scale=80, size=parts.shape)).astype(np.int16)
     iq4 = np.concatenate([iq] * 4)
-    for bs in (4_194_304, 8_388_608):
+    for bs, depth in ((1_048_576, 2), (1_048_576, 8), (4_194_304, 2),
+                      (4_194_304, 4), (4_194_304, 8), (8_388_608, 4)):
         pipe = ReceivePipeline(
             firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
             [ChannelSpec(center + o, "pocsag") for o in offsets],
-            exact=False, block_size=bs)
+            exact=False, block_size=bs, inflight_depth=depth)
         pipe.process_capture(iq4)
         best = 0.0
         for _ in range(4):
@@ -249,8 +250,9 @@ def pipeline():
             caps = sorted(set(m.capcode for msgs in res for m in msgs))
             assert caps == [100000 + k for k in range(8)], caps
             best = max(best, len(iq4) / dt / 1e6)
-            print(f"bs={bs}: e2e {len(iq4) / dt / 1e6:.1f} Msps", flush=True)
-        print(f"bs={bs}: BEST {best:.1f} Msps", flush=True)
+            print(f"bs={bs} depth={depth}: e2e {len(iq4) / dt / 1e6:.1f} "
+                  "Msps", flush=True)
+        print(f"bs={bs} depth={depth}: BEST {best:.1f} Msps", flush=True)
 
 
 if __name__ == "__main__":

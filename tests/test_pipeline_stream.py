@@ -458,3 +458,32 @@ def test_pipeline_block_size_floor_covers_gap_tail():
     k_chain = pipe.block_size // DECIM
     k_out = (k_chain * gid[0] // gid[1]) if gid else k_chain
     assert k_out >= sync_prefilter.POCSAG_TAIL
+
+
+def test_inflight_depth_does_not_change_messages():
+    """Deeper device->host latency-hiding queues (inflight_depth) reorder
+    only WHEN blocks drain, never WHAT they decode: every depth produces
+    the identical message stream, including across flush()."""
+    iq = _capture(seed=33)
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    want = None
+    for depth in (1, 2, 7):
+        pipe = ReceivePipeline(lpf, CENTER, FS, DECIM, _specs(),
+                               exact=False, block_size=262_144,
+                               inflight_depth=depth)
+        rng = np.random.default_rng(40 + depth)
+        got = [[] for _ in _specs()]
+        i = 0
+        while i < len(iq):
+            ln = int(rng.integers(60_000, 350_000))
+            for c, part in enumerate(pipe.push(iq[i : i + ln])):
+                got[c].extend(part)
+            i += ln
+        for c, part in enumerate(pipe.flush()):
+            got[c].extend(part)
+        keys = _keys(got)
+        if want is None:
+            want = keys
+            assert any(k[1] == 1122334 for k in keys[0])
+        else:
+            assert keys == want, depth

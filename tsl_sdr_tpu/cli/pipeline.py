@@ -45,6 +45,10 @@ def build_argparser():
                         "shape (multifm.c:163-165) in one process")
     p.add_argument("--block-size", type=int, default=None,
                    help="streaming block length in wideband samples")
+    p.add_argument("--inflight-depth", type=int, default=2,
+                   help="device blocks kept in flight before the oldest "
+                        "is decoded: higher hides device->host latency "
+                        "(throughput), lower tightens live decode latency")
     p.add_argument("--idle-exit", type=float, default=1.0,
                    help="with --follow on a regular file: stop after the "
                         "file has not grown for this many seconds "
@@ -104,6 +108,7 @@ def main(argv=None):
         cfg.decimation_factor, specs,
         exact=args.exact, backend=args.backend,
         block_size=args.block_size,
+        inflight_depth=args.inflight_depth,
     )
 
     out = open(args.output, "w", buffering=1) if args.output else sys.stdout

@@ -274,7 +274,15 @@ class ReceivePipeline:
         backend: str = "xla",
         max_ratio: int = 256,
         block_size: int | None = None,
+        inflight_depth: int = 2,
     ):
+        # device->host latency hiding: up to ``inflight_depth`` blocks stay
+        # in flight before the oldest is drained, so each block's async
+        # copies get ~depth iterations to land before np.asarray touches
+        # them. On a high-latency link (this box: ~40 ms RTT) the e2e cap
+        # is ~depth*block_size/RTT — deepen for throughput, at the cost of
+        # depth blocks of added decode latency in --follow live mode.
+        self.inflight_depth = int(inflight_depth)
         self.channels = list(channels)
         offsets = [c.center_freq_hz - center_freq_hz for c in self.channels]
         gains = [
@@ -540,9 +548,10 @@ class ReceivePipeline:
             s["buf"] = [rest] if rest.shape[0] else []
             s["buf_len"] = rest.shape[0]
             self._dispatch(block)
-            # keep two blocks in flight: block k's device->host transfers
-            # complete while k+1 computes and k-1 host-decodes
-            while len(s["inflight"]) > 2:
+            # keep inflight_depth blocks in flight: block k's device->host
+            # transfers complete while later blocks compute and earlier
+            # ones host-decode
+            while len(s["inflight"]) > self.inflight_depth:
                 self._drain(s["inflight"].popleft(), new)
         return new
 
