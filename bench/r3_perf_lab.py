@@ -255,6 +255,61 @@ def pipeline():
         print(f"bs={bs} depth={depth}: BEST {best:.1f} Msps", flush=True)
 
 
+def tunnel():
+    """Re-measure the axon tunnel latency model (CLAUDE.md timing notes):
+    RTT, h2d/d2h streaming bandwidth, dispatch cost, and whether
+    copy_to_host_async overlaps an intervening device compute."""
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    print("device:", dev)
+
+    small = jax.device_put(np.zeros(8, np.int32))
+    small.block_until_ready()
+    for name, nbytes in (("64B", 64), ("1MB", 1 << 20), ("16MB", 16 << 20)):
+        host = np.random.default_rng(0).integers(
+            -100, 100, size=nbytes // 2, dtype=np.int64).astype(np.int16)
+        # h2d: device_put + a tiny reduce fetched as scalar
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            a = jax.device_put(host)
+            float(jnp.sum(a[:4].astype(jnp.int32)))
+            best = min(best, time.perf_counter() - t0)
+        print(f"h2d {name}: {best * 1e3:.1f} ms "
+              f"({nbytes / best / 1e6:.1f} MB/s incl. RTT)", flush=True)
+        # d2h: fetch the whole device array
+        a = jax.device_put(host)
+        a.block_until_ready()
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(a)
+            best = min(best, time.perf_counter() - t0)
+        print(f"d2h {name}: {best * 1e3:.1f} ms "
+              f"({nbytes / best / 1e6:.1f} MB/s incl. RTT)", flush=True)
+
+    # does copy_to_host_async overlap a subsequent dispatch? fetch latency
+    # should drop to ~0 when the copy was started one compute earlier
+    big = jax.device_put(np.zeros(4 << 20, np.int16))
+    f = jax.jit(lambda x: (x * 2).sum())
+    float(f(big))
+    for started_early in (False, True):
+        best = float("inf")
+        for _ in range(5):
+            r = jax.jit(lambda x: x + 1)(big)
+            if started_early:
+                r.copy_to_host_async()
+                float(f(big))          # ~compute to hide the copy under
+                time.sleep(0.06)       # > RTT
+            t0 = time.perf_counter()
+            np.asarray(r)
+            best = min(best, time.perf_counter() - t0)
+        print(f"fetch 8MB (async-started={started_early}): "
+              f"{best * 1e3:.1f} ms", flush=True)
+
+
 if __name__ == "__main__":
     {"resampler": resampler, "chain": chain,
-     "pipeline": pipeline}[sys.argv[1]]()
+     "pipeline": pipeline, "tunnel": tunnel}[sys.argv[1]]()

@@ -7,6 +7,9 @@ cd /root/repo
 LOG=/tmp/r3_runbook.log
 date >> $LOG
 
+echo "=== lab: tunnel latency model ===" >> $LOG
+timeout 600 python bench/r3_perf_lab.py tunnel >> $LOG 2>&1
+
 echo "=== lab: chain (xla vs pallas-highest vs pallas-high, 8/64ch) ===" >> $LOG
 timeout 1200 python bench/r3_perf_lab.py chain >> $LOG 2>&1
 
