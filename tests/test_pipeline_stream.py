@@ -487,3 +487,45 @@ def test_inflight_depth_does_not_change_messages():
             assert any(k[1] == 1122334 for k in keys[0])
         else:
             assert keys == want, depth
+
+
+def test_sixteen_channel_bank_gates_silent_channels():
+    """16-channel POCSAG bank, 4 active: the device prefilter keeps the
+    12 silent channels' bit rows on the device (fetched==0) while every
+    active channel decodes — the egress-gating contract at a bank width
+    twice the reference's flagship config (etc/multifm.json)."""
+    decim, fs, center = 32, 38400 * 32, 929_500_000
+    offsets = [-450_000 + 60_000 * k for k in range(16)]
+    active = [1, 6, 9, 14]
+    rng = np.random.default_rng(8)
+    parts = None
+    for k in active:
+        bb = pocsag_gen.generate(
+            [pocsag_gen.PocsagBurst(capcode=200000 + k, function=1,
+                                    kind="alpha", content=f"W{k}")],
+            baud=1200, amplitude=4096, tail_bits=256)
+        dev = bb.astype(np.float64) / 16384.0 * 19200
+        ph = np.cumsum(np.repeat(2 * np.pi * (offsets[k] + dev) / fs, decim))
+        sig = np.stack([np.cos(ph), np.sin(ph)], -1) * 3500
+        if parts is None:
+            parts = np.zeros((len(sig) + 800_000, 2))
+        parts[400_000:400_000 + len(sig)] += sig
+    iq = (parts + rng.normal(scale=90, size=parts.shape)).astype(np.int16)
+
+    pipe = ReceivePipeline(
+        firdes_low_pass(1.0, fs, 12_000, 8_000), center, fs, decim,
+        [ChannelSpec(center + o, "pocsag") for o in offsets],
+        exact=False, block_size=786_432)
+    res = pipe.process_capture(iq)
+    got = {i: [(m.capcode, m.data) for m in msgs]
+           for i, msgs in enumerate(res) if msgs}
+    want = {k: [(200000 + k,
+                 pocsag_gen.expected_alpha_decode(f"W{k}".encode()))]
+            for k in active}
+    assert got == want
+    stats = pipe.stream_stats
+    for i in range(16):
+        if i in active:
+            assert stats["fetched"][i] >= 1, (i, stats)
+        else:
+            assert stats["fetched"][i] == 0, (i, stats)
