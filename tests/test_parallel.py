@@ -227,3 +227,45 @@ def test_sharded_resampler_row_and_residue_paths_agree():
     np.testing.assert_allclose(
         out_res[:-trim], want_res[:-trim], rtol=0, atol=2.0
     )
+
+
+@pytest.mark.parametrize("ch_shards", [2, 8])
+def test_channel_sharded_pipeline_messages_match(ch_shards):
+    """ReceivePipeline(mesh=...): the fused streaming program GSPMD-
+    partitioned across the 'channels' axis decodes the identical messages
+    to the single-device program (the FIR contraction dim stays local to
+    each shard, so even the PCM is bit-identical)."""
+    from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+    from tsl_sdr_tpu.testing import pocsag_gen
+
+    decim, fs, center = 32, 38400 * 32, 929_500_000
+    offsets = [-450_000 + 120_000 * k for k in range(8)]
+    rng = np.random.default_rng(8)
+    parts = None
+    for k in (0, 3, 5):
+        bb = pocsag_gen.generate(
+            [pocsag_gen.PocsagBurst(capcode=300000 + k, function=1,
+                                    kind="alpha", content=f"SH{k}")],
+            baud=1200, amplitude=4096, tail_bits=256)
+        dev = bb.astype(np.float64) / 16384.0 * 19200
+        ph = np.cumsum(np.repeat(2 * np.pi * (offsets[k] + dev) / fs, decim))
+        sig = np.stack([np.cos(ph), np.sin(ph)], -1) * 3500
+        if parts is None:
+            parts = np.zeros((len(sig) + 800_000, 2))
+        parts[400_000:400_000 + len(sig)] += sig
+    iq = (parts + rng.normal(scale=90, size=parts.shape)).astype(np.int16)
+    lpf = firdes_low_pass(1.0, fs, 12_000, 8_000)
+    specs = [ChannelSpec(center + o, "pocsag") for o in offsets]
+
+    base = ReceivePipeline(lpf, center, fs, decim, specs, exact=False,
+                           block_size=393_216)
+    want = [[(m.capcode, m.data) for m in ch]
+            for ch in base.process_capture(iq)]
+    assert sum(len(c) for c in want) == 3
+
+    mesh = make_mesh(time=8 // ch_shards, channels=ch_shards)
+    pipe = ReceivePipeline(lpf, center, fs, decim, specs, exact=False,
+                           block_size=393_216, mesh=mesh)
+    got = [[(m.capcode, m.data) for m in ch]
+           for ch in pipe.process_capture(iq)]
+    assert got == want

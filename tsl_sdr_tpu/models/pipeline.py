@@ -122,9 +122,27 @@ class _SizedProgram:
         plans = self.plans
         tail_bits = pipe._tail_bits
 
+        # multi-chip: annotate the channel dim and let GSPMD partition the
+        # bank (scaling-book recipe: pick a mesh, constrain shardings, XLA
+        # inserts the collectives). The FIR contraction dim stays local to
+        # each channel shard, so sharded results are bit-identical.
+        mesh = getattr(pipe, "mesh", None)
+        ch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from tsl_sdr_tpu.parallel.mesh import CHANNEL_AXIS
+
+            n_sh = mesh.shape.get(CHANNEL_AXIS, 1)
+            if n_sh > 1 and c % n_sh == 0:
+                ch_sharding = NamedSharding(
+                    mesh, PartitionSpec(CHANNEL_AXIS, None)
+                )
+
         def dev_step(chain_st, rs, dc, tails, vals):
             chain_st, pcm_flat = chain._step_raw(chain_st, vals)
             pcm = pcm_flat.reshape(-1, c).T  # [C, K]
+            if ch_sharding is not None:
+                pcm = jax.lax.with_sharding_constraint(pcm, ch_sharding)
             if any_invert:
                 flipped = jnp.clip(
                     -(pcm.astype(jnp.int32)), -32768, 32767
@@ -275,7 +293,13 @@ class ReceivePipeline:
         max_ratio: int = 256,
         block_size: int | None = None,
         inflight_depth: int = 2,
+        mesh=None,
     ):
+        # optional jax.sharding.Mesh with a 'channels' axis: the fused
+        # device program is GSPMD-partitioned across it (channel-sharded
+        # FIR bank, resamplers, prefilters) — bit-identical to the
+        # single-device program (see _SizedProgram)
+        self.mesh = mesh
         # device->host latency hiding: up to ``inflight_depth`` blocks stay
         # in flight before the oldest is drained, so each block's async
         # copies get ~depth iterations to land before np.asarray touches
