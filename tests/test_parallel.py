@@ -269,3 +269,27 @@ def test_channel_sharded_pipeline_messages_match(ch_shards):
     got = [[(m.capcode, m.data) for m in ch]
            for ch in pipe.process_capture(iq)]
     assert got == want
+
+
+def test_channel_sharded_pipeline_mixed_protocols():
+    """mesh= with resampler-bearing channels (FLEX 16k, AIS 48k) and an
+    indivisible channel count: 5 channels over 2 shards skips the
+    constraint (graceful no-op), 6 channels partition — both decode
+    identically to the single-device program."""
+    from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+    from tests.test_pipeline_stream import _capture, _keys, _specs
+
+    iq = _capture()
+    fs = 38400 * 32
+    lpf = firdes_low_pass(1.0, fs, 12_000, 8_000)
+
+    for extra in ([], [ChannelSpec(929_500_000 - 480_000, "ais")]):
+        specs = _specs() + extra          # 5 (indivisible) then 6 channels
+        base = ReceivePipeline(lpf, 929_500_000, fs, 32, specs,
+                               exact=False, block_size=262_144)
+        want = _keys(base.process_capture(iq))
+        assert sum(len(c) for c in want) == 3
+        mesh = make_mesh(time=4, channels=2)
+        pipe = ReceivePipeline(lpf, 929_500_000, fs, 32, specs,
+                               exact=False, block_size=262_144, mesh=mesh)
+        assert _keys(pipe.process_capture(iq)) == want
