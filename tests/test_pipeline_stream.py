@@ -529,3 +529,46 @@ def test_sixteen_channel_bank_gates_silent_channels():
             assert stats["fetched"][i] >= 1, (i, stats)
         else:
             assert stats["fetched"][i] == 0, (i, stats)
+
+
+def test_pipeline_cli_channel_shards(tmp_path):
+    """pipeline-tpu --channel-shards 2: the CLI builds a channels mesh
+    over the virtual devices and decodes identically."""
+    import json as jsonlib
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+
+    iq = _capture()
+    iq_path = tmp_path / "cap.cs16"
+    iq.reshape(-1).tofile(iq_path)
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    cfg = {
+        "device": {"type": "file", "filename": str(iq_path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": FS, "centerFreqHz": CENTER,
+        "decimationFactor": DECIM,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [
+            {"chanCenterFreq": CENTER + 250_000, "protocol": "pocsag",
+             "dcBlock": True},
+            {"chanCenterFreq": CENTER - 180_000, "protocol": "flex"},
+            {"chanCenterFreq": CENTER + 400_000, "protocol": "ais"},
+            {"chanCenterFreq": CENTER - 350_000, "protocol": "pocsag"},
+        ],
+    }
+    cfg_path = tmp_path / "p.json"
+    cfg_path.write_text(jsonlib.dumps(cfg))
+    out = tmp_path / "m.json"
+    rc = pipeline_cli.main([str(cfg_path), "-o", str(out),
+                            "--channel-shards", "2"])
+    assert rc == 0
+    lines = [jsonlib.loads(x) for x in out.read_text().splitlines()]
+    protos = sorted(m["proto"] for m in lines)
+    assert protos == ["ais", "flex", "pocsag"], lines
+
+    # indivisible channel count is a clean CLI error, not a crash
+    cfg["channels"] = cfg["channels"][:3]
+    cfg_path.write_text(jsonlib.dumps(cfg))
+    rc = pipeline_cli.main([str(cfg_path), "-o", str(out),
+                            "--channel-shards", "2"])
+    assert rc == 2

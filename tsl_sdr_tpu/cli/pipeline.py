@@ -49,6 +49,11 @@ def build_argparser():
                    help="device blocks kept in flight before the oldest "
                         "is decoded: higher hides device->host latency "
                         "(throughput), lower tightens live decode latency")
+    p.add_argument("--channel-shards", type=int, default=1,
+                   help="GSPMD-partition the fused device program across "
+                        "this many devices on a channels mesh (channel "
+                        "count must divide evenly; decode is bit-identical "
+                        "to single-device)")
     p.add_argument("--idle-exit", type=float, default=1.0,
                    help="with --follow on a regular file: stop after the "
                         "file has not grown for this many seconds "
@@ -103,12 +108,31 @@ def main(argv=None):
             )
         )
 
+    mesh = None
+    if args.channel_shards > 1:
+        import jax
+
+        from tsl_sdr_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev < args.channel_shards:
+            print(f"pipeline-tpu: --channel-shards {args.channel_shards} "
+                  f"needs that many devices, have {n_dev}", file=sys.stderr)
+            return 2
+        if len(specs) % args.channel_shards:
+            print(f"pipeline-tpu: {len(specs)} channels not divisible by "
+                  f"--channel-shards {args.channel_shards}", file=sys.stderr)
+            return 2
+        mesh = make_mesh(time=1, channels=args.channel_shards,
+                         devices=jax.devices()[: args.channel_shards])
+
     pipe = ReceivePipeline(
         cfg.lpf_taps, cfg.center_freq_hz, cfg.sample_rate_hz,
         cfg.decimation_factor, specs,
         exact=args.exact, backend=args.backend,
         block_size=args.block_size,
         inflight_depth=args.inflight_depth,
+        mesh=mesh,
     )
 
     out = open(args.output, "w", buffering=1) if args.output else sys.stdout
