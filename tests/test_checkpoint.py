@@ -68,3 +68,62 @@ def test_throughput_meter():
     t.update(1000)
     assert t.total == 2000
     assert "samples" in t.summary()
+
+
+def test_pipeline_stream_checkpoint_resume(tmp_path):
+    """ReceivePipeline.checkpoint_stream/restore_stream: kill the process
+    mid-stream (simulated by a fresh pipeline object), restore, continue —
+    messages before and after the boundary match an uninterrupted run
+    (utils/checkpoint.py's deployment story for the flagship path)."""
+    import numpy as np
+    import pytest
+
+    from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+    from tsl_sdr_tpu.testing import pocsag_gen
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    decim, fs, center = 32, 38400 * 32, 929_500_000
+
+    def burst(cap, txt):
+        bb = pocsag_gen.generate(
+            [pocsag_gen.PocsagBurst(capcode=cap, function=1, kind="alpha",
+                                    content=txt)],
+            baud=1200, amplitude=4096, tail_bits=256)
+        dev = bb.astype(np.float64) / 16384.0 * 19200
+        ph = np.cumsum(np.repeat(2 * np.pi * (250_000 + dev) / fs, decim))
+        return np.stack([np.cos(ph), np.sin(ph)], -1) * 9000
+
+    rng = np.random.default_rng(5)
+    pad = rng.integers(-300, 300, size=(900_000, 2)).astype(np.int16)
+    iq = np.concatenate([pad, burst(111, "BEFORE CKPT").astype(np.int16),
+                         pad, burst(222, "AFTER CKPT").astype(np.int16),
+                         pad])
+    iq = (iq + rng.normal(scale=90, size=iq.shape)).astype(np.int16)
+    lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+    spec = [ChannelSpec(center + 250_000, "pocsag")]
+
+    want = [(m.capcode, m.data) for m in ReceivePipeline(
+        lpf, center, fs, decim, spec, exact=False,
+        block_size=393_216).process_capture(iq)[0]]
+    assert [c for c, _ in want] == [111, 222]
+
+    half = len(iq) // 2
+    p1 = ReceivePipeline(lpf, center, fs, decim, spec, exact=False,
+                         block_size=393_216)
+    msgs = [(m.capcode, m.data) for m in p1.push(iq[:half])[0]]
+    ck = tmp_path / "stream.npz"
+    msgs += [(m.capcode, m.data) for m in p1.checkpoint_stream(ck)[0]]
+
+    p2 = ReceivePipeline(lpf, center, fs, decim, spec, exact=False,
+                         block_size=393_216)
+    p2.restore_stream(ck)
+    msgs += [(m.capcode, m.data) for m in p2.push(iq[half:])[0]]
+    msgs += [(m.capcode, m.data) for m in p2.flush()[0]]
+    assert msgs == want
+
+    # a differently-configured pipeline refuses the checkpoint
+    p3 = ReceivePipeline(lpf, center, fs, decim,
+                         [ChannelSpec(center + 130_000, "pocsag")],
+                         exact=False, block_size=393_216)
+    with pytest.raises(ValueError, match="differently-configured"):
+        p3.restore_stream(ck)

@@ -912,6 +912,128 @@ class ReceivePipeline:
             self.stream_reset()
         return new
 
+    # -- streaming checkpoint/resume ----------------------------------------
+
+    def checkpoint_stream(self, path) -> list:
+        """Drain in-flight device blocks and save the streaming state to
+        ``path`` (.npz): device carries (channelizer history, resampler
+        phases, DC poles, prefilter tail bits) plus the host gating state
+        and buffered input. Returns the messages decoded while draining.
+
+        Decoder FSMs are NOT serialized (the native machines live in
+        C++); :meth:`restore_stream` re-enters them in SEARCH with a gap
+        notification — a burst mid-flight across the boundary is lost,
+        everything after re-syncs (the protocols are self-synchronizing,
+        matching the reference's restart-from-live-stream behavior).
+        Production tier only; the bit-exact tier is a parity oracle, not
+        a deployment path."""
+        import jax
+        import json
+
+        if self.chain.exact:
+            raise NotImplementedError(
+                "checkpoint_stream covers the production streaming engine"
+            )
+        s = self._stream
+        if s is None:
+            raise ValueError("no streaming state yet (push something first)")
+        new = [[] for _ in self.channels]
+        while s["inflight"]:
+            self._drain(s["inflight"].popleft(), new)
+        leaves, treedef = jax.tree.flatten(s["st"])
+        arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+        arrays["buf"] = (
+            np.concatenate(s["buf"]) if s["buf"]
+            else np.zeros((0, 2), np.int16)
+        )
+        arrays["fetched"] = s["fetched"]
+        tail_rows = {}
+        for i, tp in s["tail_pcm"].items():
+            if tp is not None:
+                arrays[f"tailpcm_{i}"] = tp
+                tail_rows[i] = True
+        meta = {
+            "fingerprint": self._stream_fingerprint(),
+            "treedef": str(treedef),
+            "lead_drop": {str(k): int(v)
+                          for k, v in s["lead_drop"].items()},
+            "gap": {str(k): bool(v) for k, v in s["gap"].items()},
+            "hot": {str(k): bool(v) for k, v in s["hot"].items()},
+            "blocks": s["blocks"],
+            "tail_rows": {str(k): v for k, v in tail_rows.items()},
+        }
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
+        np.savez(path, **arrays)
+        return new
+
+    def restore_stream(self, path):
+        """Rebuild streaming state from a :meth:`checkpoint_stream` file.
+
+        The pipeline must be configured identically (same channels,
+        block size, tier) — a mismatch raises. Decoders restart in
+        SEARCH; every pack channel is marked gapped so the first fetched
+        block splices the checkpointed tail PCM and notifies the gap."""
+        import jax
+        import json
+
+        if self.chain.exact:
+            raise NotImplementedError(
+                "checkpoint_stream covers the production streaming engine"
+            )
+        data = np.load(path)
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        if meta["fingerprint"] != self._stream_fingerprint():
+            raise ValueError(
+                "checkpoint was written by a differently-configured "
+                f"pipeline: {meta['fingerprint']} != "
+                f"{self._stream_fingerprint()}"
+            )
+        self.stream_reset()
+        self._stream_init(None)
+        s = self._stream
+        leaves, treedef = jax.tree.flatten(s["st"])
+        if meta["treedef"] != str(treedef):
+            raise ValueError("checkpoint state tree mismatch")
+        restored = []
+        for i, tmpl in enumerate(leaves):
+            arr = data[f"leaf_{i}"]
+            t = np.asarray(tmpl)
+            if arr.shape != t.shape or arr.dtype != t.dtype:
+                raise ValueError(
+                    f"checkpoint leaf {i} is {arr.dtype}{arr.shape}, "
+                    f"pipeline expects {t.dtype}{t.shape}"
+                )
+            restored.append(jax.device_put(arr))
+        s["st"] = jax.tree.unflatten(treedef, restored)
+        buf = data["buf"]
+        s["buf"] = [buf] if buf.shape[0] else []
+        s["buf_len"] = int(buf.shape[0])
+        s["lead_drop"] = {int(k): int(v)
+                          for k, v in meta["lead_drop"].items()}
+        s["hot"] = dict(meta["hot"])
+        s["blocks"] = int(meta["blocks"])
+        s["fetched"] = np.asarray(data["fetched"])
+        # decoder FSMs were not saved: force a gap + tail splice on every
+        # pack channel's next fetched block
+        for i in s["gap"]:
+            s["gap"][i] = True
+            s["tail_pcm"][i] = (
+                data[f"tailpcm_{i}"]
+                if meta["tail_rows"].get(str(i)) else None
+            )
+
+    def _stream_fingerprint(self) -> str:
+        return (
+            f"bs={self.block_size};backend={self.chain.backend};"
+            + ";".join(
+                f"{s.center_freq_hz}:{s.protocol}:{int(s.invert)}:"
+                f"{int(s.dc_block)}"
+                for s in self.channels
+            )
+        )
+
     # -- whole-capture API ---------------------------------------------------
 
     def process_capture(self, iq, *, device_decode: bool = True):
