@@ -572,3 +572,72 @@ def test_pipeline_cli_channel_shards(tmp_path):
     rc = pipeline_cli.main([str(cfg_path), "-o", str(out),
                             "--channel-shards", "2"])
     assert rc == 2
+
+
+def test_pipeline_cli_state_file_kill_and_resume(tmp_path):
+    """pipeline-tpu --follow --state-file: run over the first half of a
+    capture (process 'dies' at idle-exit, state saved), append the rest,
+    rerun — the two runs' messages equal one uninterrupted run."""
+    import json as jsonlib
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+    from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+
+    decim, fs, center = 32, 38400 * 32, 929_500_000
+
+    def burst(cap, txt):
+        bb = pocsag_gen.generate(
+            [pocsag_gen.PocsagBurst(capcode=cap, function=1, kind="alpha",
+                                    content=txt)],
+            baud=1200, amplitude=4096, tail_bits=256)
+        return _fm_mod(bb, 38400, 250_000, fs)
+
+    rng = np.random.default_rng(9)
+    pad = rng.integers(-300, 300, size=(900_000, 2)).astype(np.int16)
+    iq = np.concatenate([pad, burst(111, "PART ONE").astype(np.int16),
+                         pad, burst(222, "PART TWO").astype(np.int16),
+                         pad])
+    iq = (iq + rng.normal(scale=90, size=iq.shape)).astype(np.int16)
+    lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+
+    want = [(m.capcode, m.data) for m in ReceivePipeline(
+        lpf, center, fs, decim,
+        [ChannelSpec(center + 250_000, "pocsag")],
+        exact=False, block_size=393_216).process_capture(iq)[0]]
+    assert [c for c, _ in want] == [111, 222]
+
+    half = len(iq) // 2
+    iq_path = tmp_path / "cap.cs16"
+    iq[:half].reshape(-1).tofile(iq_path)
+    cfg = {
+        "device": {"type": "file", "filename": str(iq_path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": fs, "centerFreqHz": center,
+        "decimationFactor": decim,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [{"chanCenterFreq": center + 250_000,
+                      "protocol": "pocsag"}],
+    }
+    cfg_path = tmp_path / "p.json"
+    cfg_path.write_text(jsonlib.dumps(cfg))
+    state = tmp_path / "state.npz"
+    out1 = tmp_path / "m1.json"
+    rc = pipeline_cli.main([str(cfg_path), "--follow", "--idle-exit",
+                            "0.3", "--block-size", "393216",
+                            "--state-file", str(state),
+                            "-o", str(out1)])
+    assert rc == 0 and state.exists()
+
+    # the capture grows while the process is down; rerun resumes
+    with open(iq_path, "ab") as f:
+        iq[half:].reshape(-1).tofile(f)
+    out2 = tmp_path / "m2.json"
+    rc = pipeline_cli.main([str(cfg_path), "--follow", "--idle-exit",
+                            "0.3", "--block-size", "393216",
+                            "--state-file", str(state),
+                            "-o", str(out2)])
+    assert rc == 0
+    got = [(m["capCode"], m["message"])
+           for p in (out1, out2)
+           for m in map(jsonlib.loads, p.read_text().splitlines())]
+    assert got == [(c, d.decode()) for c, d in want]

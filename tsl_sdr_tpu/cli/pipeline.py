@@ -49,6 +49,12 @@ def build_argparser():
                    help="device blocks kept in flight before the oldest "
                         "is decoded: higher hides device->host latency "
                         "(throughput), lower tightens live decode latency")
+    p.add_argument("--state-file", default=None,
+                   help="with --follow: restore streaming state from this "
+                        ".npz if it exists (regular-file inputs resume at "
+                        "the consumed offset), and write it on exit "
+                        "(EOF/idle/Ctrl-C) instead of flushing — a "
+                        "kill-and-resume deployment survives restarts")
     p.add_argument("--channel-shards", type=int, default=1,
                    help="GSPMD-partition the fused device program across "
                         "this many devices on a channels mesh (channel "
@@ -164,6 +170,16 @@ def main(argv=None):
     try:
         if args.follow:
             fmt = iq_fmt or "cs16"
+            resume_samples = 0
+            if args.state_file is not None:
+                import os as _os
+
+                if _os.path.exists(args.state_file):
+                    user = pipe.restore_stream(args.state_file)
+                    resume_samples = int(user.get("consumed_samples", 0))
+                    print(f"pipeline-tpu: resumed from {args.state_file} "
+                          f"({resume_samples} samples consumed)",
+                          file=sys.stderr)
             if hw_source is not None:
                 from tsl_sdr_tpu.cli.multifm import _pairs
 
@@ -173,7 +189,8 @@ def main(argv=None):
                 blocks = _pairs(hw_source.blocks())
             else:
                 blocks = _follow_blocks(iq_path, fmt,
-                                        idle_exit=args.idle_exit)
+                                        idle_exit=args.idle_exit,
+                                        skip_samples=resume_samples)
             # startup mute gate for live hardware (receiver.h:98,
             # multifm/multifm.c:158) — drop the tuner-settling head like
             # multifm-tpu does
@@ -196,7 +213,16 @@ def main(argv=None):
             finally:
                 if hw_source is not None:
                     hw_source.stop()
-            emit(pipe.flush())
+            if args.state_file is not None and pipe._stream is not None:
+                emit(pipe.checkpoint_stream(
+                    args.state_file,
+                    user_meta={"consumed_samples":
+                               resume_samples + n_samples},
+                ))
+                print(f"pipeline-tpu: state saved to {args.state_file}",
+                      file=sys.stderr)
+            else:
+                emit(pipe.flush())
         else:
             iq = iqio.read_iq_file(iq_path, iq_fmt or "cs16")
             n_samples = len(iq)
@@ -217,7 +243,8 @@ def main(argv=None):
 
 
 def _follow_blocks(path, fmt, chunk_bytes: int = 1 << 20,
-                   idle_exit: float | None = None):
+                   idle_exit: float | None = None,
+                   skip_samples: int = 0):
     """Yield [N, 2] int16 blocks from a FIFO or regular file as data
     arrives. A FIFO ends when every writer has closed; a regular file is
     polled past EOF (it may still be growing — tail -f semantics) until
@@ -232,6 +259,13 @@ def _follow_blocks(path, fmt, chunk_bytes: int = 1 << 20,
     residue = b""
     with open(path, "rb") as f:
         is_fifo = stat.S_ISFIFO(os.fstat(f.fileno()).st_mode)
+        if skip_samples:
+            if is_fifo:
+                # a FIFO is a live stream: the writer restarted too, so
+                # there is nothing to skip
+                pass
+            else:
+                f.seek(skip_samples * unit)
         idle = 0.0
         while True:
             chunk = f.read(chunk_bytes)

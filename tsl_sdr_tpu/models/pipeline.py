@@ -914,7 +914,7 @@ class ReceivePipeline:
 
     # -- streaming checkpoint/resume ----------------------------------------
 
-    def checkpoint_stream(self, path) -> list:
+    def checkpoint_stream(self, path, user_meta: dict | None = None) -> list:
         """Drain in-flight device blocks and save the streaming state to
         ``path`` (.npz): device carries (channelizer history, resampler
         phases, DC poles, prefilter tail bits) plus the host gating state
@@ -961,6 +961,7 @@ class ReceivePipeline:
             "hot": {str(k): bool(v) for k, v in s["hot"].items()},
             "blocks": s["blocks"],
             "tail_rows": {str(k): v for k, v in tail_rows.items()},
+            "user": user_meta or {},
         }
         arrays["__meta__"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8
@@ -968,8 +969,9 @@ class ReceivePipeline:
         np.savez(path, **arrays)
         return new
 
-    def restore_stream(self, path):
+    def restore_stream(self, path) -> dict:
         """Rebuild streaming state from a :meth:`checkpoint_stream` file.
+        Returns the ``user_meta`` dict the checkpoint was saved with.
 
         The pipeline must be configured identically (same channels,
         block size, tier) — a mismatch raises. Decoders restart in
@@ -1023,6 +1025,7 @@ class ReceivePipeline:
                 data[f"tailpcm_{i}"]
                 if meta["tail_rows"].get(str(i)) else None
             )
+        return meta.get("user", {})
 
     def _stream_fingerprint(self) -> str:
         return (
