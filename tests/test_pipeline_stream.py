@@ -641,3 +641,75 @@ def test_pipeline_cli_state_file_kill_and_resume(tmp_path):
            for p in (out1, out2)
            for m in map(jsonlib.loads, p.read_text().splitlines())]
     assert got == [(c, d.decode()) for c, d in want]
+
+
+def test_pipeline_cli_state_file_sigterm(tmp_path):
+    """SIGTERM (service-manager stop) writes the state file like Ctrl-C:
+    run pipeline-tpu --follow --state-file as a real subprocess on a
+    FIFO, deliver SIGTERM mid-stream, assert a loadable checkpoint."""
+    import json as jsonlib
+    import os
+    import signal
+    import subprocess
+    import sys as _sys
+    import threading
+    import time as _time
+
+    decim, fs, center = 32, 38400 * 32, 929_500_000
+    lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+    fifo = tmp_path / "iq.fifo"
+    os.mkfifo(fifo)
+    cfg = {
+        "device": {"type": "file", "filename": str(fifo),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": fs, "centerFreqHz": center,
+        "decimationFactor": decim,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [{"chanCenterFreq": center + 250_000,
+                      "protocol": "pocsag"}],
+    }
+    cfg_path = tmp_path / "p.json"
+    cfg_path.write_text(jsonlib.dumps(cfg))
+    state = tmp_path / "state.npz"
+
+    # the axon site hook re-forces JAX_PLATFORMS, so the child must pin
+    # the CPU backend via jax.config BEFORE device init (conftest gotcha)
+    child = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "import sys; from tsl_sdr_tpu.cli import pipeline;\n"
+        f"sys.exit(pipeline.main({[str(cfg_path), '--follow', '--block-size', '393216', '--state-file', str(state), '-o', str(tmp_path / 'm.json')]!r}))"
+    )
+    proc = subprocess.Popen(
+        [_sys.executable, "-c", child], stderr=subprocess.PIPE,
+    )
+
+    def feed():
+        rng = np.random.default_rng(4)
+        try:
+            with open(fifo, "wb") as w:
+                # stream noise until the test delivers SIGTERM
+                for _ in range(4000):
+                    if proc.poll() is not None:
+                        return
+                    w.write(rng.integers(-300, 300, size=(65_536, 2),
+                                         dtype=np.int64).astype(np.int16)
+                            .tobytes())
+                    w.flush()
+                    _time.sleep(0.02)
+        except OSError:
+            pass  # reader exited mid-write (the SIGTERM races the feed)
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    # import + first fused compile in the child takes a while on CPU;
+    # give it time to push at least one full block before the stop
+    _time.sleep(30.0)
+    proc.send_signal(signal.SIGTERM)
+    rc = proc.wait(timeout=120)
+    err = proc.stderr.read().decode()
+    t.join(timeout=30)
+    assert rc == 0, err
+    assert state.exists(), err
+    assert "state saved" in err, err
+    data = np.load(state)
+    assert "__meta__" in data

@@ -173,6 +173,15 @@ def main(argv=None):
             resume_samples = 0
             if args.state_file is not None:
                 import os as _os
+                import signal as _signal
+
+                # a service manager stops us with SIGTERM: route it
+                # through the same clean-shutdown path as Ctrl-C so the
+                # state file still gets written
+                def _term(_sig, _frm):
+                    raise KeyboardInterrupt
+
+                _signal.signal(_signal.SIGTERM, _term)
 
                 if _os.path.exists(args.state_file):
                     user = pipe.restore_stream(args.state_file)
