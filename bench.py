@@ -172,7 +172,9 @@ def _device_probe(timeout_s: int = 300) -> bool:
              "import jax; d = jax.devices()[0]; print(d.platform)"],
             capture_output=True, text=True, timeout=timeout_s,
         )
-        return r.returncode == 0
+        # a failed TPU init can FALL BACK to the CPU backend and still exit
+        # 0 — that must not let the bench record CPU numbers as TPU results
+        return r.returncode == 0 and r.stdout.strip() != "cpu"
     except subprocess.TimeoutExpired:
         return False
 

@@ -643,6 +643,130 @@ def test_pipeline_cli_state_file_kill_and_resume(tmp_path):
     assert got == [(c, d.decode()) for c, d in want]
 
 
+def test_state_file_flag_guards(tmp_path):
+    """--state-file without --follow, or with --exact, is a clean CLI
+    error (exit 2) — not a silently-ignored flag / raw NotImplementedError
+    when the state file already exists."""
+    import json as jsonlib
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    cfg = {
+        "device": {"type": "file", "filename": "/dev/null",
+                   "fileFormat": "cs16"},
+        "sampleRateHz": FS, "centerFreqHz": CENTER,
+        "decimationFactor": DECIM,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [{"chanCenterFreq": CENTER + 250_000,
+                      "protocol": "pocsag"}],
+    }
+    cfg_path = tmp_path / "p.json"
+    cfg_path.write_text(jsonlib.dumps(cfg))
+    st = str(tmp_path / "s.npz")
+    assert pipeline_cli.main([str(cfg_path), "--state-file", st]) == 2
+    assert pipeline_cli.main(
+        [str(cfg_path), "--follow", "--exact", "--state-file", st]) == 2
+
+
+def test_signal_guard_defers_inside_critical_section():
+    """The SIGTERM/SIGINT guard raises immediately outside defer() but
+    only flags inside it — an async raise mid-push() would strand a block
+    between the host buffer and device state."""
+    import pytest
+
+    from tsl_sdr_tpu.cli.pipeline import _SignalGuard
+
+    g = _SignalGuard()
+    with pytest.raises(KeyboardInterrupt):
+        g.handler(15, None)
+    g2 = _SignalGuard()
+    with g2.defer():
+        g2.handler(15, None)  # must NOT raise here
+        assert g2.pending
+    with pytest.raises(KeyboardInterrupt):
+        g2.handler(15, None)  # outside again: raises
+
+
+def test_check_resume_offset_rotated_file(tmp_path, capsys):
+    """A rotated/recreated capture shorter than the checkpoint offset
+    restarts from 0 instead of seeking past EOF (which would decode
+    nothing and exit 0)."""
+    from tsl_sdr_tpu.cli.pipeline import _check_resume_offset
+
+    p = tmp_path / "cap.cs16"
+    p.write_bytes(b"\x00" * 400)  # 100 cs16 IQ samples
+    assert _check_resume_offset(str(p), "cs16", 50) == 50
+    assert _check_resume_offset(str(p), "cs16", 1000) == 0
+    # cs8: 2 bytes/sample
+    assert _check_resume_offset(str(p), "cs8", 150) == 150
+    assert _check_resume_offset(str(p), "cs8", 500) == 0
+
+
+def test_checkpoint_fingerprint_catches_same_shape_config_edits(tmp_path):
+    """Config edits that change decode semantics WITHOUT changing any
+    state-leaf shape (dBGain, dcBlockPole, LPF taps) must fail the
+    fingerprint check on restore — restoring carries under different
+    constants would decode wrongly with no error."""
+    import pytest
+
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+
+    def mk(**spec_kw):
+        return ReceivePipeline(
+            lpf, CENTER, FS, DECIM,
+            [ChannelSpec(CENTER + 250_000, "pocsag", **spec_kw)],
+            exact=False, block_size=262_144)
+
+    pipe = mk()
+    rng = np.random.default_rng(2)
+    pipe.push(rng.integers(-200, 200, size=(600_000, 2)).astype(np.int16))
+    state = tmp_path / "s.npz"
+    pipe.checkpoint_stream(state)
+    # atomic-replace leaves no temp file behind
+    assert not (tmp_path / "s.npz.tmp").exists()
+
+    for kw in ({"db_gain": 3.0}, {"dc_block": True},
+               {"dc_block_pole": 0.95, "dc_block": True}):
+        with pytest.raises(ValueError, match="differently-configured"):
+            mk(**kw).restore_stream(state)
+
+    # different taps, same length: also caught
+    lpf2 = firdes_low_pass(1.0, FS, 11_000, 8_000)
+    assert len(lpf2) == len(lpf)
+    pipe2 = ReceivePipeline(
+        lpf2, CENTER, FS, DECIM,
+        [ChannelSpec(CENTER + 250_000, "pocsag")],
+        exact=False, block_size=262_144)
+    with pytest.raises(ValueError, match="differently-configured"):
+        pipe2.restore_stream(state)
+
+
+def test_restore_stream_resets_decoders_in_process():
+    """restore_stream on a live object must deliver its documented
+    'decoders restart in SEARCH' semantics: the FSMs are recreated, so the
+    forced notify_gap() is valid even if a decoder was mid-message at
+    restore time."""
+    import tempfile
+
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    pipe = ReceivePipeline(
+        lpf, CENTER, FS, DECIM,
+        [ChannelSpec(CENTER + 250_000, "pocsag"),
+         ChannelSpec(CENTER + 400_000, "ais")],
+        exact=False, block_size=262_144)
+    rng = np.random.default_rng(6)
+    pipe.push(rng.integers(-200, 200, size=(600_000, 2)).astype(np.int16))
+    before = list(pipe._decoders)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/s.npz"
+        pipe.checkpoint_stream(path)
+        pipe.restore_stream(path)
+    for old, new_dec in zip(before, pipe._decoders):
+        assert new_dec is not old
+        assert new_dec.in_search
+
+
 def test_pipeline_cli_state_file_sigterm(tmp_path):
     """SIGTERM (service-manager stop) writes the state file like Ctrl-C:
     run pipeline-tpu --follow --state-file as a real subprocess on a

@@ -21,10 +21,59 @@ or stdout, tagged with the channel's center frequency.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import sys
 import time
 
 import numpy as np
+
+
+class _SignalGuard:
+    """Route SIGTERM/SIGINT through KeyboardInterrupt, but never inside a
+    critical section: while :meth:`defer` is held the signal only sets
+    ``pending``. An async raise landing inside push() could strand a block
+    between the host buffer and the device state (checkpointed
+    consumed_samples would then skip it on resume), or leave donated device
+    buffers dead so the checkpoint itself crashes."""
+
+    def __init__(self):
+        self.pending = False
+        self._defer = False
+
+    def handler(self, signum, frame):
+        self.pending = True
+        if not self._defer:
+            raise KeyboardInterrupt
+
+    @contextlib.contextmanager
+    def defer(self):
+        self._defer = True
+        try:
+            yield
+        finally:
+            self._defer = False
+
+
+def _check_resume_offset(path, fmt, resume_samples):
+    """A rotated/recreated input file shorter than the checkpoint's resume
+    offset would seek past EOF and silently decode nothing (exit 0, stale
+    checkpoint rewritten); restart from sample 0 instead."""
+    import os
+    import stat
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return resume_samples
+    if stat.S_ISFIFO(st.st_mode):
+        return resume_samples
+    itemsize = 2 if fmt == "cs16" else 1
+    if st.st_size < resume_samples * 2 * itemsize:
+        print(f"pipeline-tpu: {path} is shorter than the checkpoint's "
+              f"{resume_samples}-sample resume offset (rotated?); "
+              "restarting from the beginning", file=sys.stderr)
+        return 0
+    return resume_samples
 
 
 def build_argparser():
@@ -71,6 +120,17 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+
+    if args.state_file is not None:
+        if not args.follow:
+            print("pipeline-tpu: --state-file requires --follow",
+                  file=sys.stderr)
+            return 2
+        if args.exact:
+            print("pipeline-tpu: --state-file covers the production "
+                  "streaming tier; the bit-exact tier is a parity oracle "
+                  "(drop --exact)", file=sys.stderr)
+            return 2
 
     from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
     from tsl_sdr_tpu.utils import iq as iqio
@@ -171,17 +231,17 @@ def main(argv=None):
         if args.follow:
             fmt = iq_fmt or "cs16"
             resume_samples = 0
+            guard = _SignalGuard()
             if args.state_file is not None:
                 import os as _os
                 import signal as _signal
 
-                # a service manager stops us with SIGTERM: route it
-                # through the same clean-shutdown path as Ctrl-C so the
-                # state file still gets written
-                def _term(_sig, _frm):
-                    raise KeyboardInterrupt
-
-                _signal.signal(_signal.SIGTERM, _term)
+                # a service manager stops us with SIGTERM: route it (and
+                # Ctrl-C) through the clean-shutdown path so the state file
+                # still gets written — but only at block boundaries, never
+                # mid-push (see _SignalGuard)
+                _signal.signal(_signal.SIGTERM, guard.handler)
+                _signal.signal(_signal.SIGINT, guard.handler)
 
                 if _os.path.exists(args.state_file):
                     user = pipe.restore_stream(args.state_file)
@@ -189,6 +249,10 @@ def main(argv=None):
                     print(f"pipeline-tpu: resumed from {args.state_file} "
                           f"({resume_samples} samples consumed)",
                           file=sys.stderr)
+                    if resume_samples and iq_path is not None:
+                        resume_samples = _check_resume_offset(
+                            iq_path, fmt, resume_samples
+                        )
             if hw_source is not None:
                 from tsl_sdr_tpu.cli.multifm import _pairs
 
@@ -216,18 +280,25 @@ def main(argv=None):
                         if not len(iq):
                             continue
                     n_samples += len(iq)
-                    emit(pipe.push(iq))
+                    with guard.defer():
+                        emit(pipe.push(iq))
+                    if guard.pending:
+                        raise KeyboardInterrupt
             except KeyboardInterrupt:
                 pass
             finally:
                 if hw_source is not None:
                     hw_source.stop()
             if args.state_file is not None and pipe._stream is not None:
-                emit(pipe.checkpoint_stream(
-                    args.state_file,
-                    user_meta={"consumed_samples":
-                               resume_samples + n_samples},
-                ))
+                # a second SIGTERM during the save must not kill it: the
+                # whole drain+write is one critical section (the .npz
+                # replace itself is atomic, models/pipeline.py)
+                with guard.defer():
+                    emit(pipe.checkpoint_stream(
+                        args.state_file,
+                        user_meta={"consumed_samples":
+                                   resume_samples + n_samples},
+                    ))
                 print(f"pipeline-tpu: state saved to {args.state_file}",
                       file=sys.stderr)
             else:

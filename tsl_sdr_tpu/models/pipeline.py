@@ -308,6 +308,10 @@ class ReceivePipeline:
         # depth blocks of added decode latency in --follow live mode.
         self.inflight_depth = int(inflight_depth)
         self.channels = list(channels)
+        # checkpoint fingerprint inputs (see _stream_fingerprint): config
+        # that changes decode semantics without changing state-leaf shapes
+        self._fp_taps = np.asarray(lpf_taps, np.float64)
+        self._fp_center = int(center_freq_hz)
         offsets = [c.center_freq_hz - center_freq_hz for c in self.channels]
         gains = [
             10.0 ** (c.db_gain / 10.0) if c.db_gain is not None else 1.0
@@ -550,19 +554,32 @@ class ReceivePipeline:
         """
         if self.chain.exact:
             return self._push_exact(iq)
-        iq = np.asarray(iq, np.int16).reshape(-1, 2)
         new = [[] for _ in self.channels]
-        if self._stream is None:
+        for block in self._pump_blocks(iq, "_stream", self._stream_init):
+            self._dispatch(block)
+            # keep inflight_depth blocks in flight: block k's device->host
+            # transfers complete while later blocks compute and earlier
+            # ones host-decode
+            s = self._stream
+            while len(s["inflight"]) > self.inflight_depth:
+                self._drain(s["inflight"].popleft(), new)
+        return new
+
+    def _pump_blocks(self, iq, attr: str, init_fn):
+        """Shared input path of the production and bit-exact streaming
+        engines: hold data until the chain prefix is covered, prime the
+        stream (``init_fn``), buffer, and yield full block_size blocks."""
+        iq = np.asarray(iq, np.int16).reshape(-1, 2)
+        if getattr(self, attr) is None:
             c_len = self.chain.carry_len
-            # hold input until the chain prefix is covered
             pend = np.concatenate([self._pending_prefix, iq])
             if pend.shape[0] < c_len + 1:
                 self._pending_prefix = pend
-                return new
-            self._stream_init(pend[:c_len] if c_len else None)
+                return
+            init_fn(pend[:c_len] if c_len else None)
             self._pending_prefix = np.zeros((0, 2), np.int16)
             iq = pend[c_len:]
-        s = self._stream
+        s = getattr(self, attr)
         s["buf"].append(iq)
         s["buf_len"] += iq.shape[0]
         while s["buf_len"] >= self.block_size:
@@ -571,13 +588,17 @@ class ReceivePipeline:
             rest = buf[self.block_size :]
             s["buf"] = [rest] if rest.shape[0] else []
             s["buf_len"] = rest.shape[0]
-            self._dispatch(block)
-            # keep inflight_depth blocks in flight: block k's device->host
-            # transfers complete while later blocks compute and earlier
-            # ones host-decode
-            while len(s["inflight"]) > self.inflight_depth:
-                self._drain(s["inflight"].popleft(), new)
-        return new
+            yield block
+
+    def _flush_unprimed(self) -> list:
+        """Flush before the stream ever primed: error if data was pushed."""
+        if self._pending_prefix.shape[0]:
+            raise ValueError(
+                f"capture shorter than the pipeline prefix "
+                f"({self._pending_prefix.shape[0]} <= "
+                f"{self.chain.carry_len} samples); nothing processed"
+            )
+        return [[] for _ in self.channels]
 
     def _dispatch(self, block: np.ndarray, valid_n: int | None = None):
         import jax
@@ -746,29 +767,24 @@ class ReceivePipeline:
         }
 
     def _push_exact(self, iq) -> list:
-        iq = np.asarray(iq, np.int16).reshape(-1, 2)
         new = [[] for _ in self.channels]
-        if self._xstream is None:
-            c_len = self.chain.carry_len
-            pend = np.concatenate([self._pending_prefix, iq])
-            if pend.shape[0] < c_len + 1:
-                self._pending_prefix = pend
-                return new
-            self._xstream_init(pend[:c_len] if c_len else None)
-            self._pending_prefix = np.zeros((0, 2), np.int16)
-            iq = pend[c_len:]
-        x = self._xstream
-        x["buf"].append(iq)
-        x["buf_len"] += iq.shape[0]
-        while x["buf_len"] >= self.block_size:
-            buf = np.concatenate(x["buf"]) if len(x["buf"]) > 1 else x["buf"][0]
-            block = buf[: self.block_size]
-            rest = buf[self.block_size :]
-            x["buf"] = [rest] if rest.shape[0] else []
-            x["buf_len"] = rest.shape[0]
+        for block in self._pump_blocks(iq, "_xstream", self._xstream_init):
+            x = self._xstream
             x["st"], pcm = self.chain.step(x["st"], block)
             self._drain_exact(np.asarray(pcm), new)
         return new
+
+    def _rs_primed(self, i: int, rs, buf):
+        """Head-prime resampler ``i`` from ``buf`` if it has no state yet.
+        Returns ``(state, remaining)``; state None = still under the
+        carry-length prefix (caller keeps buffering)."""
+        st = self._xstream["rs_st"][i]
+        if st is not None:
+            return st, buf
+        c_len = rs.plan.carry_len
+        if buf.shape[0] < c_len + 1:
+            return None, buf
+        return rs.init_state(prefix=buf[:c_len]), buf[c_len:]
 
     def _drain_exact(self, pcm: np.ndarray, new: list):
         import jax.numpy as jnp
@@ -784,14 +800,10 @@ class ReceivePipeline:
             if rs is not None:
                 buf = np.concatenate([x["abuf"][i], audio]) \
                     if x["abuf"][i].size else audio
-                st = x["rs_st"][i]
+                st, buf = self._rs_primed(i, rs, buf)
                 if st is None:
-                    c_len = rs.plan.carry_len
-                    if buf.shape[0] < c_len + 1:
-                        x["abuf"][i] = buf
-                        continue
-                    st = rs.init_state(prefix=buf[:c_len])
-                    buf = buf[c_len:]
+                    x["abuf"][i] = buf
+                    continue
                 n_in = rs.plan.block_in
                 chunks = buf.shape[0] // n_in
                 if chunks:
@@ -828,16 +840,10 @@ class ReceivePipeline:
             new[i].extend(dec.scan(np.asarray(audio)))
 
     def _flush_exact(self) -> list:
-        new = [[] for _ in self.channels]
         x = self._xstream
         if x is None:
-            if self._pending_prefix.shape[0]:
-                raise ValueError(
-                    f"capture shorter than the pipeline prefix "
-                    f"({self._pending_prefix.shape[0]} <= "
-                    f"{self.chain.carry_len} samples); nothing processed"
-                )
-            return new
+            return self._flush_unprimed()
+        new = [[] for _ in self.channels]
         if x["buf_len"]:
             buf = np.concatenate(x["buf"]) if len(x["buf"]) > 1 else x["buf"][0]
             q = self.chain.block_quantum
@@ -852,14 +858,9 @@ class ReceivePipeline:
         for i, rs in enumerate(self._resamplers):
             if rs is None:
                 continue
-            buf = x["abuf"][i]
-            st = x["rs_st"][i]
+            st, buf = self._rs_primed(i, rs, x["abuf"][i])
             if st is None:
-                c_len = rs.plan.carry_len
-                if buf.shape[0] < c_len + 1:
-                    continue
-                st = rs.init_state(prefix=buf[:c_len])
-                buf = buf[c_len:]
+                continue
             tail_use = buf.shape[0] // rs.plan.d_rep * rs.plan.d_rep
             if not tail_use:
                 continue
@@ -883,16 +884,10 @@ class ReceivePipeline:
         sample, exactly as the reference's file source reads EOF)."""
         if self.chain.exact:
             return self._flush_exact()
-        new = [[] for _ in self.channels]
         s = self._stream
         if s is None:
-            if self._pending_prefix.shape[0]:
-                raise ValueError(
-                    f"capture shorter than the pipeline prefix "
-                    f"({self._pending_prefix.shape[0]} <= "
-                    f"{self.chain.carry_len} samples); nothing processed"
-                )
-            return new
+            return self._flush_unprimed()
+        new = [[] for _ in self.channels]
         padded = False
         if s["buf_len"]:
             valid = s["buf_len"]
@@ -966,7 +961,14 @@ class ReceivePipeline:
         arrays["__meta__"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8
         )
-        np.savez(path, **arrays)
+        # atomic replace: a crash (or a service manager's SIGKILL after the
+        # grace period) mid-save must not leave a truncated .npz that makes
+        # every subsequent --state-file start crash
+        import os
+        tmp = f"{path}.tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
         return new
 
     def restore_stream(self, path) -> dict:
@@ -1017,8 +1019,16 @@ class ReceivePipeline:
         s["hot"] = dict(meta["hot"])
         s["blocks"] = int(meta["blocks"])
         s["fetched"] = np.asarray(data["fetched"])
-        # decoder FSMs were not saved: force a gap + tail splice on every
-        # pack channel's next fetched block
+        # decoder FSMs were not saved: recreate them so they really DO
+        # restart in SEARCH (an in-process restore would otherwise keep a
+        # live mid-message FSM, and notify_gap() below is only valid in
+        # SEARCH), then force a gap + tail splice on every pack channel's
+        # next fetched block
+        for i, spec in enumerate(self.channels):
+            if self._decoders[i] is not None:
+                self._decoders[i] = _make_decoder(
+                    spec.protocol, spec.center_freq_hz
+                )
         for i in s["gap"]:
             s["gap"][i] = True
             s["tail_pcm"][i] = (
@@ -1028,11 +1038,19 @@ class ReceivePipeline:
         return meta.get("user", {})
 
     def _stream_fingerprint(self) -> str:
+        """Every compile-time constant that changes decode semantics must
+        appear here — carries restored under different filter/gain/rate
+        constants would decode wrongly with no error (state-leaf shape
+        checks cannot catch same-shape config edits like dcBlockPole)."""
+        import zlib
+        taps_crc = zlib.crc32(self._fp_taps.tobytes())
         return (
             f"bs={self.block_size};backend={self.chain.backend};"
+            f"fc={self._fp_center};fs={self.chain.sample_rate:.6f};"
+            f"decim={self.chain.decimation};taps={taps_crc:08x};"
             + ";".join(
                 f"{s.center_freq_hz}:{s.protocol}:{int(s.invert)}:"
-                f"{int(s.dc_block)}"
+                f"{int(s.dc_block)}:{s.dc_block_pole!r}:{s.db_gain!r}"
                 for s in self.channels
             )
         )
