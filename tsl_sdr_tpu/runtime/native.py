@@ -32,7 +32,7 @@ def _build() -> Path:
     if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
         return _SO
     cmd = [
-        "g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
         str(_SRC), "-o", str(_SO),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
