@@ -256,6 +256,61 @@ def test_long_range_position_roundtrip():
     assert '"type":"longRangePosition"' in j
 
 
+def test_safety_message_roundtrip():
+    """Types 14 (broadcast) and 12 (addressed) safety text messages
+    (beyond-reference) through the full demodulator."""
+    from tsl_sdr_tpu.models.ais import AisDecoder, AisSafetyMessage
+    from tsl_sdr_tpu.utils.jsonout import ais_message_json
+
+    bcast = gen.make_safety_broadcast(366111222, "MAYDAY RELAY POS 42N070W")
+    addr = gen.make_addressed_safety(
+        366111222, 367999888, "PLS CONFIRM ETA", seqno=2, retransmit=True)
+    msgs = AisDecoder().on_pcm(gen.generate([bcast, addr]))
+    assert len(msgs) == 2
+    b, a = msgs
+    assert isinstance(b, AisSafetyMessage) and b.dest_mmsi is None
+    assert b.mmsi == 366111222
+    assert b.text == "MAYDAY RELAY POS 42N070W"
+    jb = ais_message_json(b)
+    assert '"type":"safetyBroadcast"' in jb and "MAYDAY RELAY" in jb
+    assert isinstance(a, AisSafetyMessage)
+    assert a.dest_mmsi == 367999888 and a.seqno == 2 and a.retransmit
+    assert a.text == "PLS CONFIRM ETA"
+    ja = ais_message_json(a)
+    assert '"type":"addressedSafetyMessage"' in ja
+    assert '"destMmsi":367999888' in ja
+
+
+def test_binary_message_roundtrip():
+    """Types 8 (broadcast) and 6 (addressed) binary application messages
+    (beyond-reference): DAC/FI keyed, payload carried verbatim as hex."""
+    from tsl_sdr_tpu.models.ais import AisBinaryMessage, AisDecoder
+    from tsl_sdr_tpu.utils.jsonout import ais_message_json
+
+    payload = bytes([0xDE, 0xAD, 0xBE, 0xEF, 0x80])
+    bcast = gen.make_binary_broadcast(
+        366333444, dac=1, fi=31, data=payload, data_bits=37)
+    addr = gen.make_addressed_binary(
+        366333444, 368000111, dac=235, fi=10, data=b"\xa5\x5a", seqno=1)
+    msgs = AisDecoder().on_pcm(gen.generate([bcast, addr]))
+    assert len(msgs) == 2
+    b, a = msgs
+    assert isinstance(b, AisBinaryMessage) and b.dest_mmsi is None
+    assert (b.mmsi, b.dac, b.fi) == (366333444, 1, 31)
+    # the HDLC frame is byte-aligned, so the 37 transmitted payload bits
+    # arrive as 40 (3 zero pad bits) — the payload itself is verbatim
+    assert b.data_bits == 40
+    assert bytes.fromhex(b.data) == payload
+    jb = ais_message_json(b)
+    assert '"type":"binaryBroadcast"' in jb and '"dac":1' in jb
+    assert isinstance(a, AisBinaryMessage)
+    assert a.dest_mmsi == 368000111 and (a.dac, a.fi) == (235, 10)
+    assert a.seqno == 1 and a.data_bits == 16
+    assert bytes.fromhex(a.data) == b"\xa5\x5a"
+    ja = ais_message_json(a)
+    assert '"type":"addressedBinaryMessage"' in ja
+
+
 def test_sar_aircraft_report_roundtrip():
     """Type 9 (beyond-reference): full air chain decode through the
     demodulator."""

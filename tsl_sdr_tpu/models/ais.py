@@ -84,6 +84,26 @@ def get_string(packet: bytes, offset: int, nr_chars: int) -> str:
     return "".join(out)
 
 
+def get_string_to_end(packet: bytes, offset: int) -> str:
+    """6-bit string from ``offset`` to the end of the payload, trailing
+    '@' padding and spaces stripped — types 12/14 carry variable-length
+    text (beyond-reference; reference decodes fixed fields only,
+    ``ais_decode.c:58-72``)."""
+    n = (len(packet) * 8 - offset) // 6
+    return get_string(packet, offset, n).rstrip("@ ")
+
+
+def _payload_hex(packet: bytes, offset: int) -> tuple[str, int]:
+    """Left-aligned hex of the remaining bits from ``offset`` (the opaque
+    application payload of binary messages) plus its exact bit length."""
+    nbits = len(packet) * 8 - offset
+    if nbits <= 0:
+        return "", 0
+    nbytes = (nbits + 7) // 8
+    v = get_bitfield(packet, offset, nbits) << (nbytes * 8 - nbits)
+    return v.to_bytes(nbytes, "big").hex(), nbits
+
+
 def ascii_armor(packet: bytes) -> str:
     """AIVDM 6-bit ASCII armor of the raw payload (``ais_decode.c:217-259``)."""
     out = []
@@ -278,12 +298,48 @@ class AisLongRangePositionReport:
     raw: str = ""
 
 
+@dataclass
+class AisSafetyMessage:
+    """Type 14 (safety-related broadcast) / type 12 (addressed safety
+    message) — beyond-reference extension; ITU-R M.1371-5 §§ M.3.10/3.12.
+    ``dest_mmsi`` is None for the broadcast form."""
+
+    mmsi: int
+    text: str
+    dest_mmsi: int | None = None
+    seqno: int = 0
+    retransmit: bool = False
+    repeat: int = 0
+    raw: str = ""
+
+
+@dataclass
+class AisBinaryMessage:
+    """Type 8 (binary broadcast) / type 6 (addressed binary message) —
+    beyond-reference extension. The application payload is opaque to the
+    transport layer: carried as left-aligned hex plus its exact bit
+    length, keyed by DAC/FI. ``dest_mmsi`` is None for the broadcast
+    form."""
+
+    mmsi: int
+    dac: int
+    fi: int
+    data: str
+    data_bits: int
+    dest_mmsi: int | None = None
+    seqno: int = 0
+    retransmit: bool = False
+    repeat: int = 0
+    raw: str = ""
+
+
 # minimum payload length (bits) actually read per message type; the
 # reference instead BUG_ONs on a short read (ais_decode.c:34) — fatal by
 # design there, but a run-forever pipeline must survive the ~1/65536 noise
 # packets whose CRC collides, so short packets are rejected, not crashed on
-_MIN_BITS = {1: 143, 2: 143, 3: 143, 4: 138, 5: 422, 9: 134, 18: 139,
-             19: 305, 21: 270, 24: 160, 27: 94}
+_MIN_BITS = {1: 143, 2: 143, 3: 143, 4: 138, 5: 422, 6: 88, 8: 56,
+             9: 134, 12: 72, 14: 40, 18: 139, 19: 305, 21: 270, 24: 160,
+             27: 94}
 
 
 def decode_fields(packet: bytes):
@@ -410,6 +466,41 @@ def decode_fields(packet: bytes):
             virtual_aid=bool(get_bitfield(packet, 269, 1)),
             repeat=repeat,
             raw=raw,
+        )
+    if msg_id == 14:
+        return AisSafetyMessage(
+            mmsi=mmsi, text=get_string_to_end(packet, 40),
+            repeat=repeat, raw=raw,
+        )
+    if msg_id == 12:
+        return AisSafetyMessage(
+            mmsi=mmsi,
+            seqno=get_bitfield(packet, 38, 2),
+            dest_mmsi=get_bitfield(packet, 40, 30),
+            retransmit=bool(get_bitfield(packet, 70, 1)),
+            text=get_string_to_end(packet, 72),
+            repeat=repeat, raw=raw,
+        )
+    if msg_id == 8:
+        data, nbits = _payload_hex(packet, 56)
+        return AisBinaryMessage(
+            mmsi=mmsi,
+            dac=get_bitfield(packet, 40, 10),
+            fi=get_bitfield(packet, 50, 6),
+            data=data, data_bits=nbits,
+            repeat=repeat, raw=raw,
+        )
+    if msg_id == 6:
+        data, nbits = _payload_hex(packet, 88)
+        return AisBinaryMessage(
+            mmsi=mmsi,
+            seqno=get_bitfield(packet, 38, 2),
+            dest_mmsi=get_bitfield(packet, 40, 30),
+            retransmit=bool(get_bitfield(packet, 70, 1)),
+            dac=get_bitfield(packet, 72, 10),
+            fi=get_bitfield(packet, 82, 6),
+            data=data, data_bits=nbits,
+            repeat=repeat, raw=raw,
         )
     if msg_id == 9:
         return AisSarAircraftReport(

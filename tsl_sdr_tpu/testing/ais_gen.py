@@ -273,6 +273,73 @@ def make_long_range_position(
     return bytes(p)
 
 
+def make_safety_broadcast(mmsi: int, text: str) -> bytes:
+    """Type 14 (safety-related broadcast), ITU-R M.1371-5 § M.3.12:
+    header + spare, then 6-bit text to the end of the payload."""
+    nbits = 40 + 6 * len(text)
+    p = bytearray((nbits + 7) // 8)
+    set_bitfield(p, 0, 6, 14)
+    set_bitfield(p, 8, 30, mmsi)
+    set_string(p, 40, len(text), text)
+    return bytes(p)
+
+
+def make_addressed_safety(
+    mmsi: int, dest_mmsi: int, text: str, *, seqno=0, retransmit=False,
+) -> bytes:
+    """Type 12 (addressed safety message), ITU-R M.1371-5 § M.3.10."""
+    nbits = 72 + 6 * len(text)
+    p = bytearray((nbits + 7) // 8)
+    set_bitfield(p, 0, 6, 12)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 38, 2, seqno)
+    set_bitfield(p, 40, 30, dest_mmsi)
+    set_bitfield(p, 70, 1, 1 if retransmit else 0)
+    set_string(p, 72, len(text), text)
+    return bytes(p)
+
+
+def _set_payload(p: bytearray, offset: int, data: bytes, data_bits: int):
+    for k in range(data_bits):
+        if (data[k // 8] >> (7 - k % 8)) & 1:
+            p[(offset + k) // 8] |= 0x80 >> ((offset + k) % 8)
+
+
+def make_binary_broadcast(
+    mmsi: int, *, dac=1, fi=31, data=b"", data_bits=None,
+) -> bytes:
+    """Type 8 (binary broadcast), ITU-R M.1371-5 § M.3.8: DAC/FI-keyed
+    opaque application payload (left-aligned bits of ``data``)."""
+    data_bits = len(data) * 8 if data_bits is None else data_bits
+    nbits = 56 + data_bits
+    p = bytearray((nbits + 7) // 8)
+    set_bitfield(p, 0, 6, 8)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 40, 10, dac)
+    set_bitfield(p, 50, 6, fi)
+    _set_payload(p, 56, data, data_bits)
+    return bytes(p)
+
+
+def make_addressed_binary(
+    mmsi: int, dest_mmsi: int, *, dac=1, fi=0, data=b"", data_bits=None,
+    seqno=0, retransmit=False,
+) -> bytes:
+    """Type 6 (addressed binary message), ITU-R M.1371-5 § M.3.6."""
+    data_bits = len(data) * 8 if data_bits is None else data_bits
+    nbits = 88 + data_bits
+    p = bytearray((nbits + 7) // 8)
+    set_bitfield(p, 0, 6, 6)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 38, 2, seqno)
+    set_bitfield(p, 40, 30, dest_mmsi)
+    set_bitfield(p, 70, 1, 1 if retransmit else 0)
+    set_bitfield(p, 72, 10, dac)
+    set_bitfield(p, 82, 6, fi)
+    _set_payload(p, 88, data, data_bits)
+    return bytes(p)
+
+
 def packet_to_bits(packet: bytes) -> list[int]:
     """Payload + CRC -> stuffed HDLC bit stream with preamble + flags.
 

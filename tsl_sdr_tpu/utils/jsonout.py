@@ -109,10 +109,12 @@ def ais_message_json(m, now=None) -> str:
     from tsl_sdr_tpu.models.ais import (
         AisAidToNavigationReport,
         AisBaseStationReport,
+        AisBinaryMessage,
         AisClassBPositionReport,
         AisExtendedClassBReport,
         AisLongRangePositionReport,
         AisPositionReport,
+        AisSafetyMessage,
         AisSarAircraftReport,
         AisStaticDataReport,
         AisStaticVoyageData,
@@ -186,6 +188,32 @@ def ais_message_json(m, now=None) -> str:
             f'"vendorId":"{m.vendor_id}","callsign":"{m.callsign}",'
             f'"dimensions":{{"toBow":{m.dim_to_bow},"toStern":{m.dim_to_stern},'
             f'"toPort":{m.dim_to_port},"toStarboard":{m.dim_to_starboard}}},'
+            f'"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisSafetyMessage):
+        kind = ("safetyBroadcast" if m.dest_mmsi is None
+                else "addressedSafetyMessage")
+        dest = "" if m.dest_mmsi is None else (
+            f'"destMmsi":{m.dest_mmsi},"seqNo":{m.seqno},'
+            f'"retransmit":{str(m.retransmit).lower()},'
+        )
+        return (
+            f'{{"proto":"ais","type":"{kind}","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},{dest}'
+            f'"text":"{escape_message(m.text.encode("latin-1"))}",'
+            f'"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisBinaryMessage):
+        kind = ("binaryBroadcast" if m.dest_mmsi is None
+                else "addressedBinaryMessage")
+        dest = "" if m.dest_mmsi is None else (
+            f'"destMmsi":{m.dest_mmsi},"seqNo":{m.seqno},'
+            f'"retransmit":{str(m.retransmit).lower()},'
+        )
+        return (
+            f'{{"proto":"ais","type":"{kind}","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},{dest}"dac":{m.dac},"fi":{m.fi},'
+            f'"dataHex":"{m.data}","dataBits":{m.data_bits},'
             f'"rawAscii":"{raw}"}}'
         )
     if isinstance(m, AisPositionReport):
