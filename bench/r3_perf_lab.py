@@ -207,6 +207,42 @@ def chain():
         print(f"{c}ch pallas-high: {r:,.0f} Msps", flush=True)
 
 
+def chain_tiles():
+    """Sweep PallasChain tile_rows x precision at 8 and 64 channels —
+    the knob space for VERDICT #2 (make the fused kernel win at 8ch and
+    reach >=10% of the 64ch HBM bound)."""
+    import jax
+    import jax.numpy as jnp
+    from tsl_sdr_tpu.models.channelizer import MultifmChain
+    from tsl_sdr_tpu.ops.pallas_chain import PallasChain
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    fs, d, t = 1_000_000, 40, 128
+    lpf = firdes_low_pass(1.0, fs, 12_500, 9_000)[:t]
+    rng = np.random.default_rng(0)
+    block = 16_776_960
+    for c in (8, 64):
+        offsets = rng.integers(-fs // 3, fs // 3, size=c)
+        iq = rng.integers(-8000, 8000, size=(block + 80 * 3, 2),
+                          dtype=np.int64).astype(np.int16)
+        ch = MultifmChain(lpf, offsets, fs, d, exact=False, backend="xla")
+        for tr in (128, 256, 512, 1024):
+            for prec in ("highest", "high"):
+                try:
+                    pc = PallasChain(ch.packed_plan, ch._omega_reduced,
+                                     tile_rows=tr, precision=prec)
+                    st0 = pc.init_carry(iq[: pc.carry_len])
+                    blocks = jax.device_put(jnp.asarray(
+                        iq[pc.carry_len : pc.carry_len + block]
+                        .reshape(1, 2 * block)))
+                    r = _rate(pc.step, st0, blocks, block)
+                    print(f"{c}ch tr={tr} {prec}: {r:,.0f} Msps",
+                          flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{c}ch tr={tr} {prec}: FAILED "
+                          f"{type(e).__name__}: {e}", flush=True)
+
+
 def pipeline():
     import jax
 
@@ -311,5 +347,5 @@ def tunnel():
 
 
 if __name__ == "__main__":
-    {"resampler": resampler, "chain": chain,
+    {"resampler": resampler, "chain": chain, "chain-tiles": chain_tiles,
      "pipeline": pipeline, "tunnel": tunnel}[sys.argv[1]]()
