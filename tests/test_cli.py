@@ -162,6 +162,38 @@ def test_multifm_cli_file_device(tmp_path):
     assert msgs[0].data == b"VIA MULTIFM"
 
 
+def test_multifm_cli_live_stats(tmp_path, capsys):
+    """--stats SECS prints periodic live counters lines during the run
+    (both runtimes), not only the exit summary."""
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    decim, fs = 32, 38400 * 32
+    rng = np.random.default_rng(0)
+    iq = rng.integers(-2000, 2000, size=(900_000, 2)).astype(np.int16)
+    iq_path = tmp_path / "cap.cs16"
+    iq.reshape(-1).tofile(iq_path)
+    lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+    cfg = {
+        "device": {"type": "file", "filename": str(iq_path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": fs, "centerFreqHz": 929_500_000,
+        "decimationFactor": decim,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [{"outFifo": str(tmp_path / "ch0.pcm"),
+                      "chanCenterFreq": 929_650_000}],
+    }
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(cfg))
+    for runtime in ("python", "native"):
+        rc = multifm_cli.main([str(p), "--runtime", runtime,
+                               "--block-size", "131072",
+                               "--stats", "0.0001"])
+        assert rc == 0
+        err = capsys.readouterr().err
+        assert ": stats samples_in=" in err, (runtime, err)
+        assert "Msps]" in err, (runtime, err)
+
+
 def test_multifm_cli_hardware_gated(tmp_path, capsys):
     cfg = {
         "device": {"type": "rtlsdr", "deviceIndex": 0},

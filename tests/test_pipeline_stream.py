@@ -643,6 +643,38 @@ def test_pipeline_cli_state_file_kill_and_resume(tmp_path):
     assert got == [(c, d.decode()) for c, d in want]
 
 
+def test_pipeline_cli_follow_live_stats(tmp_path, capsys):
+    """--follow --stats prints periodic live lines with rate, messages and
+    the egress-gating fetch counters."""
+    import json as jsonlib
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+
+    rng = np.random.default_rng(3)
+    iq = rng.integers(-300, 300, size=(2_000_000, 2)).astype(np.int16)
+    path = tmp_path / "cap.cs16"
+    iq.reshape(-1).tofile(path)
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    cfg = {
+        "device": {"type": "file", "filename": str(path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": FS, "centerFreqHz": CENTER,
+        "decimationFactor": DECIM,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [{"chanCenterFreq": CENTER + 250_000,
+                      "protocol": "pocsag"}],
+    }
+    cfg_path = tmp_path / "p.json"
+    cfg_path.write_text(jsonlib.dumps(cfg))
+    rc = pipeline_cli.main([str(cfg_path), "--follow", "--idle-exit", "0.2",
+                            "--block-size", "262144", "--stats", "0.0001",
+                            "-o", str(tmp_path / "m.jsonl")])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "pipeline-tpu: stats samples=" in err, err
+    assert "fetched=" in err, err
+
+
 def test_state_file_flag_guards(tmp_path):
     """--state-file without --follow, or with --exact, is a clean CLI
     error (exit 2) — not a silently-ignored flag / raw NotImplementedError

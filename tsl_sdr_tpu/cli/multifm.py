@@ -42,7 +42,39 @@ def build_argparser():
                         "(rtl_sdr_if.c:132-136)")
     p.add_argument("--test-samples", type=int, default=1_048_576,
                    help="samples to synthesize when sdrTestMode is set")
+    p.add_argument("--stats", type=float, default=0.0, metavar="SECS",
+                   help="print a live counters line to stderr every SECS "
+                        "seconds (0 = only the exit summary, like the "
+                        "reference's thread-exit counters)")
     return p
+
+
+class StatsTicker:
+    """Periodic live-counters line (reference analogue: demod.h:71-81
+    counters, but printed DURING the run, not only at thread exit)."""
+
+    def __init__(self, interval: float, counters, label: str):
+        import time as _time
+
+        self.interval = float(interval)
+        self.counters = counters
+        self.label = label
+        self._time = _time
+        self._t_last = _time.monotonic()
+        self._n_last = 0
+
+    def tick(self, extra: str = ""):
+        if not self.interval:
+            return
+        now = self._time.monotonic()
+        dt = now - self._t_last
+        if dt < self.interval:
+            return
+        n = self.counters.samples_in
+        rate = (n - self._n_last) / dt / 1e6
+        self._t_last, self._n_last = now, n
+        print(f"{self.label}: stats {self.counters.summary()} "
+              f"[{rate:.2f} Msps]{extra}", file=sys.stderr, flush=True)
 
 
 def _pairs(block_iter):
@@ -101,11 +133,20 @@ def make_hw_source(cfg, dev_type: str):
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
+    import signal
     import time
 
     from tsl_sdr_tpu.models.channelizer import MultifmChain
     from tsl_sdr_tpu.runtime.stream import StreamCounters
     from tsl_sdr_tpu.utils.config import MultifmConfig
+
+    # service managers stop with SIGTERM: route it through the same
+    # drain-and-summarize path as Ctrl-C (reference: the TSL app framework
+    # hooks both and multifm sleeps until signalled, multifm.c:163-178)
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
 
     cfg = MultifmConfig.load(*args.configs)
     missing = [k for k, ch in enumerate(cfg.channels) if ch.out_fifo is None]
@@ -203,6 +244,7 @@ def main(argv=None):
     ]
     state = None
     t0 = time.monotonic()
+    ticker = StatsTicker(args.stats, counters, "multifm-tpu")
     prefix_holder: list = []
 
     def _produce():
@@ -276,6 +318,7 @@ def main(argv=None):
                 if pending_pcm is not None:
                     _emit(np.asarray(pending_pcm))
                 pending_pcm = pcm
+            ticker.tick()
             if args.realtime:
                 target = counters.samples_in / cfg.sample_rate_hz
                 lag = target - (time.monotonic() - t0)
@@ -325,6 +368,7 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
                        pool_frames=max(2, cfg.nr_samp_bufs),
                        pace_sps=pace, drop_on_full=bool(args.realtime))
     sinks = [NativeSink(ch.out_fifo) for ch in cfg.channels]
+    ticker = StatsTicker(args.stats, counters, "multifm-tpu[native]")
     state = None
     pending = np.zeros(0, np.int16)  # flat interleaved values
     quantum2 = 2 * chain.block_quantum
@@ -362,6 +406,7 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
             counters.samples_out += pcm.shape[1]
             for c, sink in enumerate(sinks):
                 sink.write(pcm[c])
+            ticker.tick()
     except KeyboardInterrupt:
         pass
     finally:

@@ -109,6 +109,10 @@ def build_argparser():
                         "this many devices on a channels mesh (channel "
                         "count must divide evenly; decode is bit-identical "
                         "to single-device)")
+    p.add_argument("--stats", type=float, default=0.0, metavar="SECS",
+                   help="print a live stats line to stderr every SECS "
+                        "seconds in --follow mode: samples, rate, "
+                        "messages, device blocks and egress-gated fetches")
     p.add_argument("--idle-exit", type=float, default=1.0,
                    help="with --follow on a regular file: stop after the "
                         "file has not grown for this many seconds "
@@ -271,6 +275,8 @@ def main(argv=None):
                 cfg.sample_rate_hz * cfg.mute_startup_ms // 1000
                 if hw_source is not None else 0
             )
+            t_stat = time.monotonic()
+            n_stat = 0
             try:
                 for iq in blocks:
                     if mute_left > 0:
@@ -284,6 +290,18 @@ def main(argv=None):
                         emit(pipe.push(iq))
                     if guard.pending:
                         raise KeyboardInterrupt
+                    if args.stats:
+                        now = time.monotonic()
+                        if now - t_stat >= args.stats:
+                            st = pipe.stream_stats
+                            print(
+                                f"pipeline-tpu: stats samples={n_samples} "
+                                f"[{(n_samples - n_stat) / (now - t_stat) / 1e6:.2f} Msps] "
+                                f"messages={n_msgs} blocks={st['blocks']} "
+                                f"fetched={st['fetched'].tolist()}",
+                                file=sys.stderr, flush=True,
+                            )
+                            t_stat, n_stat = now, n_samples
             except KeyboardInterrupt:
                 pass
             finally:
