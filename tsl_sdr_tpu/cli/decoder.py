@@ -41,6 +41,18 @@ def build_argparser():
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
+    import signal
+
+    # SIGTERM (service-manager stop) takes the same drain-and-summarize
+    # exit as Ctrl-C — both loops already catch KeyboardInterrupt
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:
+        pass  # not the main thread (embedded/test use): keep default
+
     from tsl_sdr_tpu.models.resampler import ResamplerChain
     from tsl_sdr_tpu.runtime.stream import (
         PushResampler,

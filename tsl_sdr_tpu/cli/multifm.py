@@ -146,7 +146,10 @@ def main(argv=None):
     def _term(_sig, _frm):
         raise KeyboardInterrupt
 
-    signal.signal(signal.SIGTERM, _term)
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:
+        pass  # not the main thread (embedded/test use): keep default
 
     cfg = MultifmConfig.load(*args.configs)
     missing = [k for k, ch in enumerate(cfg.channels) if ch.out_fifo is None]

@@ -244,8 +244,11 @@ def main(argv=None):
                 # Ctrl-C) through the clean-shutdown path so the state file
                 # still gets written — but only at block boundaries, never
                 # mid-push (see _SignalGuard)
-                _signal.signal(_signal.SIGTERM, guard.handler)
-                _signal.signal(_signal.SIGINT, guard.handler)
+                try:
+                    _signal.signal(_signal.SIGTERM, guard.handler)
+                    _signal.signal(_signal.SIGINT, guard.handler)
+                except ValueError:
+                    pass  # not the main thread: keep default handlers
 
                 if _os.path.exists(args.state_file):
                     user = pipe.restore_stream(args.state_file)
