@@ -271,6 +271,60 @@ def test_channel_sharded_pipeline_messages_match(ch_shards):
     assert got == want
 
 
+def test_time_sharded_pipeline_messages_match():
+    """Time-axis GSPMD: each block's SAMPLES split across 8 devices
+    (single-stream scaling) with real resampler ratios (POCSAG 3/4,
+    FLEX 5/16, AIS 15/16), a dc_block channel, and egress gating — the
+    decoded messages and the per-channel fetch counters equal the
+    single-device run. Integer stages partition exactly; the dc fast
+    tier's f32 scan may differ by LSBs, absorbed by decode margins."""
+    from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+    from tsl_sdr_tpu.testing import ais_gen, flex_gen, pocsag_gen
+    from tests.test_pipeline import _fm_mod
+    from tests.test_pipeline_stream import _keys
+
+    decim = 24
+    fs = 51200 * decim
+    center = 929_500_000
+    p_bb = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=555001, function=2, kind="alpha",
+                                content="TS POCSAG")],
+        baud=1200, amplitude=4096, tail_bits=128)
+    p_iq = _fm_mod(p_bb, 38400, 250_000, fs)
+    f_bb, _ = flex_gen.generate(
+        [flex_gen.FlexBurstMessage(capcode=555002, kind="alnum",
+                                   content="TS FLEX")],
+        baud=1600, fsk_levels=2, amplitude=6144, tail_bits=200)
+    f_iq = _fm_mod(f_bb, 16000, -180_000, fs, amp=7000)
+    a_bb = ais_gen.generate(
+        [ais_gen.make_position_report(367999111, longitude=-70.9,
+                                      latitude=42.36)], amplitude=9000)
+    a_iq = _fm_mod(a_bb, 48000, 400_000, fs, amp=7000, dev_hz=4800)
+    rng = np.random.default_rng(17)
+    n = max(len(p_iq), len(f_iq), len(a_iq)) + 700_000
+    iq = rng.normal(scale=100, size=(n, 2))
+    for s in (p_iq, f_iq, a_iq):
+        iq[250_000:250_000 + len(s)] += s
+    iq = iq.astype(np.int16)
+    specs = [ChannelSpec(center + 250_000, "pocsag", dc_block=True),
+             ChannelSpec(center - 180_000, "flex"),
+             ChannelSpec(center + 400_000, "ais"),
+             ChannelSpec(center - 350_000, "pocsag")]  # silent: gated
+    lpf = firdes_low_pass(1.0, fs, 12_000, 8_000)
+
+    base = ReceivePipeline(lpf, center, fs, decim, specs, exact=False,
+                           block_size=393_216)
+    want = _keys(base.process_capture(iq))
+    assert want[0] and want[1] and want[2] and not want[3], want
+
+    pipe = ReceivePipeline(lpf, center, fs, decim, specs, exact=False,
+                           block_size=393_216,
+                           mesh=make_mesh(time=8, channels=1))
+    assert _keys(pipe.process_capture(iq)) == want
+    assert (pipe.stream_stats["fetched"] ==
+            base.stream_stats["fetched"]).all()
+
+
 def test_channel_sharded_pipeline_mixed_protocols():
     """mesh= with resampler-bearing channels (FLEX 16k, AIS 48k) and an
     indivisible channel count: 5 channels over 2 shards skips the

@@ -109,6 +109,11 @@ def build_argparser():
                         "this many devices on a channels mesh (channel "
                         "count must divide evenly; decode is bit-identical "
                         "to single-device)")
+    p.add_argument("--time-shards", type=int, default=1,
+                   help="additionally split each block's SAMPLES across "
+                        "this many devices (time axis of the mesh) — "
+                        "single-stream scaling; composes with "
+                        "--channel-shards (time*channels devices total)")
     p.add_argument("--stats", type=float, default=0.0, metavar="SECS",
                    help="print a live stats line to stderr every SECS "
                         "seconds in --follow mode: samples, rate, "
@@ -179,22 +184,25 @@ def main(argv=None):
         )
 
     mesh = None
-    if args.channel_shards > 1:
+    if args.channel_shards > 1 or args.time_shards > 1:
         import jax
 
         from tsl_sdr_tpu.parallel.mesh import make_mesh
 
         n_dev = len(jax.devices())
-        if n_dev < args.channel_shards:
-            print(f"pipeline-tpu: --channel-shards {args.channel_shards} "
-                  f"needs that many devices, have {n_dev}", file=sys.stderr)
+        n_need = args.channel_shards * args.time_shards
+        if n_dev < n_need:
+            print(f"pipeline-tpu: --time-shards {args.time_shards} x "
+                  f"--channel-shards {args.channel_shards} needs "
+                  f"{n_need} devices, have {n_dev}", file=sys.stderr)
             return 2
         if len(specs) % args.channel_shards:
             print(f"pipeline-tpu: {len(specs)} channels not divisible by "
                   f"--channel-shards {args.channel_shards}", file=sys.stderr)
             return 2
-        mesh = make_mesh(time=1, channels=args.channel_shards,
-                         devices=jax.devices()[: args.channel_shards])
+        mesh = make_mesh(time=args.time_shards,
+                         channels=args.channel_shards,
+                         devices=jax.devices()[:n_need])
 
     pipe = ReceivePipeline(
         cfg.lpf_taps, cfg.center_freq_hz, cfg.sample_rate_hz,

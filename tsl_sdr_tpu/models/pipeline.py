@@ -122,21 +122,35 @@ class _SizedProgram:
         plans = self.plans
         tail_bits = pipe._tail_bits
 
-        # multi-chip: annotate the channel dim and let GSPMD partition the
-        # bank (scaling-book recipe: pick a mesh, constrain shardings, XLA
-        # inserts the collectives). The FIR contraction dim stays local to
-        # each channel shard, so sharded results are bit-identical.
+        # multi-chip: annotate the [C, K] channel-PCM tensor and let GSPMD
+        # partition the program (scaling-book recipe: pick a mesh,
+        # constrain shardings, XLA inserts the collectives).
+        #
+        # - channels axis: the FIR bank / resamplers / prefilters split
+        #   by channel; the contraction dim stays local, so sharded
+        #   results are bit-identical.
+        # - time axis: the SAME block's samples split across devices —
+        #   single-stream scaling. Every integer stage (FIR accumulators,
+        #   resampler matmuls, sign slice, bit-pack, prefilter popcounts)
+        #   partitions exactly (int adds are associative); windowed ops
+        #   get GSPMD halo exchanges. The only tolerance is the DC fast
+        #   tier's f32 associative scan, whose cross-shard combine may
+        #   round differently by a few PCM LSBs (that tier is already
+        #   LSB-approximate vs the host oracle; decode margins absorb it).
         mesh = getattr(pipe, "mesh", None)
         ch_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
-            from tsl_sdr_tpu.parallel.mesh import CHANNEL_AXIS
+            from tsl_sdr_tpu.parallel.mesh import CHANNEL_AXIS, TIME_AXIS
 
             n_sh = mesh.shape.get(CHANNEL_AXIS, 1)
-            if n_sh > 1 and c % n_sh == 0:
-                ch_sharding = NamedSharding(
-                    mesh, PartitionSpec(CHANNEL_AXIS, None)
-                )
+            n_t = mesh.shape.get(TIME_AXIS, 1)
+            spec = PartitionSpec(
+                CHANNEL_AXIS if n_sh > 1 and c % n_sh == 0 else None,
+                TIME_AXIS if n_t > 1 else None,
+            )
+            if spec != PartitionSpec(None, None):
+                ch_sharding = NamedSharding(mesh, spec)
 
         def dev_step(chain_st, rs, dc, tails, vals):
             chain_st, pcm_flat = chain._step_raw(chain_st, vals)
