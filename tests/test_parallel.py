@@ -325,6 +325,57 @@ def test_time_sharded_pipeline_messages_match():
             base.stream_stats["fetched"]).all()
 
 
+def test_sharded_pipeline_checkpoint_resume(tmp_path):
+    """checkpoint_stream/restore_stream on a mesh-sharded pipeline: the
+    sharded carried state round-trips through the .npz (np.asarray
+    gathers, device_put re-distributes under the program's sharding
+    constraint) and the two-run decode equals one uninterrupted run."""
+    from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+    from tsl_sdr_tpu.testing import pocsag_gen
+    from tests.test_pipeline import _fm_mod
+    from tests.test_pipeline_stream import _keys
+
+    decim, fs, center = 32, 38400 * 32, 929_500_000
+    rng = np.random.default_rng(9)
+
+    def burst(cap, txt):
+        bb = pocsag_gen.generate(
+            [pocsag_gen.PocsagBurst(capcode=cap, function=1, kind="alpha",
+                                    content=txt)],
+            baud=1200, amplitude=4096, tail_bits=256)
+        return _fm_mod(bb, 38400, 250_000, fs).astype(np.int16)
+
+    pad = rng.integers(-300, 300, size=(700_000, 2)).astype(np.int16)
+    iq = np.concatenate([pad, burst(111, "MESH ONE"), pad,
+                         burst(222, "MESH TWO"), pad])
+    iq = (iq + rng.normal(scale=90, size=iq.shape)).astype(np.int16)
+    lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+    specs = [ChannelSpec(center + 250_000, "pocsag"),
+             ChannelSpec(center - 250_000, "pocsag")]
+
+    def mk():
+        return ReceivePipeline(lpf, center, fs, decim, specs, exact=False,
+                               block_size=393_216,
+                               mesh=make_mesh(time=2, channels=2))
+
+    want = _keys(mk().process_capture(iq))
+    assert [k[1] for k in want[0]] == [111, 222]
+
+    half = len(iq) // 2
+    state = tmp_path / "s.npz"
+    p1 = mk()
+    got = _keys(p1.push(iq[:half]))
+    for i, part in enumerate(_keys(p1.checkpoint_stream(state))):
+        got[i].extend(part)
+    p2 = mk()
+    p2.restore_stream(state)
+    for res in (p2.push(iq[half:]), p2.flush()):
+        keys = _keys(res)
+        for i in range(len(specs)):
+            got[i].extend(keys[i])
+    assert got == want
+
+
 def test_channel_sharded_pipeline_mixed_protocols():
     """mesh= with resampler-bearing channels (FLEX 16k, AIS 48k) and an
     indivisible channel count: 5 channels over 2 shards skips the
