@@ -263,8 +263,10 @@ def test_safety_message_roundtrip():
     from tsl_sdr_tpu.utils.jsonout import ais_message_json
 
     bcast = gen.make_safety_broadcast(366111222, "MAYDAY RELAY POS 42N070W")
+    # trailing space is representable 6-bit payload, NOT padding (only
+    # '@' pads per ITU-R M.1371) — it must survive the decode
     addr = gen.make_addressed_safety(
-        366111222, 367999888, "PLS CONFIRM ETA", seqno=2, retransmit=True)
+        366111222, 367999888, "PLS CONFIRM ETA ", seqno=2, retransmit=True)
     msgs = AisDecoder().on_pcm(gen.generate([bcast, addr]))
     assert len(msgs) == 2
     b, a = msgs
@@ -275,7 +277,7 @@ def test_safety_message_roundtrip():
     assert '"type":"safetyBroadcast"' in jb and "MAYDAY RELAY" in jb
     assert isinstance(a, AisSafetyMessage)
     assert a.dest_mmsi == 367999888 and a.seqno == 2 and a.retransmit
-    assert a.text == "PLS CONFIRM ETA"
+    assert a.text == "PLS CONFIRM ETA "
     ja = ais_message_json(a)
     assert '"type":"addressedSafetyMessage"' in ja
     assert '"destMmsi":367999888' in ja

@@ -671,8 +671,74 @@ def test_pipeline_cli_follow_live_stats(tmp_path, capsys):
                             "-o", str(tmp_path / "m.jsonl")])
     assert rc == 0
     err = capsys.readouterr().err
-    assert "pipeline-tpu: stats samples=" in err, err
-    assert "fetched=" in err, err
+    assert "pipeline-tpu: stats samples_in=" in err, err
+    assert "Msps]" in err and "fetched=" in err, err
+
+
+def test_state_file_corrupt_checkpoint_starts_fresh(tmp_path, capsys):
+    """An unreadable state file must not crash-loop the service: it is
+    set aside as .bad and the run starts fresh (then writes a good one)."""
+    import json as jsonlib
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+
+    rng = np.random.default_rng(5)
+    iq = rng.integers(-300, 300, size=(900_000, 2)).astype(np.int16)
+    path = tmp_path / "cap.cs16"
+    iq.reshape(-1).tofile(path)
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    cfg = {
+        "device": {"type": "file", "filename": str(path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": FS, "centerFreqHz": CENTER,
+        "decimationFactor": DECIM,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [{"chanCenterFreq": CENTER + 250_000,
+                      "protocol": "pocsag"}],
+    }
+    cfg_path = tmp_path / "p.json"
+    cfg_path.write_text(jsonlib.dumps(cfg))
+    state = tmp_path / "s.npz"
+    state.write_bytes(b"not a zipfile at all")
+    rc = pipeline_cli.main([str(cfg_path), "--follow", "--idle-exit", "0.2",
+                            "--block-size", "262144",
+                            "--state-file", str(state),
+                            "-o", str(tmp_path / "m.jsonl")])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "state file unusable" in err, err
+    assert (tmp_path / "s.npz.bad").exists()
+    # the fresh run wrote a VALID replacement checkpoint
+    data = np.load(state)
+    assert "__meta__" in data
+
+
+def test_follow_shutdown_before_stream_primes_is_clean(tmp_path, capsys):
+    """--follow stopping before the chain prefix was ever covered (a few
+    thousand samples then EOF) exits 0 with a note, not a ValueError
+    traceback from flush()."""
+    import json as jsonlib
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+
+    path = tmp_path / "tiny.cs16"
+    np.zeros((100, 2), np.int16).reshape(-1).tofile(path)
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    cfg = {
+        "device": {"type": "file", "filename": str(path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": FS, "centerFreqHz": CENTER,
+        "decimationFactor": DECIM,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [{"chanCenterFreq": CENTER + 250_000,
+                      "protocol": "pocsag"}],
+    }
+    cfg_path = tmp_path / "p.json"
+    cfg_path.write_text(jsonlib.dumps(cfg))
+    rc = pipeline_cli.main([str(cfg_path), "--follow", "--idle-exit", "0.2",
+                            "-o", str(tmp_path / "m.jsonl")])
+    assert rc == 0
+    assert "shorter than the pipeline prefix" in capsys.readouterr().err
 
 
 def test_state_file_flag_guards(tmp_path):

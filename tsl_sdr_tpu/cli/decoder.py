@@ -41,17 +41,9 @@ def build_argparser():
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
-    import signal
+    from tsl_sdr_tpu.runtime.stream import install_sigterm_as_interrupt
 
-    # SIGTERM (service-manager stop) takes the same drain-and-summarize
-    # exit as Ctrl-C — both loops already catch KeyboardInterrupt
-    def _term(_sig, _frm):
-        raise KeyboardInterrupt
-
-    try:
-        signal.signal(signal.SIGTERM, _term)
-    except ValueError:
-        pass  # not the main thread (embedded/test use): keep default
+    install_sigterm_as_interrupt()
 
     from tsl_sdr_tpu.models.resampler import ResamplerChain
     from tsl_sdr_tpu.runtime.stream import (

@@ -49,34 +49,6 @@ def build_argparser():
     return p
 
 
-class StatsTicker:
-    """Periodic live-counters line (reference analogue: demod.h:71-81
-    counters, but printed DURING the run, not only at thread exit)."""
-
-    def __init__(self, interval: float, counters, label: str):
-        import time as _time
-
-        self.interval = float(interval)
-        self.counters = counters
-        self.label = label
-        self._time = _time
-        self._t_last = _time.monotonic()
-        self._n_last = 0
-
-    def tick(self, extra: str = ""):
-        if not self.interval:
-            return
-        now = self._time.monotonic()
-        dt = now - self._t_last
-        if dt < self.interval:
-            return
-        n = self.counters.samples_in
-        rate = (n - self._n_last) / dt / 1e6
-        self._t_last, self._n_last = now, n
-        print(f"{self.label}: stats {self.counters.summary()} "
-              f"[{rate:.2f} Msps]{extra}", file=sys.stderr, flush=True)
-
-
 def _pairs(block_iter):
     """Carry odd trailing int16 values across hardware blocks: truncating
     them would swap I and Q for the rest of the run (same failure the
@@ -133,23 +105,16 @@ def make_hw_source(cfg, dev_type: str):
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
-    import signal
     import time
 
     from tsl_sdr_tpu.models.channelizer import MultifmChain
-    from tsl_sdr_tpu.runtime.stream import StreamCounters
+    from tsl_sdr_tpu.runtime.stream import (
+        StreamCounters,
+        install_sigterm_as_interrupt,
+    )
     from tsl_sdr_tpu.utils.config import MultifmConfig
 
-    # service managers stop with SIGTERM: route it through the same
-    # drain-and-summarize path as Ctrl-C (reference: the TSL app framework
-    # hooks both and multifm sleeps until signalled, multifm.c:163-178)
-    def _term(_sig, _frm):
-        raise KeyboardInterrupt
-
-    try:
-        signal.signal(signal.SIGTERM, _term)
-    except ValueError:
-        pass  # not the main thread (embedded/test use): keep default
+    install_sigterm_as_interrupt()
 
     cfg = MultifmConfig.load(*args.configs)
     missing = [k for k, ch in enumerate(cfg.channels) if ch.out_fifo is None]
@@ -247,6 +212,8 @@ def main(argv=None):
     ]
     state = None
     t0 = time.monotonic()
+    from tsl_sdr_tpu.runtime.stream import StatsTicker
+
     ticker = StatsTicker(args.stats, counters, "multifm-tpu")
     prefix_holder: list = []
 
@@ -371,6 +338,8 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
                        pool_frames=max(2, cfg.nr_samp_bufs),
                        pace_sps=pace, drop_on_full=bool(args.realtime))
     sinks = [NativeSink(ch.out_fifo) for ch in cfg.channels]
+    from tsl_sdr_tpu.runtime.stream import StatsTicker
+
     ticker = StatsTicker(args.stats, counters, "multifm-tpu[native]")
     state = None
     pending = np.zeros(0, np.int16)  # flat interleaved values

@@ -61,14 +61,15 @@ def _check_resume_offset(path, fmt, resume_samples):
     import os
     import stat
 
+    from tsl_sdr_tpu.utils.iq import unit_bytes
+
     try:
         st = os.stat(path)
     except OSError:
         return resume_samples
     if stat.S_ISFIFO(st.st_mode):
         return resume_samples
-    itemsize = 2 if fmt == "cs16" else 1
-    if st.st_size < resume_samples * 2 * itemsize:
+    if st.st_size < resume_samples * unit_bytes(fmt):
         print(f"pipeline-tpu: {path} is shorter than the checkpoint's "
               f"{resume_samples}-sample resume offset (rotated?); "
               "restarting from the beginning", file=sys.stderr)
@@ -244,30 +245,41 @@ def main(argv=None):
             fmt = iq_fmt or "cs16"
             resume_samples = 0
             guard = _SignalGuard()
+            # SIGTERM (service-manager stop) and Ctrl-C both take the
+            # clean-shutdown path — drain, flush-or-checkpoint, summary —
+            # and only at block boundaries, never mid-push (_SignalGuard)
+            import signal as _signal
+
+            try:
+                _signal.signal(_signal.SIGTERM, guard.handler)
+                _signal.signal(_signal.SIGINT, guard.handler)
+            except ValueError:
+                pass  # not the main thread: keep default handlers
             if args.state_file is not None:
                 import os as _os
-                import signal as _signal
-
-                # a service manager stops us with SIGTERM: route it (and
-                # Ctrl-C) through the clean-shutdown path so the state file
-                # still gets written — but only at block boundaries, never
-                # mid-push (see _SignalGuard)
-                try:
-                    _signal.signal(_signal.SIGTERM, guard.handler)
-                    _signal.signal(_signal.SIGINT, guard.handler)
-                except ValueError:
-                    pass  # not the main thread: keep default handlers
 
                 if _os.path.exists(args.state_file):
-                    user = pipe.restore_stream(args.state_file)
-                    resume_samples = int(user.get("consumed_samples", 0))
-                    print(f"pipeline-tpu: resumed from {args.state_file} "
-                          f"({resume_samples} samples consumed)",
-                          file=sys.stderr)
-                    if resume_samples and iq_path is not None:
-                        resume_samples = _check_resume_offset(
-                            iq_path, fmt, resume_samples
-                        )
+                    try:
+                        user = pipe.restore_stream(args.state_file)
+                    except Exception as e:  # noqa: BLE001
+                        # an unreadable/incompatible state file must not
+                        # crash-loop the service: set it aside and start
+                        # fresh (the protocols self-synchronize)
+                        bad = args.state_file + ".bad"
+                        _os.replace(args.state_file, bad)
+                        print(f"pipeline-tpu: state file unusable "
+                              f"({type(e).__name__}: {e}); moved to {bad}, "
+                              "starting fresh", file=sys.stderr)
+                    else:
+                        resume_samples = int(
+                            user.get("consumed_samples", 0))
+                        print(f"pipeline-tpu: resumed from "
+                              f"{args.state_file} ({resume_samples} "
+                              "samples consumed)", file=sys.stderr)
+                        if resume_samples and iq_path is not None:
+                            resume_samples = _check_resume_offset(
+                                iq_path, fmt, resume_samples
+                            )
             if hw_source is not None:
                 from tsl_sdr_tpu.cli.multifm import _pairs
 
@@ -286,8 +298,10 @@ def main(argv=None):
                 cfg.sample_rate_hz * cfg.mute_startup_ms // 1000
                 if hw_source is not None else 0
             )
-            t_stat = time.monotonic()
-            n_stat = 0
+            from tsl_sdr_tpu.runtime.stream import StatsTicker, StreamCounters
+
+            counters = StreamCounters()
+            ticker = StatsTicker(args.stats, counters, "pipeline-tpu")
             try:
                 for iq in blocks:
                     if mute_left > 0:
@@ -302,17 +316,13 @@ def main(argv=None):
                     if guard.pending:
                         raise KeyboardInterrupt
                     if args.stats:
-                        now = time.monotonic()
-                        if now - t_stat >= args.stats:
-                            st = pipe.stream_stats
-                            print(
-                                f"pipeline-tpu: stats samples={n_samples} "
-                                f"[{(n_samples - n_stat) / (now - t_stat) / 1e6:.2f} Msps] "
-                                f"messages={n_msgs} blocks={st['blocks']} "
-                                f"fetched={st['fetched'].tolist()}",
-                                file=sys.stderr, flush=True,
-                            )
-                            t_stat, n_stat = now, n_samples
+                        counters.samples_in = n_samples
+                        counters.messages = n_msgs
+                        st = pipe.stream_stats
+                        ticker.tick(
+                            f" blocks={st['blocks']} "
+                            f"fetched={st['fetched'].tolist()}"
+                        )
             except KeyboardInterrupt:
                 pass
             finally:
@@ -331,7 +341,13 @@ def main(argv=None):
                 print(f"pipeline-tpu: state saved to {args.state_file}",
                       file=sys.stderr)
             else:
-                emit(pipe.flush())
+                try:
+                    emit(pipe.flush())
+                except ValueError as e:
+                    # a follow run stopped before the stream ever primed
+                    # (fewer than prefix samples arrived) is a clean stop,
+                    # not a crash: report and fall through to the summary
+                    print(f"pipeline-tpu: {e}", file=sys.stderr)
         else:
             iq = iqio.read_iq_file(iq_path, iq_fmt or "cs16")
             n_samples = len(iq)
@@ -362,9 +378,9 @@ def _follow_blocks(path, fmt, chunk_bytes: int = 1 << 20,
     import stat
 
     from tsl_sdr_tpu.utils import iq as iqio
+    from tsl_sdr_tpu.utils.iq import unit_bytes
 
-    itemsize = 2 if fmt == "cs16" else 1
-    unit = 2 * itemsize
+    unit = unit_bytes(fmt)
     residue = b""
     with open(path, "rb") as f:
         is_fifo = stat.S_ISFIFO(os.fstat(f.fileno()).st_mode)

@@ -86,11 +86,12 @@ def get_string(packet: bytes, offset: int, nr_chars: int) -> str:
 
 def get_string_to_end(packet: bytes, offset: int) -> str:
     """6-bit string from ``offset`` to the end of the payload, trailing
-    '@' padding and spaces stripped — types 12/14 carry variable-length
-    text (beyond-reference; reference decodes fixed fields only,
-    ``ais_decode.c:58-72``)."""
+    '@' padding stripped — types 12/14 carry variable-length text
+    (beyond-reference; reference decodes fixed fields only,
+    ``ais_decode.c:58-72``). Only '@' is the pad character per ITU-R
+    M.1371; trailing spaces are representable payload and are kept."""
     n = (len(packet) * 8 - offset) // 6
-    return get_string(packet, offset, n).rstrip("@ ")
+    return get_string(packet, offset, n).rstrip("@")
 
 
 def _payload_hex(packet: bytes, offset: int) -> tuple[str, int]:

@@ -975,13 +975,17 @@ class ReceivePipeline:
         arrays["__meta__"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8
         )
-        # atomic replace: a crash (or a service manager's SIGKILL after the
-        # grace period) mid-save must not leave a truncated .npz that makes
-        # every subsequent --state-file start crash
+        # atomic replace + fsync: a crash (or a service manager's SIGKILL
+        # after the grace period) mid-save must not leave a truncated .npz
+        # that makes every subsequent --state-file start crash, and the
+        # data must be durable before the old checkpoint is unlinked
+        # (os.replace alone is not crash-safe against power loss)
         import os
         tmp = f"{path}.tmp"
         with open(tmp, "wb") as f:
             np.savez(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
         return new
 

@@ -28,6 +28,53 @@ class StreamCounters:
         )
 
 
+class StatsTicker:
+    """Periodic live-counters line to stderr (reference analogue:
+    demod.h:71-81 counters, but printed DURING the run, not only at
+    thread exit). Shared by the CLI run loops."""
+
+    def __init__(self, interval: float, counters: StreamCounters, label: str):
+        import time
+
+        self.interval = float(interval)
+        self.counters = counters
+        self.label = label
+        self._time = time
+        self._t_last = time.monotonic()
+        self._n_last = 0
+
+    def tick(self, extra: str = ""):
+        import sys
+
+        if not self.interval:
+            return
+        now = self._time.monotonic()
+        dt = now - self._t_last
+        if dt < self.interval:
+            return
+        n = self.counters.samples_in
+        rate = (n - self._n_last) / dt / 1e6
+        self._t_last, self._n_last = now, n
+        print(f"{self.label}: stats {self.counters.summary()} "
+              f"[{rate:.2f} Msps]{extra}", file=sys.stderr, flush=True)
+
+
+def install_sigterm_as_interrupt():
+    """Route SIGTERM (service-manager stop) through KeyboardInterrupt so
+    the CLI run loops take their drain-and-summarize exit path, like
+    Ctrl-C (reference: the TSL app framework hooks both signals). No-op
+    off the main thread (embedded/test use keeps the default)."""
+    import signal
+
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:
+        pass
+
+
 class PushResampler:
     """Feed arbitrary-sized int16 chunks; emits resampled PCM as available.
 

@@ -21,6 +21,15 @@ import numpy as np
 IQ_FORMATS = ("cs16", "cs8", "cu8", "cu8_unbiased", "rtl_u8")
 
 
+def unit_bytes(fmt: str) -> int:
+    """Bytes per complex IQ sample (I+Q pair) in format ``fmt`` — the
+    single source of truth for file-offset arithmetic (seek/resume)."""
+    if fmt not in IQ_FORMATS:
+        raise ValueError(f"unknown IQ format {fmt!r}; expected one of "
+                         f"{IQ_FORMATS}")
+    return 4 if fmt == "cs16" else 2
+
+
 def rtl_u8_to_q14(raw: np.ndarray) -> np.ndarray:
     """RTL-SDR u8 -> Q.14 int16: (s - 127) << 7."""
     return ((raw.astype(np.int16) - 127) << 7).astype(np.int16)
