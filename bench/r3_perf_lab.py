@@ -271,6 +271,27 @@ def pipeline():
         parts[200_000:200_000 + len(sig)] += sig
     iq = (parts + rng.normal(scale=80, size=parts.shape)).astype(np.int16)
     iq4 = np.concatenate([iq] * 4)
+
+    # egress-volume sensitivity: the same pipeline on pure noise (all 8
+    # channels idle -> bit rows stay on device, ~0.5 KB/block/channel
+    # flag+tail egress). If gating works, this rate ~= the burst rate —
+    # the e2e row must not scale with PCM egress volume (VERDICT r2 #1).
+    noise4 = rng.integers(-90, 90, size=iq4.shape).astype(np.int16)
+    for tag, cap in (("bursts", iq4), ("all-gated noise", noise4)):
+        pipe = ReceivePipeline(
+            firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
+            [ChannelSpec(center + o, "pocsag") for o in offsets],
+            exact=False, block_size=4_194_304, inflight_depth=4)
+        pipe.process_capture(cap)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pipe.process_capture(cap)
+            best = max(best, len(cap) / (time.perf_counter() - t0) / 1e6)
+        print(f"egress sweep [{tag}]: {best:.1f} Msps "
+              f"(fetched={pipe.stream_stats['fetched'].tolist()})",
+              flush=True)
+
     for bs, depth in ((1_048_576, 2), (1_048_576, 8), (4_194_304, 2),
                       (4_194_304, 4), (4_194_304, 8), (8_388_608, 4)):
         pipe = ReceivePipeline(
