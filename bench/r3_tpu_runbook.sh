@@ -17,7 +17,7 @@ echo "=== lab: resampler tiers ===" >> $LOG
 timeout 900 python bench/r3_perf_lab.py resampler >> $LOG 2>&1
 
 echo "=== lab: pipeline e2e ===" >> $LOG
-timeout 1200 python bench/r3_perf_lab.py pipeline >> $LOG 2>&1
+timeout 1800 python bench/r3_perf_lab.py pipeline >> $LOG 2>&1
 
 echo "=== lab: pallas tile sweep ===" >> $LOG
 timeout 2400 python bench/r3_perf_lab.py chain-tiles >> $LOG 2>&1
