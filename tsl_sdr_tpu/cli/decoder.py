@@ -15,7 +15,10 @@ import sys
 import numpy as np
 
 
+
 def build_argparser():
+    from tsl_sdr_tpu.cli import cli_version
+
     p = argparse.ArgumentParser(prog="decoder-tpu", description=__doc__)
     p.add_argument("-m", dest="mode", required=True,
                    choices=["flex", "pocsag", "ais"], type=str.lower)
@@ -35,6 +38,8 @@ def build_argparser():
     p.add_argument("--fast", dest="exact", action="store_false",
                    help="float fast tier for the resampler front-end")
     p.add_argument("input", help="input PCM file or FIFO")
+    p.add_argument("-V", "--version", action="version",
+                   version=f"%(prog)s {cli_version()}")
     return p
 
 

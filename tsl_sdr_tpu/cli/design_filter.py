@@ -14,6 +14,11 @@ import sys
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] in ("-V", "--version"):
+        from tsl_sdr_tpu.cli import cli_version as _version
+
+        print(f"design-filter-tpu {_version()}")
+        return 0
     if len(argv) < 3:
         print(
             "Usage: design-filter-tpu [interpolation] [decimation] "

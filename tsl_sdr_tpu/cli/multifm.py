@@ -18,7 +18,10 @@ import sys
 import numpy as np
 
 
+
 def build_argparser():
+    from tsl_sdr_tpu.cli import cli_version
+
     p = argparse.ArgumentParser(prog="multifm-tpu", description=__doc__)
     p.add_argument("configs", nargs="+", help="JSON config file(s), merged")
     p.add_argument("--exact", action="store_true", default=False,
@@ -46,6 +49,8 @@ def build_argparser():
                    help="print a live counters line to stderr every SECS "
                         "seconds (0 = only the exit summary, like the "
                         "reference's thread-exit counters)")
+    p.add_argument("-V", "--version", action="version",
+                   version=f"%(prog)s {cli_version()}")
     return p
 
 

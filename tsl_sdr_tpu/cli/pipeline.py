@@ -77,7 +77,10 @@ def _check_resume_offset(path, fmt, resume_samples):
     return resume_samples
 
 
+
 def build_argparser():
+    from tsl_sdr_tpu.cli import cli_version
+
     p = argparse.ArgumentParser(prog="pipeline-tpu", description=__doc__)
     p.add_argument("configs", nargs="+", help="JSON config file(s), merged")
     p.add_argument("--iq-file", default=None)
@@ -125,6 +128,8 @@ def build_argparser():
                         "(default 1.0 — tolerates a writer momentarily "
                         "ahead of the reader; pass 0 to stop at first "
                         "EOF, a large value to follow like tail -f)")
+    p.add_argument("-V", "--version", action="version",
+                   version=f"%(prog)s {cli_version()}")
     return p
 
 

@@ -13,7 +13,10 @@ import sys
 import numpy as np
 
 
+
 def build_argparser():
+    from tsl_sdr_tpu.cli import cli_version
+
     p = argparse.ArgumentParser(prog="resampler-tpu", description=__doc__)
     p.add_argument("-I", dest="interpolate", type=int, required=True)
     p.add_argument("-D", dest="decimate", type=int, required=True)
@@ -24,6 +27,8 @@ def build_argparser():
     p.add_argument("--fast", dest="exact", action="store_false", default=True)
     p.add_argument("input")
     p.add_argument("output")
+    p.add_argument("-V", "--version", action="version",
+                   version=f"%(prog)s {cli_version()}")
     return p
 
 
