@@ -675,6 +675,44 @@ def test_pipeline_cli_follow_live_stats(tmp_path, capsys):
     assert "Msps]" in err and "fetched=" in err, err
 
 
+def test_live_decode_latency_bounded_by_inflight_depth():
+    """Live-mode latency contract: a message completes within
+    inflight_depth+1 block-pushes of the block that carries its last
+    samples (the drain lag is exactly the latency-hiding queue depth —
+    a paging deployment can size --inflight-depth against it)."""
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    depth = 2
+    pipe = ReceivePipeline(
+        lpf, CENTER, FS, DECIM,
+        [ChannelSpec(CENTER + 250_000, "pocsag")], exact=False,
+        block_size=262_144, inflight_depth=depth)
+    bs = pipe.block_size
+
+    p_bb = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=909090, function=1, kind="alpha",
+                                content="LATENCY")],
+        baud=1200, amplitude=4096, tail_bits=64)
+    p_iq = _fm_mod(p_bb, 38400, 250_000, FS)
+    rng = np.random.default_rng(13)
+    start = bs // 2
+    burst_end = start + len(p_iq)
+    n = burst_end + (depth + 4) * bs  # noise tail to keep pushing after
+    iq = rng.normal(scale=120, size=(n, 2))
+    iq[start:burst_end] += p_iq
+    iq = iq.astype(np.int16)
+
+    # the burst's last sample lives in this 0-indexed pushed block
+    # (the stream consumes carry_len samples of prefix first)
+    end_block = (burst_end - pipe.chain.carry_len) // bs
+    got_at = None
+    for k in range(n // bs):
+        if pipe.push(iq[k * bs : (k + 1) * bs])[0]:
+            got_at = k
+            break
+    assert got_at is not None, "message never decoded"
+    assert got_at <= end_block + depth + 1, (got_at, end_block, depth)
+
+
 def test_state_file_corrupt_checkpoint_starts_fresh(tmp_path, capsys):
     """An unreadable state file must not crash-loop the service: it is
     set aside as .bad and the run starts fresh (then writes a good one)."""
