@@ -675,6 +675,46 @@ def test_pipeline_cli_follow_live_stats(tmp_path, capsys):
     assert "Msps]" in err and "fetched=" in err, err
 
 
+def test_pipeline_cli_realtime_pacing_and_iq_dump(tmp_path):
+    """--realtime paces file delivery at sampleRateHz (reference
+    file_if.c:160-203) and --iq-dump taps the ingested wideband IQ
+    byte-for-byte."""
+    import json as jsonlib
+    import time as _time
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+
+    rng = np.random.default_rng(7)
+    iq = rng.integers(-300, 300, size=(900_000, 2)).astype(np.int16)
+    path = tmp_path / "cap.cs16"
+    iq.reshape(-1).tofile(path)
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+    cfg = {
+        "device": {"type": "file", "filename": str(path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": FS, "centerFreqHz": CENTER,
+        "decimationFactor": DECIM,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [{"chanCenterFreq": CENTER + 250_000,
+                      "protocol": "pocsag"}],
+    }
+    cfg_path = tmp_path / "p.json"
+    cfg_path.write_text(jsonlib.dumps(cfg))
+    dump = tmp_path / "tap.cs16"
+    t0 = _time.monotonic()
+    rc = pipeline_cli.main([str(cfg_path), "--follow", "--realtime",
+                            "--idle-exit", "0.2", "--block-size", "262144",
+                            "--iq-dump", str(dump),
+                            "-o", str(tmp_path / "m.jsonl")])
+    elapsed = _time.monotonic() - t0
+    assert rc == 0
+    # 900k samples at 1.2288 Msps = 0.73 s of stream time; unpaced this
+    # finishes in well under 0.3 s of read time
+    assert elapsed >= len(iq) / FS, elapsed
+    np.testing.assert_array_equal(
+        np.fromfile(dump, np.int16).reshape(-1, 2), iq)
+
+
 def test_live_decode_latency_bounded_by_inflight_depth():
     """Live-mode latency contract: a message completes within
     inflight_depth+1 block-pushes of the block that carries its last

@@ -128,6 +128,14 @@ def build_argparser():
                         "(default 1.0 — tolerates a writer momentarily "
                         "ahead of the reader; pass 0 to stop at first "
                         "EOF, a large value to follow like tail -f)")
+    p.add_argument("--realtime", action="store_true",
+                   help="with --follow on a file: pace reads at "
+                        "sampleRateHz (the reference file source's "
+                        "real-time delivery, file_if.c:160-203) — "
+                        "simulates a live capture")
+    p.add_argument("--iq-dump", default=None,
+                   help="dump ingested wideband IQ (int16 values) to this "
+                        "file — the reference's iqDumpFile tap")
     p.add_argument("-V", "--version", action="version",
                    version=f"%(prog)s {cli_version()}")
     return p
@@ -220,6 +228,7 @@ def main(argv=None):
     )
 
     out = open(args.output, "w", buffering=1) if args.output else sys.stdout
+    iq_dump = open(args.iq_dump, "wb") if args.iq_dump else None
     n_msgs = 0
     pcm_sinks = {
         i: open(ch.out_fifo, "wb")
@@ -293,9 +302,11 @@ def main(argv=None):
                 hw_source.start()
                 blocks = _pairs(hw_source.blocks())
             else:
-                blocks = _follow_blocks(iq_path, fmt,
-                                        idle_exit=args.idle_exit,
-                                        skip_samples=resume_samples)
+                blocks = _follow_blocks(
+                    iq_path, fmt, idle_exit=args.idle_exit,
+                    skip_samples=resume_samples,
+                    pace_sps=cfg.sample_rate_hz if args.realtime else 0,
+                )
             # startup mute gate for live hardware (receiver.h:98,
             # multifm/multifm.c:158) — drop the tuner-settling head like
             # multifm-tpu does
@@ -316,6 +327,8 @@ def main(argv=None):
                         if not len(iq):
                             continue
                     n_samples += len(iq)
+                    if iq_dump is not None:
+                        iq.astype(np.int16).tofile(iq_dump)
                     with guard.defer():
                         emit(pipe.push(iq))
                     if guard.pending:
@@ -356,12 +369,16 @@ def main(argv=None):
         else:
             iq = iqio.read_iq_file(iq_path, iq_fmt or "cs16")
             n_samples = len(iq)
+            if iq_dump is not None:
+                iq.astype(np.int16).tofile(iq_dump)
             emit(pipe.process_capture(iq))
     finally:
         if out is not sys.stdout:
             out.close()
         for sink in pcm_sinks.values():
             sink.close()
+        if iq_dump is not None:
+            iq_dump.close()
     dt = time.monotonic() - t0
     print(
         f"pipeline-tpu: {n_samples} samples, {len(specs)} channels, "
@@ -374,11 +391,14 @@ def main(argv=None):
 
 def _follow_blocks(path, fmt, chunk_bytes: int = 1 << 20,
                    idle_exit: float | None = None,
-                   skip_samples: int = 0):
+                   skip_samples: int = 0,
+                   pace_sps: float = 0):
     """Yield [N, 2] int16 blocks from a FIFO or regular file as data
     arrives. A FIFO ends when every writer has closed; a regular file is
     polled past EOF (it may still be growing — tail -f semantics) until
-    Ctrl-C, or until it has not grown for ``idle_exit`` seconds."""
+    Ctrl-C, or until it has not grown for ``idle_exit`` seconds.
+    ``pace_sps`` > 0 sleeps so delivery tracks that sample rate (the
+    reference file source's real-time pacing, ``file_if.c:160-203``)."""
     import os
     import stat
 
@@ -387,6 +407,8 @@ def _follow_blocks(path, fmt, chunk_bytes: int = 1 << 20,
 
     unit = unit_bytes(fmt)
     residue = b""
+    t0 = time.monotonic()
+    delivered = 0
     with open(path, "rb") as f:
         is_fifo = stat.S_ISFIFO(os.fstat(f.fileno()).st_mode)
         if skip_samples:
@@ -414,7 +436,13 @@ def _follow_blocks(path, fmt, chunk_bytes: int = 1 << 20,
             if not usable:
                 continue
             raw = np.frombuffer(data[:usable], np.uint8)
-            yield iqio.widen_iq_bytes(raw, fmt).reshape(-1, 2)
+            block = iqio.widen_iq_bytes(raw, fmt).reshape(-1, 2)
+            if pace_sps > 0:
+                delivered += block.shape[0]
+                lag = delivered / pace_sps - (time.monotonic() - t0)
+                if lag > 0:
+                    time.sleep(lag)
+            yield block
 
 
 if __name__ == "__main__":
