@@ -61,3 +61,35 @@ def test_multiprocess_channelizer_matches_single_process(n_processes, n_local):
     # tiny test capture; production blocks are MBs so the ratio only shrinks
     block_bytes = multihost.selftest_capture(plan, n_time).nbytes
     assert res["dcn_halo_bytes"] < block_bytes / 20
+
+
+def test_multiprocess_fused_pipeline_decodes_identically():
+    """The FULL fused receive pipeline (channelize -> resample -> DC ->
+    sign-slice -> bit-pack -> sync prefilters, one dispatch per block)
+    executed across 2 REAL OS processes (jax.distributed, gloo): GSPMD
+    partitions the program over the process boundary, the gated outputs
+    gather back over DCN, and every process decodes exactly the messages
+    a single-process (no-mesh) run produces — including identical
+    egress-gating fetch counters."""
+    import json
+    from pathlib import Path
+
+    from tsl_sdr_tpu.parallel import multihost
+    from tsl_sdr_tpu.parallel._mh_pipeline_worker import run_pipeline
+
+    td, _logs = multihost.launch_workers(
+        "tsl_sdr_tpu.parallel._mh_pipeline_worker", 2, 4, timeout=900.0)
+    with td:
+        outs = [
+            json.load(open(Path(td.name) / f"mhp_out_{pid}.json"))
+            for pid in range(2)
+        ]
+
+    want_msgs, want_stats = run_pipeline(None)  # single-process reference
+    want = [[list(m) for m in ch] for ch in want_msgs]
+    assert [m[0] for m in want[0]] == [7001, 7002], want
+    assert not want[1]  # silent channel gated
+    for o in outs:
+        assert o["msgs"] == want, o
+        assert o["fetched"] == [int(v) for v in want_stats["fetched"]], o
+        assert o["blocks"] == int(want_stats["blocks"])

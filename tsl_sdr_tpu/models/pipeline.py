@@ -138,6 +138,7 @@ class _SizedProgram:
         #   round differently by a few PCM LSBs (that tier is already
         #   LSB-approximate vs the host oracle; decode margins absorb it).
         mesh = getattr(pipe, "mesh", None)
+        mp_repl = getattr(pipe, "_mp_repl", None)
         ch_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -248,6 +249,17 @@ class _SizedProgram:
                     # the raw-channel egress over the tunnel
                     rows = rows.astype(jnp.int16)
                 raw_out[rgid] = rows
+            if mp_repl is not None:
+                # multi-process mesh: gather the (small, egress-gated)
+                # outputs back to every process on-device so the host
+                # drain reads only addressable data; carried state stays
+                # sharded across blocks
+                pack_out = jax.tree.map(
+                    lambda v: jax.lax.with_sharding_constraint(v, mp_repl),
+                    pack_out)
+                raw_out = jax.tree.map(
+                    lambda v: jax.lax.with_sharding_constraint(v, mp_repl),
+                    raw_out)
             return chain_st, rs2, dc2, tails2, (pack_out, raw_out)
 
         self.fn = jax.jit(dev_step, donate_argnums=(0, 1, 2, 3))
@@ -309,11 +321,26 @@ class ReceivePipeline:
         inflight_depth: int = 2,
         mesh=None,
     ):
-        # optional jax.sharding.Mesh with a 'channels' axis: the fused
+        # optional jax.sharding.Mesh with 'time'/'channels' axes: the fused
         # device program is GSPMD-partitioned across it (channel-sharded
-        # FIR bank, resamplers, prefilters) — bit-identical to the
-        # single-device program (see _SizedProgram)
+        # FIR bank, resamplers, prefilters; time-sharded samples) —
+        # decode-identical to the single-device program (see _SizedProgram)
         self.mesh = mesh
+        # multi-PROCESS mesh (devices owned by other jax processes over
+        # DCN): block uploads and the initial state become global
+        # replicated arrays, and per-block outputs are gathered back to
+        # every process on-device (with_sharding_constraint to replicated)
+        # so the host drain logic works unchanged. Single-process meshes
+        # leave every path untouched.
+        self._mp_repl = None
+        if mesh is not None:
+            import jax
+
+            if any(d.process_index != jax.process_index()
+                   for d in mesh.devices.flat):
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                self._mp_repl = NamedSharding(mesh, PartitionSpec())
         # device->host latency hiding: up to ``inflight_depth`` blocks stay
         # in flight before the oldest is drained, so each block's async
         # copies get ~depth iterations to land before np.asarray touches
@@ -511,6 +538,12 @@ class ReceivePipeline:
                 for pgid, pg in self._pack_groups.items()
             },
         }
+        if self._mp_repl is not None:
+            # multi-process: the jitted global computation requires global
+            # arrays; the initial carries are identical on every process
+            st = jax.tree.map(
+                lambda a: jax.device_put(np.asarray(a), self._mp_repl), st
+            )
         self._stream = {
             "st": st,
             "buf": [],
@@ -619,7 +652,9 @@ class ReceivePipeline:
 
         s = self._stream
         prog = self._program(block.shape[0])
-        vals = jax.device_put(np.ascontiguousarray(block).reshape(-1))
+        flat = np.ascontiguousarray(block).reshape(-1)
+        vals = (jax.device_put(flat, self._mp_repl)
+                if self._mp_repl is not None else jax.device_put(flat))
         st = s["st"]
         chain_st, rs, dc, tails, outs = prog.fn(
             st["chain"], st["rs"], st["dc"], st["tails"], vals
@@ -942,6 +977,11 @@ class ReceivePipeline:
         if self.chain.exact:
             raise NotImplementedError(
                 "checkpoint_stream covers the production streaming engine"
+            )
+        if self._mp_repl is not None:
+            raise NotImplementedError(
+                "checkpoint_stream is single-process; multi-process "
+                "deployments checkpoint their input feed per host"
             )
         s = self._stream
         if s is None:

@@ -15,8 +15,12 @@ new design obligation. The recipe:
 * each host feeds its own time-contiguous IQ span via
   ``jax.make_array_from_process_local_data``.
 
-Untestable on a single-host CI; the per-process sharded kernel itself is
-exercised on a virtual 8-device mesh (tests/test_parallel.py) and via
+EXECUTED on a single box by launching real OS processes over the CPU
+backend (gloo collectives): :func:`run_multiprocess_selftest` for the
+sharded channelizer, ``_mh_pipeline_worker`` (via :func:`launch_workers`)
+for the full fused receive pipeline — see ``tests/test_multihost.py``.
+The per-process sharded kernels are additionally exercised on a virtual
+8-device mesh (tests/test_parallel.py) and via
 ``__graft_entry__.dryrun_multichip``.
 """
 
@@ -160,6 +164,62 @@ def selftest_capture(plan, n_time_shards: int) -> np.ndarray:
     return rng.integers(
         -8000, 8000, size=rows_total * plan.row, dtype=np.int64
     ).astype(np.int16)
+
+
+def launch_workers(module: str, n_processes: int, n_local: int,
+                   timeout: float = 600.0, attempts: int = 3):
+    """Generic multi-process launcher: run ``python -m module`` as
+    ``n_processes`` real OS processes (each with ``n_local`` virtual CPU
+    devices and the standard --pid/--nproc/--n-local/--port/--outdir
+    argv), wait for all, raise on any nonzero exit. Returns
+    ``(tempdir, logs)`` — the caller reads the workers' artifacts from
+    ``tempdir.name`` and lets it clean up. Retries the whole launch on
+    coordinator-port races (the probed free port is TOCTOU)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    last_err = None
+    for _attempt in range(attempts):
+        td = tempfile.TemporaryDirectory()
+        try:
+            with socket.socket() as s:
+                s.bind(("localhost", 0))
+                port = s.getsockname()[1]
+            env = {k: v for k, v in os.environ.items()
+                   if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, "-m", module,
+                     "--pid", str(pid), "--nproc", str(n_processes),
+                     "--n-local", str(n_local), "--port", str(port),
+                     "--outdir", td.name],
+                    env=env, stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                )
+                for pid in range(n_processes)
+            ]
+            logs = []
+            for p in procs:
+                try:
+                    out, _ = p.communicate(timeout=timeout)
+                except subprocess.TimeoutExpired:
+                    for q in procs:
+                        q.kill()
+                    raise
+                logs.append(out.decode(errors="replace"))
+            for p, log in zip(procs, logs):
+                if p.returncode != 0:
+                    raise RuntimeError(
+                        f"worker rc={p.returncode}:\n{log[-4000:]}"
+                    )
+            return td, logs
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            td.cleanup()
+            last_err = e
+    raise last_err
 
 
 def run_multiprocess_selftest(
