@@ -312,6 +312,66 @@ def pipeline():
         print(f"bs={bs} depth={depth}: BEST {best:.1f} Msps", flush=True)
 
 
+def exact():
+    """Bit-exact tier e2e (VERDICT r2 weak #6): the pipelined exact
+    streaming engine (async FIR plane fetches, inflight depth, one
+    vmapped resampler scan per ratio group) vs its r2 shape of ~4 Msps
+    (blocking fetch + one device round trip per channel per block)."""
+    import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+    from tsl_sdr_tpu.testing import pocsag_gen
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    decim = 32
+    fs = 38400 * decim
+    center = 929_500_000
+    offsets = [-450_000, -320_000, -190_000, -60_000,
+               60_000, 190_000, 320_000, 450_000]
+    rng = np.random.default_rng(11)
+    parts = None
+    for k, off in enumerate(offsets):
+        bb = pocsag_gen.generate(
+            [pocsag_gen.PocsagBurst(capcode=200000 + k, function=1,
+                                    kind="alpha", content=f"EX{k}")],
+            baud=1200, tail_bits=256)
+        dev = bb.astype(np.float64) / 16384.0 * 19200
+        ph = np.cumsum(np.repeat(2 * np.pi * (off + dev) / fs, decim))
+        sig = np.stack([np.cos(ph), np.sin(ph)], -1) * 4000
+        if parts is None:
+            parts = np.zeros((len(sig) + 2_000_000, 2))
+        parts[200_000:200_000 + len(sig)] += sig
+    iq = (parts + rng.normal(scale=80, size=parts.shape)).astype(np.int16)
+    # TSL_LAB_TINY=1: CPU smoke mode (validates the harness, not a rate)
+    tiny = bool(int(os.environ.get("TSL_LAB_TINY", "0")))
+    iq2 = iq if tiny else np.concatenate([iq] * 2)
+    bs = 1_048_576 if tiny else 4_194_304
+    trials = 1 if tiny else 3
+
+    for depth in ((2,) if tiny else (2, 4)):
+        pipe = ReceivePipeline(
+            firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
+            [ChannelSpec(center + o, "pocsag") for o in offsets],
+            exact=True, block_size=bs, inflight_depth=depth)
+        got = pipe.push(iq2)
+        for c, part in enumerate(pipe.flush()):
+            got[c].extend(part)
+        caps = sorted(set(m.capcode for msgs in got for m in msgs))
+        assert caps == [200000 + k for k in range(8)], caps
+        best = 0.0
+        for _ in range(trials):
+            pipe = ReceivePipeline(
+                firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
+                [ChannelSpec(center + o, "pocsag") for o in offsets],
+                exact=True, block_size=bs, inflight_depth=depth)
+            t0 = time.perf_counter()
+            pipe.push(iq2)
+            pipe.flush()
+            best = max(best, len(iq2) / (time.perf_counter() - t0) / 1e6)
+        print(f"exact e2e depth={depth}: BEST {best:.1f} Msps", flush=True)
+
+
 def tunnel():
     """Re-measure the axon tunnel latency model (CLAUDE.md timing notes):
     RTT, h2d/d2h streaming bandwidth, dispatch cost, and whether
@@ -368,5 +428,11 @@ def tunnel():
 
 
 if __name__ == "__main__":
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # the axon site hook re-forces JAX_PLATFORMS at import; honoring
+        # an explicit cpu request needs the config set BEFORE device init
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     {"resampler": resampler, "chain": chain, "chain-tiles": chain_tiles,
-     "pipeline": pipeline, "tunnel": tunnel}[sys.argv[1]]()
+     "pipeline": pipeline, "tunnel": tunnel, "exact": exact}[sys.argv[1]]()

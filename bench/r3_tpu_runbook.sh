@@ -19,6 +19,9 @@ timeout 900 python bench/r3_perf_lab.py resampler >> $LOG 2>&1
 echo "=== lab: pipeline e2e ===" >> $LOG
 timeout 1800 python bench/r3_perf_lab.py pipeline >> $LOG 2>&1
 
+echo "=== lab: exact-tier e2e ===" >> $LOG
+timeout 1800 python bench/r3_perf_lab.py exact >> $LOG 2>&1
+
 echo "=== lab: pallas tile sweep ===" >> $LOG
 timeout 2400 python bench/r3_perf_lab.py chain-tiles >> $LOG 2>&1
 

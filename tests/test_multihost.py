@@ -63,14 +63,27 @@ def test_multiprocess_channelizer_matches_single_process(n_processes, n_local):
     assert res["dcn_halo_bytes"] < block_bytes / 20
 
 
-def test_multiprocess_fused_pipeline_decodes_identically():
+@pytest.mark.parametrize("mesh_channels,upload_frac", [
+    # time-only mesh: each process uploads ONLY its local time span
+    # (1/P of every block), not a replicated copy
+    (1, 0.5),
+    # mixed time x channels mesh: the time span is additionally
+    # replicated across the channel axis's local devices (2 shards x 2
+    # channel copies = one block's worth per process; per-DEVICE upload
+    # is still 1/4 block)
+    (2, 1.0),
+])
+def test_multiprocess_fused_pipeline_decodes_identically(
+        mesh_channels, upload_frac):
     """The FULL fused receive pipeline (channelize -> resample -> DC ->
     sign-slice -> bit-pack -> sync prefilters, one dispatch per block)
     executed across 2 REAL OS processes (jax.distributed, gloo): GSPMD
     partitions the program over the process boundary, the gated outputs
     gather back over DCN, and every process decodes exactly the messages
     a single-process (no-mesh) run produces — including identical
-    egress-gating fetch counters."""
+    egress-gating fetch counters. Block ingest is time-sharded from each
+    process's local span (jax.make_array_from_single_device_arrays), so
+    hosts upload a fraction of each block, not a replicated copy."""
     import json
     from pathlib import Path
 
@@ -78,7 +91,8 @@ def test_multiprocess_fused_pipeline_decodes_identically():
     from tsl_sdr_tpu.parallel._mh_pipeline_worker import run_pipeline
 
     td, _logs = multihost.launch_workers(
-        "tsl_sdr_tpu.parallel._mh_pipeline_worker", 2, 4, timeout=900.0)
+        "tsl_sdr_tpu.parallel._mh_pipeline_worker", 2, 4, timeout=900.0,
+        extra_args=("--channels", str(mesh_channels)))
     with td:
         outs = [
             json.load(open(Path(td.name) / f"mhp_out_{pid}.json"))
@@ -93,3 +107,5 @@ def test_multiprocess_fused_pipeline_decodes_identically():
         assert o["msgs"] == want, o
         assert o["fetched"] == [int(v) for v in want_stats["fetched"]], o
         assert o["blocks"] == int(want_stats["blocks"])
+        assert o["upload_elems"] == int(
+            want_stats["upload_elems"] * upload_frac), o

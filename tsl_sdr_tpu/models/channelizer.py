@@ -207,25 +207,48 @@ class MultifmChain:
 
         return f
 
-    def _step_exact_packed_impl(self, state: ExactPackedState, block,
-                                want_debug: bool = False):
-        """Shared body: MXU FIR block on device, serial rotator + exact
-        rounding + LUT FM on the host, all carries threaded."""
-        from tsl_sdr_tpu.ops.fm import fm_demod_np
+    def step_exact_packed_begin(self, state: ExactPackedState, block):
+        """Dispatch half of the bit-exact step: device MXU FIR + async
+        plane fetches + host rotator advance. Returns ``(state2,
+        pending)`` where ``state2`` threads the carry/rotator to the NEXT
+        begin immediately (no device sync), while ``state2.fm_last`` is
+        still the pre-block value — it only advances when the matching
+        :meth:`step_exact_packed_end` consumes ``pending``, so ends must
+        run in dispatch order. Splitting lets a streaming caller keep
+        several blocks in flight and hide the device->host plane fetch
+        behind the next blocks' compute (40 ms RTT on a tunneled TPU)."""
+        import math as _math
+
         from tsl_sdr_tpu.runtime.native import rotator_seq
 
         block = np.asarray(block, np.int16).reshape(-1)
         carry, a_re, a_im = self._exact_packed_fir_fn(
             state.carry, jnp.asarray(block))
-        c = self.nr_channels
-        a_re = np.asarray(a_re).reshape(-1, c)
-        a_im = np.asarray(a_im).reshape(-1, c)
-        k = a_re.shape[0]
-
+        a_re.copy_to_host_async()
+        a_im.copy_to_host_async()
+        k = _math.prod(a_re.shape) // self.nr_channels
         # rotator values for the k outputs PLUS the carry-out for the next
         # block (the reference advances once per decimated output and never
         # renormalizes, filter/direct_fir.c:152-172)
         rot = rotator_seq(state.rot, self.packed_plan.rot_incr_i32, k + 1)
+        new_state = ExactPackedState(
+            carry=carry, rot=np.ascontiguousarray(rot[k]),
+            fm_last=state.fm_last)
+        return new_state, (a_re, a_im, rot[:k])
+
+    def step_exact_packed_end(self, fm_last, pending, want_ch: bool = False):
+        """Host half of the bit-exact step: fetch the FIR planes, apply
+        the exact Q.14 derotation/rounding and the LUT FM discriminator.
+        ``fm_last`` is the [C, 2] int32 FM carry from the PREVIOUS end.
+        Returns ``(fm_last2, pcm)`` (plus the channelized IQ when
+        ``want_ch``)."""
+        from tsl_sdr_tpu.ops.fm import fm_demod_np
+
+        a_re_d, a_im_d, rot = pending
+        c = self.nr_channels
+        a_re = np.asarray(a_re_d).reshape(-1, c)
+        a_im = np.asarray(a_im_d).reshape(-1, c)
+        k = a_re.shape[0]
         d_re = (a_re.astype(np.int32) * rot[:k, :, 0]
                 - a_im.astype(np.int32) * rot[:k, :, 1])
         d_im = (a_re.astype(np.int32) * rot[:k, :, 1]
@@ -235,14 +258,23 @@ class MultifmChain:
             return ((v >> 14) + ((v >> 13) & 1)).astype(np.int16)
 
         ch = np.stack([round_np(d_re), round_np(d_im)], axis=-1)  # [K, C, 2]
-        pcm, fm_last = fm_demod_np(np.moveaxis(ch, 1, 0),
-                                   last=state.fm_last)
-        new_state = ExactPackedState(
-            carry=carry, rot=np.ascontiguousarray(rot[k]),
-            fm_last=np.asarray(fm_last, np.int32))
+        pcm, fm_last2 = fm_demod_np(np.moveaxis(ch, 1, 0), last=fm_last)
+        fm_last2 = np.asarray(fm_last2, np.int32)
+        if want_ch:
+            return fm_last2, pcm, ch
+        return fm_last2, pcm
+
+    def _step_exact_packed_impl(self, state: ExactPackedState, block,
+                                want_debug: bool = False):
+        """Shared body: MXU FIR block on device, serial rotator + exact
+        rounding + LUT FM on the host, all carries threaded."""
+        st2, pending = self.step_exact_packed_begin(state, block)
         if want_debug:
-            return new_state, pcm, ch
-        return new_state, pcm
+            fm_last, pcm, ch = self.step_exact_packed_end(
+                state.fm_last, pending, want_ch=True)
+            return st2._replace(fm_last=fm_last), pcm, ch
+        fm_last, pcm = self.step_exact_packed_end(state.fm_last, pending)
+        return st2._replace(fm_last=fm_last), pcm
 
     def step_exact_packed(self, state: ExactPackedState, block):
         """(state, block [N,2]|[2N] int16) -> (state, pcm [C, K]) — the

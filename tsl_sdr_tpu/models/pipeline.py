@@ -327,20 +327,33 @@ class ReceivePipeline:
         # decode-identical to the single-device program (see _SizedProgram)
         self.mesh = mesh
         # multi-PROCESS mesh (devices owned by other jax processes over
-        # DCN): block uploads and the initial state become global
-        # replicated arrays, and per-block outputs are gathered back to
-        # every process on-device (with_sharding_constraint to replicated)
-        # so the host drain logic works unchanged. Single-process meshes
-        # leave every path untouched.
+        # DCN): the initial state becomes a global replicated array, block
+        # uploads become TIME-SHARDED global arrays assembled from each
+        # process's local span (every host uploads only 1/P of the block —
+        # see _dispatch), and per-block outputs are gathered back to every
+        # process on-device (with_sharding_constraint to replicated) so the
+        # host drain logic works unchanged. Single-process meshes leave
+        # every path untouched.
         self._mp_repl = None
+        self._mp_time_sharding = None
+        self._sp_time_sharding = None
         if mesh is not None:
             import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+            from tsl_sdr_tpu.parallel.mesh import TIME_AXIS
 
-            if any(d.process_index != jax.process_index()
-                   for d in mesh.devices.flat):
-                from jax.sharding import NamedSharding, PartitionSpec
-
+            multiproc = any(d.process_index != jax.process_index()
+                            for d in mesh.devices.flat)
+            time_sh = (NamedSharding(mesh, PartitionSpec(TIME_AXIS))
+                       if mesh.shape.get(TIME_AXIS, 1) > 1 else None)
+            if multiproc:
                 self._mp_repl = NamedSharding(mesh, PartitionSpec())
+                self._mp_time_sharding = time_sh
+            else:
+                # single-process mesh: device_put the block WITH the time
+                # sharding so ingest DMAs land on every chip in parallel
+                # instead of one chip + an on-device scatter
+                self._sp_time_sharding = time_sh
         # device->host latency hiding: up to ``inflight_depth`` blocks stay
         # in flight before the oldest is drained, so each block's async
         # copies get ~depth iterations to land before np.asarray touches
@@ -571,6 +584,10 @@ class ReceivePipeline:
             # how many had their full bit rows fetched/fed
             "blocks": 0,
             "fetched": np.zeros(len(self.channels), np.int64),
+            # int16 elements THIS process moved host->device for block
+            # ingest (multi-process time meshes upload only the local
+            # 1/P span; replicated fallback uploads the whole block)
+            "upload_elems": 0,
             # speculative-prefetch state: a pack group that fetched rows
             # last block is "hot" — its next packed array is streamed to
             # the host asynchronously while the device computes, so the
@@ -588,8 +605,10 @@ class ReceivePipeline:
             if getattr(self, "_last_stream_stats", None) is not None:
                 return dict(self._last_stream_stats)
             return {"blocks": 0,
-                    "fetched": np.zeros(len(self.channels), np.int64)}
-        return {"blocks": s["blocks"], "fetched": s["fetched"].copy()}
+                    "fetched": np.zeros(len(self.channels), np.int64),
+                    "upload_elems": 0}
+        return {"blocks": s["blocks"], "fetched": s["fetched"].copy(),
+                "upload_elems": s["upload_elems"]}
 
     def push(self, iq) -> list:
         """Feed wideband IQ (any length); decode what completes.
@@ -653,8 +672,30 @@ class ReceivePipeline:
         s = self._stream
         prog = self._program(block.shape[0])
         flat = np.ascontiguousarray(block).reshape(-1)
-        vals = (jax.device_put(flat, self._mp_repl)
-                if self._mp_repl is not None else jax.device_put(flat))
+        if self._mp_time_sharding is not None:
+            # multi-process time mesh: assemble a TIME-SHARDED global
+            # array from this process's local spans only, so each host
+            # uploads 1/P of the block instead of replicating it (the
+            # real-pod ingest recipe: per-host spans over DCN,
+            # scaling-book style). A global array's semantics don't
+            # depend on its sharding, so decode is unchanged.
+            sh = self._mp_time_sharding
+            imap = sh.devices_indices_map((flat.shape[0],))
+            pieces = []
+            for d in sh.addressable_devices:
+                piece = flat[imap[d][0]]
+                pieces.append(jax.device_put(piece, d))
+                s["upload_elems"] += piece.shape[0]
+            vals = jax.make_array_from_single_device_arrays(
+                (flat.shape[0],), sh, pieces)
+        elif self._mp_repl is not None:
+            vals = jax.device_put(flat, self._mp_repl)
+            s["upload_elems"] += flat.shape[0]
+        else:
+            vals = jax.device_put(flat, self._sp_time_sharding) \
+                if self._sp_time_sharding is not None \
+                else jax.device_put(flat)
+            s["upload_elems"] += flat.shape[0]
         st = s["st"]
         chain_st, rs, dc, tails, outs = prog.fn(
             st["chain"], st["rs"], st["dc"], st["tails"], vals
@@ -791,26 +832,36 @@ class ReceivePipeline:
     #
     # The exact tier is the parity oracle: every stage already has a
     # bit-exact (state, block) step, so streaming is a host-coordinated
-    # block loop — chain.step on device, then per channel invert ->
-    # buffered resampler steps -> DC block -> decoder scan, all carries
-    # threaded. No prefilter/gating (throughput is the production tier's
-    # job); output is bit-identical to _process_capture_host at any
-    # push() split points.
+    # block loop — MXU FIR dispatched per block with the plane fetches
+    # async and inflight_depth blocks in flight (the fetch RTT overlaps
+    # the next blocks' device compute), then in dispatch order: host
+    # derotate/round/LUT-FM -> per-ratio-group vmapped resampler scan
+    # (ONE device round trip per group, not per channel) -> DC block ->
+    # decoder scan, all carries threaded. No prefilter/gating (egress
+    # stays at full PCM; bit-exactness is this tier's contract); output
+    # is bit-identical to _process_capture_host at any push() split.
 
     def _xstream_init(self, prefix):
         from tsl_sdr_tpu.ops import dc_blocker as dcb
 
+        c = self.chain.nr_channels
         self._xstream = {
             "st": self.chain.init_state(prefix=prefix),
             "buf": [],
             "buf_len": 0,
-            # per-channel resampler state: None until head-primed with the
-            # first carry_len channel samples (rs.process_array semantics)
-            "rs_st": {i: None for i, rs in enumerate(self._resamplers)
-                      if rs is not None},
-            "abuf": {i: np.zeros(0, np.int16)
-                     for i, rs in enumerate(self._resamplers)
-                     if rs is not None},
+            # FIR plane fetches in flight (see step_exact_packed_begin):
+            # the device computes block k+1..k+depth while block k's
+            # planes stream to the host — the fetch RTT stops gating e2e
+            "fir_inflight": deque(),
+            # the FM carry advances at END (host) time, in dispatch order
+            "fm_last": np.zeros((c, 2), np.int32),
+            # per-RATIO-GROUP resampler state/buffer: channels sharing a
+            # ratio are in lockstep (same K per block, same carry_len), so
+            # one vmapped device scan serves the whole group — one device
+            # round trip per group per block instead of one per channel
+            "g_rs_st": {gid: None for gid in self._rs_groups},
+            "g_abuf": {gid: np.zeros((len(idxs), 0), np.int16)
+                       for gid, idxs in self._rs_groups.items()},
             "dc_st": {i: dcb.init_dc_blocker_state()
                       for i, _ in self._dc_items},
         }
@@ -819,54 +870,95 @@ class ReceivePipeline:
         new = [[] for _ in self.channels]
         for block in self._pump_blocks(iq, "_xstream", self._xstream_init):
             x = self._xstream
-            x["st"], pcm = self.chain.step(x["st"], block)
-            self._drain_exact(np.asarray(pcm), new)
+            x["st"], pending = self.chain.step_exact_packed_begin(
+                x["st"], block)
+            x["fir_inflight"].append(pending)
+            while len(x["fir_inflight"]) > self.inflight_depth:
+                self._drain_exact_fir(x["fir_inflight"].popleft(), new)
         return new
 
-    def _rs_primed(self, i: int, rs, buf):
-        """Head-prime resampler ``i`` from ``buf`` if it has no state yet.
-        Returns ``(state, remaining)``; state None = still under the
-        carry-length prefix (caller keeps buffering)."""
-        st = self._xstream["rs_st"][i]
-        if st is not None:
-            return st, buf
-        c_len = rs.plan.carry_len
-        if buf.shape[0] < c_len + 1:
-            return None, buf
-        return rs.init_state(prefix=buf[:c_len]), buf[c_len:]
+    def _drain_exact_fir(self, pending, new: list):
+        """Finish one in-flight exact FIR block (host derotate/round/FM,
+        FM carry threaded in dispatch order) and run the back half."""
+        x = self._xstream
+        x["fm_last"], pcm = self.chain.step_exact_packed_end(
+            x["fm_last"], pending)
+        self._drain_exact(pcm, new)
+
+    def _gid_chain(self, gid):
+        """The (shared-taps) ResamplerChain for a ratio group."""
+        return self._resamplers[self._rs_groups[gid][0]]
+
+    def _stack_rs_states(self, gid, prefixes: np.ndarray):
+        """Head-prime every channel of a ratio group from its [G, c_len]
+        prefix rows; returns the stacked (leading G axis) state pytree."""
+        import jax
+        import jax.numpy as jnp
+
+        rs = self._gid_chain(gid)
+        states = [rs.init_state(prefix=prefixes[j])
+                  for j in range(prefixes.shape[0])]
+        return jax.tree.map(lambda *ls: jnp.stack(ls), *states)
+
+    def _exact_gscan(self, gid):
+        """jit(vmap(scan)) over a ratio group: [G, chunks, block_in] int16
+        -> [G, chunks, block_out], states carried per row. Bit-identical
+        to per-channel scans (integer ops; vmap only batches them)."""
+        import jax
+
+        fns = getattr(self, "_exact_gscan_fns", None)
+        if fns is None:
+            fns = self._exact_gscan_fns = {}
+        if gid not in fns:
+            rs = self._gid_chain(gid)
+            fns[gid] = jax.jit(jax.vmap(rs.scan_fn))
+        return fns[gid]
 
     def _drain_exact(self, pcm: np.ndarray, new: list):
         import jax.numpy as jnp
 
         x = self._xstream
+        pcm = np.asarray(pcm, np.int16)
+        audio = {}
         for i, spec in enumerate(self.channels):
-            audio = np.asarray(pcm[i], np.int16)
+            a = pcm[i]
             if spec.invert:
-                audio = np.clip(
-                    -(audio.astype(np.int32)), -32768, 32767
+                a = np.clip(
+                    -(a.astype(np.int32)), -32768, 32767
                 ).astype(np.int16)
-            rs = self._resamplers[i]
-            if rs is not None:
-                buf = np.concatenate([x["abuf"][i], audio]) \
-                    if x["abuf"][i].size else audio
-                st, buf = self._rs_primed(i, rs, buf)
-                if st is None:
-                    x["abuf"][i] = buf
+            audio[i] = a
+        for gid, idxs in self._rs_groups.items():
+            rows = np.stack([audio[i] for i in idxs])  # [G, K]
+            buf = (np.concatenate([x["g_abuf"][gid], rows], axis=1)
+                   if x["g_abuf"][gid].shape[1] else rows)
+            rs = self._gid_chain(gid)
+            if x["g_rs_st"][gid] is None:
+                c_len = rs.plan.carry_len
+                if buf.shape[1] < c_len + 1:
+                    x["g_abuf"][gid] = buf
                     continue
-                n_in = rs.plan.block_in
-                chunks = buf.shape[0] // n_in
-                if chunks:
-                    st, out = rs.scan_fn(
-                        st, jnp.asarray(buf[: chunks * n_in]
-                                        .reshape(chunks, n_in))
-                    )
-                    audio = np.asarray(out).reshape(-1)
-                    buf = buf[chunks * n_in :]
-                else:
-                    audio = np.zeros(0, np.int16)
-                x["rs_st"][i] = st
-                x["abuf"][i] = buf
-            self._exact_channel_out(i, audio, new)
+                x["g_rs_st"][gid] = self._stack_rs_states(gid,
+                                                          buf[:, :c_len])
+                buf = buf[:, c_len:]
+            n_in = rs.plan.block_in
+            chunks = buf.shape[1] // n_in
+            if chunks:
+                st, out = self._exact_gscan(gid)(
+                    x["g_rs_st"][gid],
+                    jnp.asarray(buf[:, : chunks * n_in]
+                                .reshape(len(idxs), chunks, n_in)),
+                )
+                x["g_rs_st"][gid] = st
+                outs = np.asarray(out).reshape(len(idxs), -1)
+                buf = buf[:, chunks * n_in:]
+            else:
+                outs = np.zeros((len(idxs), 0), np.int16)
+            x["g_abuf"][gid] = buf
+            for j, i in enumerate(idxs):
+                self._exact_channel_out(i, outs[j], new)
+        for i in range(len(self.channels)):
+            if self._ratio_gid[i] is None:
+                self._exact_channel_out(i, audio[i], new)
 
     def _exact_channel_out(self, i: int, audio: np.ndarray, new: list):
         """Post-resampler per-channel stages: DC block -> decode/collect."""
@@ -889,35 +981,49 @@ class ReceivePipeline:
             new[i].extend(dec.scan(np.asarray(audio)))
 
     def _flush_exact(self) -> list:
+        import jax
+
         x = self._xstream
         if x is None:
             return self._flush_unprimed()
         new = [[] for _ in self.channels]
+        # drain the in-flight FIR blocks first: the tail block's END needs
+        # the current FM carry, which only advances at drain time
+        while x["fir_inflight"]:
+            self._drain_exact_fir(x["fir_inflight"].popleft(), new)
         if x["buf_len"]:
             buf = np.concatenate(x["buf"]) if len(x["buf"]) > 1 else x["buf"][0]
             q = self.chain.block_quantum
             usable = buf.shape[0] // q * q
             if usable:
-                x["st"], pcm = self.chain.step(x["st"], buf[:usable])
-                self._drain_exact(np.asarray(pcm), new)
+                x["st"], pending = self.chain.step_exact_packed_begin(
+                    x["st"], buf[:usable])
+                self._drain_exact_fir(pending, new)
             x["buf"] = []
             x["buf_len"] = 0
-        # sub-block_in resampler tails: one shorter-plan step each, chained
-        # through the live carry (same taps/phase0 => same carry_len)
-        for i, rs in enumerate(self._resamplers):
-            if rs is None:
-                continue
-            st, buf = self._rs_primed(i, rs, x["abuf"][i])
-            if st is None:
-                continue
-            tail_use = buf.shape[0] // rs.plan.d_rep * rs.plan.d_rep
+        # sub-block_in resampler tails: one shorter-plan step per channel,
+        # chained through the live carry (same taps/phase0 => same
+        # carry_len); group states are sliced back to per-channel rows
+        for gid, idxs in self._rs_groups.items():
+            rs = self._gid_chain(gid)
+            buf = x["g_abuf"][gid]
+            st_g = x["g_rs_st"][gid]
+            if st_g is None:
+                c_len = rs.plan.carry_len
+                if buf.shape[1] < c_len + 1:
+                    continue
+                st_g = self._stack_rs_states(gid, buf[:, :c_len])
+                buf = buf[:, c_len:]
+            tail_use = buf.shape[1] // rs.plan.d_rep * rs.plan.d_rep
             if not tail_use:
                 continue
             tp = rs._tail_plan(tail_use)
             assert tp.carry_len == rs.plan.carry_len, (tp.carry_len,
                                                        rs.plan.carry_len)
-            _, out = rs.step(st, buf[:tail_use], plan=tp)
-            self._exact_channel_out(i, np.asarray(out).reshape(-1), new)
+            for j, i in enumerate(idxs):
+                st_j = jax.tree.map(lambda a, _j=j: a[_j], st_g)
+                _, out = rs.step(st_j, buf[j, :tail_use], plan=tp)
+                self._exact_channel_out(i, np.asarray(out).reshape(-1), new)
         # the stream consumed off-grid residue; a later push must re-prime
         self.stream_reset()
         return new

@@ -76,6 +76,8 @@ def main() -> int:
     ap.add_argument("--n-local", type=int, required=True)
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--outdir", required=True)
+    ap.add_argument("--channels", type=int, default=1,
+                    help="mesh channel-axis size (time axis gets the rest)")
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -98,13 +100,15 @@ def main() -> int:
 
     from tsl_sdr_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(time=len(jax.devices()), channels=1)
+    mesh = make_mesh(time=len(jax.devices()) // args.channels,
+                     channels=args.channels)
     msgs, stats = run_pipeline(mesh)
 
     with open(os.path.join(args.outdir, f"mhp_out_{args.pid}.json"),
               "w") as f:
         json.dump({"msgs": msgs, "blocks": int(stats["blocks"]),
-                   "fetched": [int(v) for v in stats["fetched"]]}, f)
+                   "fetched": [int(v) for v in stats["fetched"]],
+                   "upload_elems": int(stats["upload_elems"])}, f)
     print(json.dumps({"pid": args.pid, "procs": jax.process_count(),
                       "global_devices": len(jax.devices()),
                       "msgs": msgs}), flush=True)

@@ -167,11 +167,12 @@ def selftest_capture(plan, n_time_shards: int) -> np.ndarray:
 
 
 def launch_workers(module: str, n_processes: int, n_local: int,
-                   timeout: float = 600.0, attempts: int = 3):
+                   timeout: float = 600.0, attempts: int = 3,
+                   extra_args: tuple = ()):
     """Generic multi-process launcher: run ``python -m module`` as
     ``n_processes`` real OS processes (each with ``n_local`` virtual CPU
     devices and the standard --pid/--nproc/--n-local/--port/--outdir
-    argv), wait for all, raise on any nonzero exit. Returns
+    argv, plus ``extra_args``), wait for all, raise on any nonzero exit. Returns
     ``(tempdir, logs)`` — the caller reads the workers' artifacts from
     ``tempdir.name`` and lets it clean up. Retries the whole launch on
     coordinator-port races (the probed free port is TOCTOU)."""
@@ -195,7 +196,7 @@ def launch_workers(module: str, n_processes: int, n_local: int,
                     [sys.executable, "-m", module,
                      "--pid", str(pid), "--nproc", str(n_processes),
                      "--n-local", str(n_local), "--port", str(port),
-                     "--outdir", td.name],
+                     "--outdir", td.name, *extra_args],
                     env=env, stdout=subprocess.PIPE,
                     stderr=subprocess.STDOUT,
                 )
@@ -208,6 +209,8 @@ def launch_workers(module: str, n_processes: int, n_local: int,
                 except subprocess.TimeoutExpired:
                     for q in procs:
                         q.kill()
+                    for q in procs:  # reap — no zombies across retries
+                        q.communicate()
                     raise
                 logs.append(out.decode(errors="replace"))
             for p, log in zip(procs, logs):
