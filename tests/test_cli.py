@@ -161,6 +161,15 @@ def test_multifm_cli_file_device(tmp_path):
     assert msgs[0].capcode == 888888
     assert msgs[0].data == b"VIA MULTIFM"
 
+    # the native runtime's pipelined exact path (begin/end split, two FIR
+    # dispatches in flight) must emit byte-identical PCM
+    out_pcm.unlink()
+    rc = multifm_cli.main([str(cfg_path), "--exact", "--runtime", "native",
+                           "--block-size", "131072"])
+    assert rc == 0
+    pcm_native = np.fromfile(out_pcm, dtype=np.int16)
+    np.testing.assert_array_equal(pcm_native, pcm)
+
 
 def test_multifm_cli_live_stats(tmp_path, capsys):
     """--stats SECS prints periodic live counters lines during the run

@@ -264,8 +264,17 @@ def main(argv=None):
     # the fast tier's PCM stays a device array: start its device->host copy
     # asynchronously and drain it on the NEXT iteration so the transfer
     # latency overlaps the following block's compute (same pattern as
-    # models/pipeline.py; the exact-packed tier already returns host PCM)
+    # models/pipeline.py). The exact-packed tier pipelines via its
+    # begin/end split: async FIR plane fetches with two blocks in flight,
+    # host derotate/FM at drain time (fm carry threaded in order).
     pending_pcm = None
+    from collections import deque
+
+    x_infl: deque = deque()
+    fm_last = None
+    exact_pipe = (chain.exact
+                  and getattr(chain, "exact_tier", None) == "packed"
+                  and not debug_iq)
 
     def _emit(pcm):
         counters.samples_out += pcm.shape[1]
@@ -283,10 +292,21 @@ def main(argv=None):
                 for c, dbg in enumerate(dbg_sinks):
                     if dbg is not None:
                         ch_iq[c].astype(np.int16).tofile(dbg)
+            elif exact_pipe:
+                if fm_last is None:
+                    fm_last = state.fm_last
+                state, x_pend = chain.step_exact_packed_begin(state, blk)
+                pcm = None
+                x_infl.append(x_pend)
             else:
                 state, pcm = chain.step(state, blk)
             counters.samples_in += block
-            if isinstance(pcm, np.ndarray):
+            if exact_pipe:
+                if len(x_infl) > 2:
+                    fm_last, pcm_host = chain.step_exact_packed_end(
+                        fm_last, x_infl.popleft())
+                    _emit(pcm_host)
+            elif isinstance(pcm, np.ndarray):
                 _emit(pcm)
             else:
                 pcm.copy_to_host_async()
@@ -302,14 +322,21 @@ def main(argv=None):
     except (KeyboardInterrupt, BrokenPipeError):
         pass
     finally:
-        # drain the deferred PCM block HERE: Ctrl-C is the normal way to
-        # stop a live hw run and must not drop the last computed block
+        # drain the deferred PCM blocks HERE: Ctrl-C is the normal way to
+        # stop a live hw run and must not drop the last computed blocks
         if pending_pcm is not None:
             try:
                 _emit(np.asarray(pending_pcm))
             except (BrokenPipeError, ValueError):
                 pass
             pending_pcm = None
+        while x_infl:
+            try:
+                fm_last, pcm_host = chain.step_exact_packed_end(
+                    fm_last, x_infl.popleft())
+                _emit(pcm_host)
+            except (BrokenPipeError, ValueError):
+                break
         feeder.close()
         if hw_source is not None:
             hw_source.stop()
@@ -350,6 +377,22 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
     pending = np.zeros(0, np.int16)  # flat interleaved values
     quantum2 = 2 * chain.block_quantum
     iq_dump = open(args.iq_dump, "wb") if args.iq_dump else None
+    # latency hiding (same pattern as the python runtime): fast-tier PCM
+    # drains one block late behind an async copy; the exact-packed tier
+    # keeps two FIR dispatches in flight via its begin/end split
+    from collections import deque
+
+    x_infl: deque = deque()
+    fm_last = None
+    pending_pcm = None
+    exact_pipe = (chain.exact
+                  and getattr(chain, "exact_tier", None) == "packed")
+
+    def _emit(pcm_np):
+        counters.samples_out += pcm_np.shape[1]
+        for c, sink in enumerate(sinks):
+            sink.write(pcm_np[c])
+
     try:
         eof = False
         mute_vals = 2 * (cfg.sample_rate_hz * cfg.mute_startup_ms // 1000)
@@ -373,20 +416,41 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
                     continue
                 state = chain.init_state(prefix=pending[:c_need].reshape(-1, 2))
                 pending = pending[c_need:]
+                if exact_pipe:
+                    fm_last = state.fm_last
             n = pending.size // quantum2 * quantum2
             if n == 0:
                 continue
-            state, pcm = chain.step(state, pending[:n].reshape(-1, 2))
+            blk = pending[:n].reshape(-1, 2)
             pending = pending[n:]
-            pcm = np.asarray(pcm)
             counters.samples_in += n // 2
-            counters.samples_out += pcm.shape[1]
-            for c, sink in enumerate(sinks):
-                sink.write(pcm[c])
+            if exact_pipe:
+                state, x_pend = chain.step_exact_packed_begin(state, blk)
+                x_infl.append(x_pend)
+                if len(x_infl) > 2:
+                    fm_last, pcm_np = chain.step_exact_packed_end(
+                        fm_last, x_infl.popleft())
+                    _emit(pcm_np)
+            else:
+                state, pcm = chain.step(state, blk)
+                if isinstance(pcm, np.ndarray):
+                    _emit(pcm)
+                else:
+                    pcm.copy_to_host_async()
+                    if pending_pcm is not None:
+                        _emit(np.asarray(pending_pcm))
+                    pending_pcm = pcm
             ticker.tick()
     except KeyboardInterrupt:
         pass
     finally:
+        # drain the deferred blocks (Ctrl-C must not drop computed PCM)
+        if pending_pcm is not None:
+            _emit(np.asarray(pending_pcm))
+        while x_infl:
+            fm_last, pcm_np = chain.step_exact_packed_end(
+                fm_last, x_infl.popleft())
+            _emit(pcm_np)
         dropped = src.stats["dropped_frames"] + sum(
             s.stats["dropped_writes"] for s in sinks
         )
