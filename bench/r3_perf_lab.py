@@ -344,12 +344,16 @@ def exact():
         parts[200_000:200_000 + len(sig)] += sig
     iq = (parts + rng.normal(scale=80, size=parts.shape)).astype(np.int16)
     # TSL_LAB_TINY=1: CPU smoke mode (validates the harness, not a rate)
-    tiny = bool(int(os.environ.get("TSL_LAB_TINY", "0")))
+    tiny = os.environ.get("TSL_LAB_TINY", "").strip() in ("1", "true", "yes")
     iq2 = iq if tiny else np.concatenate([iq] * 2)
     bs = 1_048_576 if tiny else 4_194_304
     trials = 1 if tiny else 3
 
     for depth in ((2,) if tiny else (2, 4)):
+        # ONE pipeline per depth: the jitted FIR fn and the vmapped group
+        # scans cache per instance, and flush() resets the stream, so
+        # reusing the warmed pipe keeps compiles/retraces out of the
+        # timed trials (CLAUDE.md bench rule)
         pipe = ReceivePipeline(
             firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
             [ChannelSpec(center + o, "pocsag") for o in offsets],
@@ -361,10 +365,6 @@ def exact():
         assert caps == [200000 + k for k in range(8)], caps
         best = 0.0
         for _ in range(trials):
-            pipe = ReceivePipeline(
-                firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
-                [ChannelSpec(center + o, "pocsag") for o in offsets],
-                exact=True, block_size=bs, inflight_depth=depth)
             t0 = time.perf_counter()
             pipe.push(iq2)
             pipe.flush()

@@ -161,14 +161,21 @@ def test_multifm_cli_file_device(tmp_path):
     assert msgs[0].capcode == 888888
     assert msgs[0].data == b"VIA MULTIFM"
 
-    # the native runtime's pipelined exact path (begin/end split, two FIR
-    # dispatches in flight) must emit byte-identical PCM
+    # BOTH runtimes' pipelined exact paths (begin/end split, in-flight
+    # FIR dispatches) must agree byte-for-byte and decode: the python
+    # runtime cuts fixed blocks and drops the sub-block tail, the native
+    # runtime consumes to quantum granularity, so compare the common
+    # prefix (the default runtime above is native)
     out_pcm.unlink()
-    rc = multifm_cli.main([str(cfg_path), "--exact", "--runtime", "native",
+    rc = multifm_cli.main([str(cfg_path), "--exact", "--runtime", "python",
                            "--block-size", "131072"])
     assert rc == 0
-    pcm_native = np.fromfile(out_pcm, dtype=np.int16)
-    np.testing.assert_array_equal(pcm_native, pcm)
+    pcm_py = np.fromfile(out_pcm, dtype=np.int16)
+    n_common = min(len(pcm), len(pcm_py))
+    assert n_common > 0.9 * len(pcm)
+    np.testing.assert_array_equal(pcm_py[:n_common], pcm[:n_common])
+    msgs_py = PocsagDecoder().on_pcm(pcm_py)
+    assert [m.capcode for m in msgs_py] == [888888]
 
 
 def test_multifm_cli_live_stats(tmp_path, capsys):

@@ -14,9 +14,49 @@ from __future__ import annotations
 
 import argparse
 import sys
+from collections import deque
 
 import numpy as np
 
+# blocks of the packed exact tier kept in flight by the CLI runtimes
+# (models/pipeline.py exposes the same knob as inflight_depth)
+EXACT_INFLIGHT_DEPTH = 2
+
+
+class _ExactPipeliner:
+    """Begin/end pipelining of the packed bit-exact tier for the CLI
+    block loops: up to ``depth`` MXU FIR dispatches stay in flight (their
+    async plane fetches overlap the following blocks' device compute) and
+    the host halves run in dispatch order with the FM carry threaded —
+    shared by the python and native runtimes."""
+
+    def __init__(self, chain, emit, depth: int = EXACT_INFLIGHT_DEPTH):
+        self._chain = chain
+        self._emit = emit
+        self._depth = depth
+        self._infl: deque = deque()
+        self._fm_last = None
+
+    def feed(self, state, blk):
+        """Dispatch one block; emits the oldest block when over depth.
+        Returns the advanced (carry/rotator) chain state."""
+        if self._fm_last is None:
+            self._fm_last = state.fm_last
+        state, pend = self._chain.step_exact_packed_begin(state, blk)
+        self._infl.append(pend)
+        if len(self._infl) > self._depth:
+            self._end_one()
+        return state
+
+    def _end_one(self):
+        self._fm_last, pcm = self._chain.step_exact_packed_end(
+            self._fm_last, self._infl.popleft())
+        self._emit(pcm)
+
+    def drain(self):
+        """Finish every in-flight block (EOF / Ctrl-C path)."""
+        while self._infl:
+            self._end_one()
 
 
 def build_argparser():
@@ -264,14 +304,9 @@ def main(argv=None):
     # the fast tier's PCM stays a device array: start its device->host copy
     # asynchronously and drain it on the NEXT iteration so the transfer
     # latency overlaps the following block's compute (same pattern as
-    # models/pipeline.py). The exact-packed tier pipelines via its
-    # begin/end split: async FIR plane fetches with two blocks in flight,
-    # host derotate/FM at drain time (fm carry threaded in order).
+    # models/pipeline.py). The exact-packed tier pipelines via
+    # _ExactPipeliner (begin/end split, in-flight FIR plane fetches).
     pending_pcm = None
-    from collections import deque
-
-    x_infl: deque = deque()
-    fm_last = None
     exact_pipe = (chain.exact
                   and getattr(chain, "exact_tier", None) == "packed"
                   and not debug_iq)
@@ -281,6 +316,7 @@ def main(argv=None):
         for c, sink in enumerate(sinks):
             pcm[c].astype(np.int16).tofile(sink)
 
+    xp = _ExactPipeliner(chain, _emit) if exact_pipe else None
     try:
         for blk in feeder:
             if state is None:
@@ -293,19 +329,13 @@ def main(argv=None):
                     if dbg is not None:
                         ch_iq[c].astype(np.int16).tofile(dbg)
             elif exact_pipe:
-                if fm_last is None:
-                    fm_last = state.fm_last
-                state, x_pend = chain.step_exact_packed_begin(state, blk)
+                state = xp.feed(state, blk)
                 pcm = None
-                x_infl.append(x_pend)
             else:
                 state, pcm = chain.step(state, blk)
             counters.samples_in += block
             if exact_pipe:
-                if len(x_infl) > 2:
-                    fm_last, pcm_host = chain.step_exact_packed_end(
-                        fm_last, x_infl.popleft())
-                    _emit(pcm_host)
+                pass  # xp.feed emitted any over-depth block already
             elif isinstance(pcm, np.ndarray):
                 _emit(pcm)
             else:
@@ -330,13 +360,11 @@ def main(argv=None):
             except (BrokenPipeError, ValueError):
                 pass
             pending_pcm = None
-        while x_infl:
+        if xp is not None:
             try:
-                fm_last, pcm_host = chain.step_exact_packed_end(
-                    fm_last, x_infl.popleft())
-                _emit(pcm_host)
+                xp.drain()
             except (BrokenPipeError, ValueError):
-                break
+                pass
         feeder.close()
         if hw_source is not None:
             hw_source.stop()
@@ -379,11 +407,7 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
     iq_dump = open(args.iq_dump, "wb") if args.iq_dump else None
     # latency hiding (same pattern as the python runtime): fast-tier PCM
     # drains one block late behind an async copy; the exact-packed tier
-    # keeps two FIR dispatches in flight via its begin/end split
-    from collections import deque
-
-    x_infl: deque = deque()
-    fm_last = None
+    # keeps FIR dispatches in flight via _ExactPipeliner
     pending_pcm = None
     exact_pipe = (chain.exact
                   and getattr(chain, "exact_tier", None) == "packed")
@@ -393,6 +417,7 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
         for c, sink in enumerate(sinks):
             sink.write(pcm_np[c])
 
+    xp = _ExactPipeliner(chain, _emit) if exact_pipe else None
     try:
         eof = False
         mute_vals = 2 * (cfg.sample_rate_hz * cfg.mute_startup_ms // 1000)
@@ -416,8 +441,6 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
                     continue
                 state = chain.init_state(prefix=pending[:c_need].reshape(-1, 2))
                 pending = pending[c_need:]
-                if exact_pipe:
-                    fm_last = state.fm_last
             n = pending.size // quantum2 * quantum2
             if n == 0:
                 continue
@@ -425,12 +448,7 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
             pending = pending[n:]
             counters.samples_in += n // 2
             if exact_pipe:
-                state, x_pend = chain.step_exact_packed_begin(state, blk)
-                x_infl.append(x_pend)
-                if len(x_infl) > 2:
-                    fm_last, pcm_np = chain.step_exact_packed_end(
-                        fm_last, x_infl.popleft())
-                    _emit(pcm_np)
+                state = xp.feed(state, blk)
             else:
                 state, pcm = chain.step(state, blk)
                 if isinstance(pcm, np.ndarray):
@@ -444,13 +462,15 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
     except KeyboardInterrupt:
         pass
     finally:
-        # drain the deferred blocks (Ctrl-C must not drop computed PCM)
-        if pending_pcm is not None:
-            _emit(np.asarray(pending_pcm))
-        while x_infl:
-            fm_last, pcm_np = chain.step_exact_packed_end(
-                fm_last, x_infl.popleft())
-            _emit(pcm_np)
+        # drain the deferred blocks (Ctrl-C must not drop computed PCM);
+        # guarded so a second Ctrl-C mid-fetch still reaches the closes
+        try:
+            if pending_pcm is not None:
+                _emit(np.asarray(pending_pcm))
+            if xp is not None:
+                xp.drain()
+        except (KeyboardInterrupt, BrokenPipeError, ValueError):
+            pass
         dropped = src.stats["dropped_frames"] + sum(
             s.stats["dropped_writes"] for s in sinks
         )
