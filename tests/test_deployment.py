@@ -27,7 +27,11 @@ pytestmark = pytest.mark.skipif(
 UNITY_FILTER = {"lpfCoeffs": [1.0]}
 
 
-def test_multifm_fifo_decoder_deployment(tmp_path):
+@pytest.mark.parametrize("tier_flags", [
+    [],           # production fast tier
+    ["--exact"],  # bit-exact tier through the pipelined begin/end loop
+], ids=["fast", "exact"])
+def test_multifm_fifo_decoder_deployment(tmp_path, tier_flags):
     decim = 32
     fs = 38400 * decim
     offset = 150_000
@@ -65,7 +69,8 @@ def test_multifm_fifo_decoder_deployment(tmp_path):
 
     def run_multifm():
         results["mfm"] = multifm_cli.main(
-            [str(cfg_path), "--runtime", "native", "--block-size", "131072"]
+            [str(cfg_path), *tier_flags, "--runtime", "native",
+             "--block-size", "131072"]
         )
 
     def run_decoder():
