@@ -85,6 +85,10 @@ def build_argparser():
                         "(rtl_sdr_if.c:132-136)")
     p.add_argument("--test-samples", type=int, default=1_048_576,
                    help="samples to synthesize when sdrTestMode is set")
+    p.add_argument("--inflight-depth", type=int, default=EXACT_INFLIGHT_DEPTH,
+                   help="exact tier: blocks kept in flight on the device "
+                        "(latency-hiding depth; adds depth blocks of "
+                        "output latency)")
     p.add_argument("--stats", type=float, default=0.0, metavar="SECS",
                    help="print a live counters line to stderr every SECS "
                         "seconds (0 = only the exit summary, like the "
@@ -316,7 +320,8 @@ def main(argv=None):
         for c, sink in enumerate(sinks):
             pcm[c].astype(np.int16).tofile(sink)
 
-    xp = _ExactPipeliner(chain, _emit) if exact_pipe else None
+    xp = (_ExactPipeliner(chain, _emit, depth=args.inflight_depth)
+          if exact_pipe else None)
     try:
         for blk in feeder:
             if state is None:
@@ -417,7 +422,8 @@ def _run_native(args, cfg, chain, iq_path, iq_fmt, block, counters):
         for c, sink in enumerate(sinks):
             sink.write(pcm_np[c])
 
-    xp = _ExactPipeliner(chain, _emit) if exact_pipe else None
+    xp = (_ExactPipeliner(chain, _emit, depth=args.inflight_depth)
+          if exact_pipe else None)
     try:
         eof = False
         mute_vals = 2 * (cfg.sample_rate_hz * cfg.mute_startup_ms // 1000)
