@@ -372,6 +372,40 @@ def exact():
         print(f"exact e2e depth={depth}: BEST {best:.1f} Msps", flush=True)
 
 
+def profile():
+    """Capture an XLA profiler trace of the flagship 8ch chain step (and
+    the 64ch grouped form) to /tmp/jaxtrace — kernel-level timing for the
+    pallas-vs-xla iteration (view with tensorboard or xprof)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from tsl_sdr_tpu.models.channelizer import MultifmChain
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    for nch, backend in ((8, "xla"), (8, "pallas"), (64, "xla")):
+        decim = 32
+        fs = 38400 * decim
+        lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+        offs = [(k - nch // 2) * 100_000 + 50_000 for k in range(nch)]
+        chain = MultifmChain(lpf, offs, fs, decim, exact=False,
+                             backend=backend)
+        n = 1_048_576
+        rng = np.random.default_rng(0)
+        blk = jnp.asarray(rng.integers(-8000, 8000, size=2 * n,
+                                       dtype=np.int64).astype(np.int16))
+        st = chain.init_state()
+        step = jax.jit(chain._step_raw)
+        st, out = step(st, blk)  # compile + warm
+        jax.block_until_ready(out)
+        tag = f"{nch}ch-{backend}"
+        with jax.profiler.trace(f"/tmp/jaxtrace/{tag}"):
+            for _ in range(8):
+                st, out = step(st, blk)
+            jax.block_until_ready(out)
+        print(f"trace written: /tmp/jaxtrace/{tag}", flush=True)
+
+
 def tunnel():
     """Re-measure the axon tunnel latency model (CLAUDE.md timing notes):
     RTT, h2d/d2h streaming bandwidth, dispatch cost, and whether
@@ -435,4 +469,5 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", "cpu")
     {"resampler": resampler, "chain": chain, "chain-tiles": chain_tiles,
-     "pipeline": pipeline, "tunnel": tunnel, "exact": exact}[sys.argv[1]]()
+     "pipeline": pipeline, "tunnel": tunnel, "exact": exact,
+     "profile": profile}[sys.argv[1]]()
