@@ -358,3 +358,51 @@ def test_multifm_cli_pallas_with_debug_tap_switches_backend(tmp_path, capsys):
     assert rc == 0
     assert "switching backends" in capsys.readouterr().err
     assert dbg.stat().st_size > 0
+
+
+def test_cli_config_errors_are_clean(tmp_path, capsys):
+    """Malformed/incomplete configs exit 2 with a diagnostic — no
+    traceback (the reference prints and exits, multifm.c:105-146)."""
+    # missing required keys, one at a time
+    good = {
+        "device": {"type": "file", "filename": "x", "fileFormat": "cs16"},
+        "sampleRateHz": 1228800, "centerFreqHz": 929500000,
+        "decimationFactor": 32, "lpfTaps": [1.0, 0.5],
+        "channels": [{"outFifo": "o", "chanCenterFreq": 929650000}],
+    }
+    for key in ("sampleRateHz", "centerFreqHz", "decimationFactor",
+                "lpfTaps", "channels"):
+        bad = {k: v for k, v in good.items() if k != key}
+        p = tmp_path / f"miss_{key}.json"
+        p.write_text(json.dumps(bad))
+        assert multifm_cli.main([str(p)]) == 2
+        err = capsys.readouterr().err
+        assert key in err or "lpfTaps" in err, (key, err)
+    # invalid JSON
+    p = tmp_path / "broken.json"
+    p.write_text("{not json")
+    assert multifm_cli.main([str(p)]) == 2
+    assert "invalid JSON" in capsys.readouterr().err
+    # missing file
+    assert multifm_cli.main([str(tmp_path / "enoent.json")]) == 2
+    assert "not found" in capsys.readouterr().err
+    # empty channel list
+    bad = dict(good); bad["channels"] = []
+    p = tmp_path / "noch.json"
+    p.write_text(json.dumps(bad))
+    assert multifm_cli.main([str(p)]) == 2
+    assert "channels" in capsys.readouterr().err
+    # bad numeric
+    bad = dict(good); bad["decimationFactor"] = "thirty-two"
+    p = tmp_path / "badnum.json"
+    p.write_text(json.dumps(bad))
+    assert multifm_cli.main([str(p)]) == 2
+    assert "bad value" in capsys.readouterr().err
+    # decoder/resampler filter file without taps
+    p = tmp_path / "nofilt.json"
+    p.write_text(json.dumps({"rationalResampler": {"interpolate": 1}}))
+    assert decoder_cli.main(["-m", "pocsag", "-I", "1", "-D", "1",
+                             "-S", "38400", "-F", str(p), "-f", "0",
+                             "-o", str(tmp_path / "o.json"),
+                             "-c", str(tmp_path / "in.pcm")]) == 2
+    assert "lpfCoeffs" in capsys.readouterr().err

@@ -75,7 +75,13 @@ def main(argv=None):
         proto = AisDecoder()
         to_json = jsonout.ais_message_json
 
-    coeffs = load_lpf_coeffs(args.filter_file)
+    from tsl_sdr_tpu.utils.config import ConfigError
+
+    try:
+        coeffs = load_lpf_coeffs(args.filter_file)
+    except ConfigError as e:
+        print(f"decoder-tpu: {e}", file=sys.stderr)
+        return 2
     chain = ResamplerChain(
         coeffs,
         args.interpolate,

@@ -165,7 +165,13 @@ def main(argv=None):
 
     install_sigterm_as_interrupt()
 
-    cfg = MultifmConfig.load(*args.configs)
+    from tsl_sdr_tpu.utils.config import ConfigError
+
+    try:
+        cfg = MultifmConfig.load(*args.configs)
+    except ConfigError as e:
+        print(f"multifm-tpu: {e}", file=sys.stderr)
+        return 2
     missing = [k for k, ch in enumerate(cfg.channels) if ch.out_fifo is None]
     if missing:
         print(f"multifm-tpu: channels {missing} have no outFifo "

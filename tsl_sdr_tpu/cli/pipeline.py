@@ -160,8 +160,14 @@ def main(argv=None):
     from tsl_sdr_tpu.utils.config import MultifmConfig, load_config
     from tsl_sdr_tpu.utils.jsonout import message_to_json
 
-    raw = load_config(*args.configs)
-    cfg = MultifmConfig.from_dict(raw)
+    from tsl_sdr_tpu.utils.config import ConfigError
+
+    try:
+        raw = load_config(*args.configs)
+        cfg = MultifmConfig.from_dict(raw)
+    except ConfigError as e:
+        print(f"pipeline-tpu: {e}", file=sys.stderr)
+        return 2
 
     iq_path = args.iq_file
     iq_fmt = args.iq_format

@@ -47,7 +47,13 @@ def main(argv=None):
     )
     from tsl_sdr_tpu.utils.config import load_lpf_coeffs
 
-    coeffs = load_lpf_coeffs(args.filter_file)
+    from tsl_sdr_tpu.utils.config import ConfigError
+
+    try:
+        coeffs = load_lpf_coeffs(args.filter_file)
+    except ConfigError as e:
+        print(f"resampler-tpu: {e}", file=sys.stderr)
+        return 2
     chain = ResamplerChain(
         coeffs,
         args.interpolate,

@@ -17,6 +17,18 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
+class ConfigError(ValueError):
+    """Malformed or incomplete configuration. The reference prints a
+    diagnostic and exits instead of crashing (``multifm/multifm.c:105-146``,
+    TSL config engine error returns); CLIs catch this and exit 2."""
+
+
+def _req(cfg: dict, key: str, what: str):
+    if key not in cfg:
+        raise ConfigError(f"missing required config key '{key}' ({what})")
+    return cfg[key]
+
+
 def _deep_merge(base: dict, extra: dict) -> dict:
     out = dict(base)
     for k, v in extra.items():
@@ -31,8 +43,13 @@ def load_config(*paths) -> dict:
     """Load and deep-merge one or more JSON config files (later files win)."""
     merged: dict = {}
     for p in paths:
-        with open(p) as f:
-            merged = _deep_merge(merged, json.load(f))
+        try:
+            with open(p) as f:
+                merged = _deep_merge(merged, json.load(f))
+        except FileNotFoundError:
+            raise ConfigError(f"config file not found: {p}") from None
+        except json.JSONDecodeError as e:
+            raise ConfigError(f"invalid JSON in {p}: {e}") from None
     return merged
 
 
@@ -77,31 +94,48 @@ class MultifmConfig:
     def from_dict(cls, cfg: dict) -> "MultifmConfig":
         dev = dict(cfg.get("device", {}))
         dev_type = dev.pop("type", "file")
-        channels = [
-            ChannelConfig(
-                out_fifo=ch.get("outFifo"),  # optional for pipeline-tpu
-                                             # protocol channels
-                chan_center_freq=int(ch["chanCenterFreq"]),
-                db_gain=ch.get("dBGain"),
-                signal_debug_file=ch.get("signalDebugFile"),
-            )
-            for ch in cfg["channels"]
-        ]
+        channels_raw = _req(cfg, "channels", "channel list")
+        if not isinstance(channels_raw, list) or not channels_raw:
+            raise ConfigError("'channels' must be a non-empty list")
+        try:
+            channels = [
+                ChannelConfig(
+                    out_fifo=ch.get("outFifo"),  # optional for pipeline-tpu
+                                                 # protocol channels
+                    chan_center_freq=int(
+                        _req(ch, "chanCenterFreq",
+                             "channel center frequency in Hz")),
+                    db_gain=ch.get("dBGain"),
+                    signal_debug_file=ch.get("signalDebugFile"),
+                )
+                for ch in channels_raw
+            ]
+        except AttributeError:
+            raise ConfigError(
+                "'channels' entries must be JSON objects") from None
         if "lpfTaps" not in cfg:
-            raise ValueError(
+            raise ConfigError(
                 "Need a baseband filter with at least two taps as 'lpfTaps'"
             )
-        return cls(
-            device=DeviceConfig(type=dev_type, params=dev),
-            sample_rate_hz=int(cfg["sampleRateHz"]),
-            center_freq_hz=int(cfg["centerFreqHz"]),
-            decimation_factor=int(cfg["decimationFactor"]),
-            lpf_taps=[float(t) for t in cfg["lpfTaps"]],
-            channels=channels,
-            nr_samp_bufs=int(cfg.get("nrSampBufs", 128)),
-            mute_startup_ms=int(cfg.get("muteStartupMs", 0)),
-            raw=cfg,
-        )
+        try:
+            return cls(
+                device=DeviceConfig(type=dev_type, params=dev),
+                sample_rate_hz=int(
+                    _req(cfg, "sampleRateHz", "input sample rate in Hz")),
+                center_freq_hz=int(
+                    _req(cfg, "centerFreqHz", "capture center frequency in Hz")),
+                decimation_factor=int(
+                    _req(cfg, "decimationFactor", "channelizer decimation")),
+                lpf_taps=[float(t) for t in cfg["lpfTaps"]],
+                channels=channels,
+                nr_samp_bufs=int(cfg.get("nrSampBufs", 128)),
+                mute_startup_ms=int(cfg.get("muteStartupMs", 0)),
+                raw=cfg,
+            )
+        except (TypeError, ValueError) as e:
+            if isinstance(e, ConfigError):
+                raise
+            raise ConfigError(f"bad value in config: {e}") from None
 
     @classmethod
     def load(cls, *paths) -> "MultifmConfig":
@@ -135,7 +169,8 @@ class RationalResamplerConfig:
         return cls(
             interpolate=int(cfg["interpolate"]) if "interpolate" in cfg else 1,
             decimate=int(cfg["decimate"]) if "decimate" in cfg else 1,
-            lpf_coeffs=[float(t) for t in cfg["lpfCoeffs"]],
+            lpf_coeffs=[float(t) for t in
+                        _req(cfg, "lpfCoeffs", "resampler filter taps")],
             fractional_bw=cfg.get("fractionalBw"),
         )
 
@@ -151,4 +186,7 @@ def load_lpf_coeffs(path) -> list[float]:
     if "rationalResampler" in cfg:
         cfg = cfg["rationalResampler"]
     key = "lpfCoeffs" if "lpfCoeffs" in cfg else "lpfTaps"
+    if key not in cfg:
+        raise ConfigError(
+            f"no 'lpfCoeffs' (or 'lpfTaps') filter taps in {path}")
     return [float(t) for t in cfg[key]]
