@@ -109,3 +109,73 @@ def test_multiprocess_fused_pipeline_decodes_identically(
         assert o["blocks"] == int(want_stats["blocks"])
         assert o["upload_elems"] == int(
             want_stats["upload_elems"] * upload_frac), o
+
+
+def test_pipeline_cli_distributed_two_processes(tmp_path):
+    """pipeline-tpu --distributed: the deployment CLI itself runs across
+    2 real OS processes (jax.distributed), GSPMD-spanning the default
+    time mesh over all global devices; rank 0 emits the JSON messages a
+    single-process run produces, other ranks stay silent."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from tsl_sdr_tpu.parallel._mh_pipeline_worker import _capture, run_pipeline
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    decim, fs, center = 32, 38400 * 32, 929_500_000
+    iq = _capture(fs, decim)
+    iq_path = tmp_path / "cap.cs16"
+    iq.reshape(-1).tofile(iq_path)
+    lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+    cfg = {
+        "device": {"type": "file", "filename": str(iq_path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": fs, "centerFreqHz": center,
+        "decimationFactor": decim,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [
+            {"protocol": "pocsag", "chanCenterFreq": center + 250_000},
+            {"protocol": "pocsag", "chanCenterFreq": center - 250_000},
+        ],
+    }
+    cfg_path = tmp_path / "pipe.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # the -c wrapper forces the cpu platform BEFORE backend init (the
+    # box's site hook re-forces JAX_PLATFORMS, so env alone is not enough)
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import sys; from tsl_sdr_tpu.cli import pipeline; "
+            "sys.exit(pipeline.main(sys.argv[1:]))")
+    outs = {p: tmp_path / f"out{p}.json" for p in (0, 1)}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(cfg_path),
+             "--distributed", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(p),
+             "-o", str(outs[p]), "--block-size", "393216"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for p in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        logs.append(out.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), logs
+
+    want_msgs, _stats = run_pipeline(None)  # same capture, single process
+    want = [(m[0], m[1]) for m in want_msgs[0]]
+    assert [w[0] for w in want] == [7001, 7002]
+    lines = [json.loads(x) for x in outs[0].read_text().splitlines()]
+    assert [(m["capCode"], m["message"]) for m in lines] == [
+        (c, t.rstrip("\x00")) for c, t in want], (lines, want)
+    assert not outs[1].exists(), "rank 1 must not emit"

@@ -118,6 +118,18 @@ def build_argparser():
                         "this many devices (time axis of the mesh) — "
                         "single-stream scaling; composes with "
                         "--channel-shards (time*channels devices total)")
+    p.add_argument("--distributed", metavar="HOST:PORT", default=None,
+                   help="multi-host deployment: initialize jax.distributed "
+                        "with this coordinator address and span the "
+                        "--time/--channel-shards mesh across ALL processes' "
+                        "devices (run the same command on every host with a "
+                        "distinct --process-id; every host reads the same "
+                        "input stream but uploads only its 1/P time span "
+                        "per block). Only process 0 emits output")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count for --distributed")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank for --distributed")
     p.add_argument("--stats", type=float, default=0.0, metavar="SECS",
                    help="print a live stats line to stderr every SECS "
                         "seconds in --follow mode: samples, rate, "
@@ -143,6 +155,31 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+
+    is_main = True
+    if args.distributed is not None:
+        if args.num_processes is None or args.process_id is None:
+            print("pipeline-tpu: --distributed needs --num-processes and "
+                  "--process-id", file=sys.stderr)
+            return 2
+        if args.state_file is not None:
+            print("pipeline-tpu: --state-file is single-process; "
+                  "multi-host deployments checkpoint their input feed "
+                  "per host", file=sys.stderr)
+            return 2
+        # must run before anything touches jax devices
+        from tsl_sdr_tpu.parallel import multihost
+
+        multihost.init(args.distributed,
+                       num_processes=args.num_processes,
+                       process_id=args.process_id)
+        import jax
+
+        is_main = jax.process_index() == 0
+        if args.time_shards == 1 and args.channel_shards == 1:
+            # default: split each block's samples across every global
+            # device — the single-stream scale-out shape
+            args.time_shards = len(jax.devices())
 
     if args.state_file is not None:
         if not args.follow:
@@ -233,13 +270,21 @@ def main(argv=None):
         mesh=mesh,
     )
 
-    out = open(args.output, "w", buffering=1) if args.output else sys.stdout
-    iq_dump = open(args.iq_dump, "wb") if args.iq_dump else None
+    if is_main:
+        out = open(args.output, "w", buffering=1) if args.output \
+            else sys.stdout
+    else:
+        # every process decodes identically (SPMD); only rank 0 emits
+        import os as _os
+
+        out = open(_os.devnull, "w")
+    iq_dump = (open(args.iq_dump, "wb")
+               if args.iq_dump and is_main else None)
     n_msgs = 0
     pcm_sinks = {
         i: open(ch.out_fifo, "wb")
         for i, (spec, ch) in enumerate(zip(specs, cfg.channels))
-        if spec.protocol == "pcm" and ch.out_fifo
+        if spec.protocol == "pcm" and ch.out_fifo and is_main
     }
 
     def emit(results):
