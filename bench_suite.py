@@ -249,6 +249,54 @@ def prep_pipeline_8ch():
     return trial
 
 
+def prep_exact_pipeline():
+    """The same 8-channel deployment on the BIT-EXACT tier: pipelined MXU
+    FIR (begin/end split, async plane fetches, 2 blocks in flight), host
+    derotate/LUT-FM, one vmapped exact resampler scan per ratio group."""
+    from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+    from tsl_sdr_tpu.testing import pocsag_gen
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    decim = 32
+    fs = 38400 * decim
+    center = 929_500_000
+    offsets = [-450_000, -320_000, -190_000, -60_000,
+               60_000, 190_000, 320_000, 450_000]
+    rng = np.random.default_rng(7)
+    parts = None
+    for k, off in enumerate(offsets):
+        bb = pocsag_gen.generate(
+            [pocsag_gen.PocsagBurst(capcode=300000 + k, function=1,
+                                    kind="alpha", content=f"EX{k}")],
+            baud=1200, tail_bits=256)
+        dev = bb.astype(np.float64) / 16384.0 * 19200
+        ph = np.cumsum(np.repeat(2 * np.pi * (off + dev) / fs, decim))
+        sig = np.stack([np.cos(ph), np.sin(ph)], -1) * 4000
+        if parts is None:
+            parts = np.zeros((len(sig) + 2_000_000, 2))
+        parts[200_000:200_000 + len(sig)] += sig
+    iq = (parts + rng.normal(scale=80, size=parts.shape)).astype(np.int16)
+    iq = np.concatenate([iq] * 4)
+
+    pipe = ReceivePipeline(
+        firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
+        [ChannelSpec(center + o, "pocsag") for o in offsets], exact=True,
+        block_size=4_194_304, inflight_depth=2)
+    got = pipe.push(iq)
+    for c, part in enumerate(pipe.flush()):
+        got[c].extend(part)
+    caps = sorted(set(m.capcode for msgs in got for m in msgs))
+    assert caps == [300000 + k for k in range(8)], caps
+
+    def trial():
+        t0 = time.perf_counter()
+        pipe.push(iq)
+        pipe.flush()
+        return len(iq) / (time.perf_counter() - t0) / 1e6
+
+    return trial
+
+
 def prep_decoder_scans():
     from tsl_sdr_tpu.models.ais import AisDecoder
     from tsl_sdr_tpu.models.flex import FlexDecoder
@@ -478,6 +526,7 @@ def main():
     host_benches = {
         "pocsag_chain_e2e": prep_pocsag_chain(),
         "pipeline_8ch_e2e": prep_pipeline_8ch(),
+        "exact_pipeline_8ch_e2e": prep_exact_pipeline(),
         "decoder_scans": prep_decoder_scans(),
         "decoder_dense": prep_decoder_dense(),
         "costas_native": prep_costas(),
@@ -529,6 +578,10 @@ def main():
         ("pipeline: 8-channel POCSAG deployment, wideband -> 8 decoded "
          "channels in one call",
          _fmt(flat["pipeline_8ch_e2e"]) + ", all 8 messages verified", "-"),
+        ("pipeline, BIT-EXACT tier: same 8-channel deployment, output == "
+         "the C arithmetic",
+         _fmt(flat["exact_pipeline_8ch_e2e"]) + ", all 8 messages verified",
+         "-"),
         ("decoder batch scans on sync-free PCM (host)",
          f"POCSAG {flat['decoder_scans/pocsag']['best']:.1f} / "
          f"FLEX {flat['decoder_scans/flex']['best']:.0f} / "
