@@ -349,3 +349,102 @@ def test_extended_class_b_roundtrip():
     assert (msg.dim_to_bow, msg.dim_to_stern, msg.dim_to_port,
             msg.dim_to_starboard) == (12, 8, 3, 4)
     assert msg.epfd_type == 1 and msg.heading == 123
+
+
+def test_control_message_types_roundtrip():
+    """Types 7/10/11/13/15/16/17/20/22/23 (beyond-reference extensions:
+    link-layer control + DGNSS messages, ITU-R M.1371-5) through the full
+    demodulator and their JSON forms."""
+    from tsl_sdr_tpu.models.ais import (
+        AisAcknowledge,
+        AisAssignmentCommand,
+        AisBaseStationReport,
+        AisChannelManagement,
+        AisDataLinkManagement,
+        AisDecoder,
+        AisDgnssBroadcast,
+        AisGroupAssignment,
+        AisInterrogation,
+        AisUtcInquiry,
+    )
+    from tsl_sdr_tpu.utils.jsonout import ais_message_json
+
+    pkts = [
+        gen.make_acknowledge(366000001, [(367000001, 1), (367000002, 3)]),
+        gen.make_acknowledge(366000001, [(367000009, 0)], msg_id=13),
+        gen.make_utc_inquiry(366000002, 367000003),
+        gen.make_utc_response(3669705, year=2026, month=8, day=18,
+                              hour=4, minute=30, second=7,
+                              longitude=-122.5, latitude=37.75),
+        gen.make_interrogation(366000004, [(367000005, 5, 100),
+                                           (367000005, 24, 200),
+                                           (367000006, 3, 300)]),
+        gen.make_assignment_command(366000007, [(367000008, 1111, 125),
+                                                (367000010, 2222, 250)]),
+        gen.make_dgnss_broadcast(3669708, longitude=-70.1, latitude=41.9,
+                                 data=b"\xde\xad\xbe\xef"),
+        gen.make_data_link_management(3669711, [(12, 5, 7, 250),
+                                                (1000, 1, 3, 1125)]),
+        gen.make_channel_management(3669712, channel_a=2087, channel_b=2088,
+                                    txrx_mode=1, power=1, ne_lon=-69.5,
+                                    ne_lat=43.0, sw_lon=-71.5, sw_lat=41.0,
+                                    band_a=1, zone_size=4),
+        gen.make_channel_management(3669712, dest1=367000020,
+                                    dest2=367000021),
+        gen.make_group_assignment(3669713, ne_lon=-69.0, ne_lat=44.0,
+                                  sw_lon=-72.0, sw_lat=40.5, station_type=6,
+                                  ship_type=30, txrx_mode=1, interval=9,
+                                  quiet_time=5),
+    ]
+    msgs = AisDecoder().on_pcm(gen.generate(pkts))
+    assert len(msgs) == len(pkts), [type(m).__name__ for m in msgs]
+
+    ack7, ack13, inq, utc, interro, assign, dgnss, dlm, chb, cha, grp = msgs
+    assert isinstance(ack7, AisAcknowledge) and ack7.msg_id == 7
+    assert ack7.acks == [(367000001, 1), (367000002, 3)]
+    assert '"type":"binaryAcknowledge"' in ais_message_json(ack7)
+    assert ack13.msg_id == 13 and ack13.acks == [(367000009, 0)]
+    assert '"type":"safetyAcknowledge"' in ais_message_json(ack13)
+
+    assert isinstance(inq, AisUtcInquiry) and inq.dest_mmsi == 367000003
+    assert '"type":"utcInquiry"' in ais_message_json(inq)
+
+    assert isinstance(utc, AisBaseStationReport) and utc.msg_id == 11
+    assert utc.mmsi == 3669705 and utc.hour == 4 and utc.second == 7
+    assert abs(utc.longitude - (-122.5)) < 1e-5
+    assert '"type":"utcDateResponse"' in ais_message_json(utc)
+
+    assert isinstance(interro, AisInterrogation)
+    assert interro.targets == [(367000005, 5, 100), (367000005, 24, 200),
+                               (367000006, 3, 300)]
+    assert '"type":"interrogation"' in ais_message_json(interro)
+
+    assert isinstance(assign, AisAssignmentCommand)
+    assert assign.assignments == [(367000008, 1111, 125),
+                                  (367000010, 2222, 250)]
+    assert '"type":"assignmentCommand"' in ais_message_json(assign)
+
+    assert isinstance(dgnss, AisDgnssBroadcast)
+    assert abs(dgnss.longitude - (-70.1)) < 1e-2
+    assert abs(dgnss.latitude - 41.9) < 1e-2
+    assert dgnss.data_bits == 32 and dgnss.data == "deadbeef"
+    assert '"type":"dgnssBroadcast"' in ais_message_json(dgnss)
+
+    assert isinstance(dlm, AisDataLinkManagement)
+    assert dlm.reservations == [(12, 5, 7, 250), (1000, 1, 3, 1125)]
+    assert '"type":"dataLinkManagement"' in ais_message_json(dlm)
+
+    assert isinstance(chb, AisChannelManagement) and not chb.addressed
+    assert chb.channel_a == 2087 and chb.txrx_mode == 1 and chb.power == 1
+    assert abs(chb.ne_lat - 43.0) < 1e-2 and abs(chb.sw_lon + 71.5) < 1e-2
+    assert chb.band_a == 1 and chb.zone_size == 4
+    assert '"type":"channelManagement"' in ais_message_json(chb)
+    assert cha.addressed and cha.dest1 == 367000020 \
+        and cha.dest2 == 367000021
+    assert '"destMmsi1":367000020' in ais_message_json(cha)
+
+    assert isinstance(grp, AisGroupAssignment)
+    assert grp.station_type == 6 and grp.ship_type == 30
+    assert grp.interval == 9 and grp.quiet_time == 5
+    assert abs(grp.sw_lat - 40.5) < 1e-2
+    assert '"type":"groupAssignment"' in ais_message_json(grp)

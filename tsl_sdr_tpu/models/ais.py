@@ -151,6 +151,7 @@ class AisBaseStationReport:
     latitude: float
     epfd_type: int
     epfd_name: str = ""
+    msg_id: int = 4  # 11 = UTC/date response (same layout, mobile station)
     raw: str = ""
 
 
@@ -334,13 +335,133 @@ class AisBinaryMessage:
     raw: str = ""
 
 
+@dataclass
+class AisAcknowledge:
+    """Type 7 (binary acknowledge) / type 13 (safety acknowledge) —
+    beyond-reference extension; layout per ITU-R M.1371-5 §§ M.3.7/3.11:
+    1-4 (dest_mmsi, sequence) pairs."""
+
+    mmsi: int
+    acks: list  # [(dest_mmsi, seqno), ...]
+    msg_id: int = 7
+    repeat: int = 0
+    raw: str = ""
+
+
+@dataclass
+class AisUtcInquiry:
+    """Type 10 (UTC/date inquiry) — beyond-reference extension;
+    ITU-R M.1371-5 § M.3.9 (72 bits)."""
+
+    mmsi: int
+    dest_mmsi: int
+    repeat: int = 0
+    raw: str = ""
+
+
+@dataclass
+class AisInterrogation:
+    """Type 15 (interrogation) — beyond-reference extension;
+    ITU-R M.1371-5 § M.3.13: up to two stations interrogated for
+    specific message types at slot offsets."""
+
+    mmsi: int
+    targets: list  # [(dest_mmsi, msg_type, slot_offset), ...]
+    repeat: int = 0
+    raw: str = ""
+
+
+@dataclass
+class AisAssignmentCommand:
+    """Type 16 (assignment mode command) — beyond-reference extension;
+    ITU-R M.1371-5 § M.3.14: 1-2 (dest_mmsi, offset, increment)
+    assignments."""
+
+    mmsi: int
+    assignments: list  # [(dest_mmsi, slot_offset, increment), ...]
+    repeat: int = 0
+    raw: str = ""
+
+
+@dataclass
+class AisDgnssBroadcast:
+    """Type 17 (DGNSS broadcast binary message) — beyond-reference
+    extension; ITU-R M.1371-5 § M.3.15: reference position in 1/10-minute
+    units plus the opaque DGNSS correction payload."""
+
+    mmsi: int
+    longitude: float
+    latitude: float
+    data: str
+    data_bits: int
+    repeat: int = 0
+    raw: str = ""
+
+
+@dataclass
+class AisDataLinkManagement:
+    """Type 20 (data link management) — beyond-reference extension;
+    ITU-R M.1371-5 § M.3.18: up to 4 FATDMA reservation blocks."""
+
+    mmsi: int
+    reservations: list  # [(slot_offset, number, timeout, increment), ...]
+    repeat: int = 0
+    raw: str = ""
+
+
+@dataclass
+class AisChannelManagement:
+    """Type 22 (channel management) — beyond-reference extension;
+    ITU-R M.1371-5 § M.3.20. Broadcast form carries a NE/SW region;
+    addressed form carries two destination MMSIs instead."""
+
+    mmsi: int
+    channel_a: int
+    channel_b: int
+    txrx_mode: int
+    power: int
+    addressed: bool
+    ne_lon: float = 0.0
+    ne_lat: float = 0.0
+    sw_lon: float = 0.0
+    sw_lat: float = 0.0
+    dest1: int = 0
+    dest2: int = 0
+    band_a: int = 0
+    band_b: int = 0
+    zone_size: int = 0
+    repeat: int = 0
+    raw: str = ""
+
+
+@dataclass
+class AisGroupAssignment:
+    """Type 23 (group assignment command) — beyond-reference extension;
+    ITU-R M.1371-5 § M.3.21: regional operating assignment for a station
+    group selected by region/type."""
+
+    mmsi: int
+    ne_lon: float
+    ne_lat: float
+    sw_lon: float
+    sw_lat: float
+    station_type: int
+    ship_type: int
+    txrx_mode: int
+    interval: int
+    quiet_time: int
+    repeat: int = 0
+    raw: str = ""
+
+
 # minimum payload length (bits) actually read per message type; the
 # reference instead BUG_ONs on a short read (ais_decode.c:34) — fatal by
 # design there, but a run-forever pipeline must survive the ~1/65536 noise
 # packets whose CRC collides, so short packets are rejected, not crashed on
-_MIN_BITS = {1: 143, 2: 143, 3: 143, 4: 138, 5: 422, 6: 88, 8: 56,
-             9: 134, 12: 72, 14: 40, 18: 139, 19: 305, 21: 270, 24: 160,
-             27: 94}
+_MIN_BITS = {1: 143, 2: 143, 3: 143, 4: 138, 5: 422, 6: 88, 7: 72, 8: 56,
+             9: 134, 10: 70, 11: 138, 12: 72, 13: 72, 14: 40, 15: 88,
+             16: 92, 17: 80, 18: 139, 19: 305, 20: 70, 21: 270, 22: 145,
+             23: 154, 24: 160, 27: 94}
 
 
 def decode_fields(packet: bytes):
@@ -389,10 +510,11 @@ def decode_fields(packet: bytes):
             repeat=repeat,
             raw=raw,
         )
-    if msg_id == 4:
+    if msg_id in (4, 11):  # type 11 = UTC/date response, same layout
         epfd = get_bitfield(packet, 134, 4)
         return AisBaseStationReport(
             mmsi=mmsi,
+            msg_id=msg_id,
             year=get_bitfield(packet, 38, 14),
             month=get_bitfield(packet, 52, 4),
             day=get_bitfield(packet, 56, 5),
@@ -535,6 +657,122 @@ def decode_fields(packet: bytes):
             epfd_type=get_bitfield(packet, 301, 4),
             repeat=repeat,
             raw=raw,
+        )
+    if msg_id in (7, 13):
+        # 1-4 (dest_mmsi, seqno) pairs; include only fully-present pairs
+        acks = []
+        bit = 40
+        while bit + 32 <= len(packet) * 8 and len(acks) < 4:
+            dest = get_bitfield(packet, bit, 30)
+            if dest == 0:
+                break
+            acks.append((dest, get_bitfield(packet, bit + 30, 2)))
+            bit += 32
+        if not acks:
+            return None
+        return AisAcknowledge(mmsi=mmsi, acks=acks, msg_id=msg_id,
+                              repeat=repeat, raw=raw)
+    if msg_id == 10:
+        return AisUtcInquiry(
+            mmsi=mmsi, dest_mmsi=get_bitfield(packet, 40, 30),
+            repeat=repeat, raw=raw,
+        )
+    if msg_id == 15:
+        nbits = len(packet) * 8
+        targets = []
+        m1 = get_bitfield(packet, 40, 30)
+        if m1:
+            targets.append((m1, get_bitfield(packet, 70, 6),
+                            get_bitfield(packet, 76, 12)))
+            if nbits >= 108:
+                t12 = get_bitfield(packet, 90, 6)
+                if t12:
+                    targets.append((m1, t12, get_bitfield(packet, 96, 12)))
+        if nbits >= 158:
+            m2 = get_bitfield(packet, 110, 30)
+            if m2:
+                targets.append((m2, get_bitfield(packet, 140, 6),
+                                get_bitfield(packet, 146, 12)))
+        if not targets:
+            return None
+        return AisInterrogation(mmsi=mmsi, targets=targets,
+                                repeat=repeat, raw=raw)
+    if msg_id == 16:
+        nbits = len(packet) * 8
+        assignments = [(get_bitfield(packet, 40, 30),
+                        get_bitfield(packet, 70, 12),
+                        get_bitfield(packet, 82, 10))]
+        if nbits >= 144:
+            m2 = get_bitfield(packet, 92, 30)
+            if m2:
+                assignments.append((m2, get_bitfield(packet, 122, 12),
+                                    get_bitfield(packet, 134, 10)))
+        return AisAssignmentCommand(mmsi=mmsi, assignments=assignments,
+                                    repeat=repeat, raw=raw)
+    if msg_id == 17:
+        data, nbits = _payload_hex(packet, 80)
+        return AisDgnssBroadcast(
+            mmsi=mmsi,
+            longitude=get_bitfield_signed(packet, 40, 18) / 600.0,
+            latitude=get_bitfield_signed(packet, 58, 17) / 600.0,
+            data=data, data_bits=nbits,
+            repeat=repeat, raw=raw,
+        )
+    if msg_id == 20:
+        reservations = []
+        bit = 40
+        while bit + 30 <= len(packet) * 8 and len(reservations) < 4:
+            offs = get_bitfield(packet, bit, 12)
+            if offs == 0:
+                break
+            reservations.append((offs,
+                                 get_bitfield(packet, bit + 12, 4),
+                                 get_bitfield(packet, bit + 16, 3),
+                                 get_bitfield(packet, bit + 19, 11)))
+            bit += 30
+        if not reservations:
+            return None
+        return AisDataLinkManagement(mmsi=mmsi, reservations=reservations,
+                                     repeat=repeat, raw=raw)
+    if msg_id == 22:
+        addressed = bool(get_bitfield(packet, 139, 1))
+        m = AisChannelManagement(
+            mmsi=mmsi,
+            channel_a=get_bitfield(packet, 40, 12),
+            channel_b=get_bitfield(packet, 52, 12),
+            txrx_mode=get_bitfield(packet, 64, 4),
+            power=get_bitfield(packet, 68, 1),
+            addressed=addressed,
+            band_a=get_bitfield(packet, 140, 1)
+            if len(packet) * 8 > 140 else 0,
+            band_b=get_bitfield(packet, 141, 1)
+            if len(packet) * 8 > 141 else 0,
+            zone_size=get_bitfield(packet, 142, 3)
+            if len(packet) * 8 >= 145 else 0,
+            repeat=repeat, raw=raw,
+        )
+        if addressed:
+            m.dest1 = get_bitfield(packet, 69, 30)
+            m.dest2 = get_bitfield(packet, 104, 30)
+        else:
+            m.ne_lon = get_bitfield_signed(packet, 69, 18) / 600.0
+            m.ne_lat = get_bitfield_signed(packet, 87, 17) / 600.0
+            m.sw_lon = get_bitfield_signed(packet, 104, 18) / 600.0
+            m.sw_lat = get_bitfield_signed(packet, 122, 17) / 600.0
+        return m
+    if msg_id == 23:
+        return AisGroupAssignment(
+            mmsi=mmsi,
+            ne_lon=get_bitfield_signed(packet, 40, 18) / 600.0,
+            ne_lat=get_bitfield_signed(packet, 58, 17) / 600.0,
+            sw_lon=get_bitfield_signed(packet, 75, 18) / 600.0,
+            sw_lat=get_bitfield_signed(packet, 93, 17) / 600.0,
+            station_type=get_bitfield(packet, 110, 4),
+            ship_type=get_bitfield(packet, 114, 8),
+            txrx_mode=get_bitfield(packet, 144, 2),
+            interval=get_bitfield(packet, 146, 4),
+            quiet_time=get_bitfield(packet, 150, 4),
+            repeat=repeat, raw=raw,
         )
     if msg_id == 27:
         return AisLongRangePositionReport(

@@ -394,3 +394,160 @@ def generate(packets: list[bytes], amplitude: int = 9000,
         out.append(nrzi_modulate(packet_to_bits(p), amplitude,
                                  lead_bits=gap_bits, tail_bits=gap_bits))
     return np.concatenate(out)
+
+
+def make_acknowledge(mmsi: int, acks, *, msg_id: int = 7) -> bytes:
+    """Type 7/13 (binary/safety acknowledge), ITU-R M.1371-5 §§ M.3.7/3.11:
+    ``acks`` = [(dest_mmsi, seqno), ...] (1-4 pairs)."""
+    nbits = 40 + 32 * len(acks)
+    p = bytearray((nbits + 7) // 8)
+    set_bitfield(p, 0, 6, msg_id)
+    set_bitfield(p, 8, 30, mmsi)
+    for k, (dest, seq) in enumerate(acks):
+        set_bitfield(p, 40 + 32 * k, 30, dest)
+        set_bitfield(p, 70 + 32 * k, 2, seq)
+    return bytes(p)
+
+
+def make_utc_inquiry(mmsi: int, dest_mmsi: int) -> bytes:
+    """Type 10 (UTC/date inquiry), ITU-R M.1371-5 § M.3.9 (72 bits)."""
+    p = bytearray(9)
+    set_bitfield(p, 0, 6, 10)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 40, 30, dest_mmsi)
+    return bytes(p)
+
+
+def make_interrogation(mmsi: int, targets) -> bytes:
+    """Type 15 (interrogation), ITU-R M.1371-5 § M.3.13: ``targets`` =
+    [(dest_mmsi, msg_type, slot_offset), ...] — one or two stations, the
+    first station optionally asked for a second message type."""
+    nbits = 160 if len(targets) > 2 else (110 if len(targets) == 2 else 88)
+    p = bytearray((nbits + 7) // 8)
+    set_bitfield(p, 0, 6, 15)
+    set_bitfield(p, 8, 30, mmsi)
+    d1, t1, o1 = targets[0]
+    set_bitfield(p, 40, 30, d1)
+    set_bitfield(p, 70, 6, t1)
+    set_bitfield(p, 76, 12, o1)
+    if len(targets) >= 2 and targets[1][0] == d1:
+        _, t12, o12 = targets[1]
+        set_bitfield(p, 90, 6, t12)
+        set_bitfield(p, 96, 12, o12)
+        rest = targets[2:]
+    else:
+        rest = targets[1:]
+    if rest:
+        d2, t2, o2 = rest[0]
+        set_bitfield(p, 110, 30, d2)
+        set_bitfield(p, 140, 6, t2)
+        set_bitfield(p, 146, 12, o2)
+    return bytes(p)
+
+
+def make_assignment_command(mmsi: int, assignments) -> bytes:
+    """Type 16 (assignment mode command), ITU-R M.1371-5 § M.3.14:
+    ``assignments`` = [(dest_mmsi, slot_offset, increment), ...] (1-2)."""
+    nbits = 144 if len(assignments) > 1 else 96
+    p = bytearray((nbits + 7) // 8)
+    set_bitfield(p, 0, 6, 16)
+    set_bitfield(p, 8, 30, mmsi)
+    d1, o1, i1 = assignments[0]
+    set_bitfield(p, 40, 30, d1)
+    set_bitfield(p, 70, 12, o1)
+    set_bitfield(p, 82, 10, i1)
+    if len(assignments) > 1:
+        d2, o2, i2 = assignments[1]
+        set_bitfield(p, 92, 30, d2)
+        set_bitfield(p, 122, 12, o2)
+        set_bitfield(p, 134, 10, i2)
+    return bytes(p)
+
+
+def make_dgnss_broadcast(
+    mmsi: int, *, longitude=0.0, latitude=0.0, data=b"", data_bits=None,
+) -> bytes:
+    """Type 17 (DGNSS broadcast), ITU-R M.1371-5 § M.3.15: 1/10-minute
+    reference position + opaque correction payload."""
+    data_bits = len(data) * 8 if data_bits is None else data_bits
+    nbits = 80 + data_bits
+    p = bytearray((nbits + 7) // 8)
+    set_bitfield(p, 0, 6, 17)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 40, 18, int(round(longitude * 600)) & ((1 << 18) - 1))
+    set_bitfield(p, 58, 17, int(round(latitude * 600)) & ((1 << 17) - 1))
+    _set_payload(p, 80, data, data_bits)
+    return bytes(p)
+
+
+def make_data_link_management(mmsi: int, reservations) -> bytes:
+    """Type 20 (data link management), ITU-R M.1371-5 § M.3.18:
+    ``reservations`` = [(slot_offset, number, timeout, increment), ...]."""
+    nbits = 40 + 30 * len(reservations)
+    p = bytearray((-(-nbits // 8)))
+    set_bitfield(p, 0, 6, 20)
+    set_bitfield(p, 8, 30, mmsi)
+    for k, (offs, num, tmo, inc) in enumerate(reservations):
+        b = 40 + 30 * k
+        set_bitfield(p, b, 12, offs)
+        set_bitfield(p, b + 12, 4, num)
+        set_bitfield(p, b + 16, 3, tmo)
+        set_bitfield(p, b + 19, 11, inc)
+    return bytes(p)
+
+
+def make_channel_management(
+    mmsi: int, *, channel_a=2087, channel_b=2088, txrx_mode=0, power=0,
+    ne_lon=0.0, ne_lat=0.0, sw_lon=0.0, sw_lat=0.0,
+    dest1=None, dest2=None, band_a=0, band_b=0, zone_size=3,
+) -> bytes:
+    """Type 22 (channel management), ITU-R M.1371-5 § M.3.20 (168 bits);
+    pass dest1/dest2 for the addressed form, a region otherwise."""
+    p = bytearray(21)
+    set_bitfield(p, 0, 6, 22)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 40, 12, channel_a)
+    set_bitfield(p, 52, 12, channel_b)
+    set_bitfield(p, 64, 4, txrx_mode)
+    set_bitfield(p, 68, 1, power)
+    if dest1 is not None:
+        set_bitfield(p, 69, 30, dest1)
+        set_bitfield(p, 104, 30, dest2 or 0)
+        set_bitfield(p, 139, 1, 1)
+    else:
+        set_bitfield(p, 69, 18, int(round(ne_lon * 600)) & ((1 << 18) - 1))
+        set_bitfield(p, 87, 17, int(round(ne_lat * 600)) & ((1 << 17) - 1))
+        set_bitfield(p, 104, 18, int(round(sw_lon * 600)) & ((1 << 18) - 1))
+        set_bitfield(p, 122, 17, int(round(sw_lat * 600)) & ((1 << 17) - 1))
+    set_bitfield(p, 140, 1, band_a)
+    set_bitfield(p, 141, 1, band_b)
+    set_bitfield(p, 142, 3, zone_size)
+    return bytes(p)
+
+
+def make_group_assignment(
+    mmsi: int, *, ne_lon=0.0, ne_lat=0.0, sw_lon=0.0, sw_lat=0.0,
+    station_type=0, ship_type=0, txrx_mode=0, interval=0, quiet_time=0,
+) -> bytes:
+    """Type 23 (group assignment command), ITU-R M.1371-5 § M.3.21
+    (160 bits)."""
+    p = bytearray(20)
+    set_bitfield(p, 0, 6, 23)
+    set_bitfield(p, 8, 30, mmsi)
+    set_bitfield(p, 40, 18, int(round(ne_lon * 600)) & ((1 << 18) - 1))
+    set_bitfield(p, 58, 17, int(round(ne_lat * 600)) & ((1 << 17) - 1))
+    set_bitfield(p, 75, 18, int(round(sw_lon * 600)) & ((1 << 18) - 1))
+    set_bitfield(p, 93, 17, int(round(sw_lat * 600)) & ((1 << 17) - 1))
+    set_bitfield(p, 110, 4, station_type)
+    set_bitfield(p, 114, 8, ship_type)
+    set_bitfield(p, 144, 2, txrx_mode)
+    set_bitfield(p, 146, 4, interval)
+    set_bitfield(p, 150, 4, quiet_time)
+    return bytes(p)
+
+
+def make_utc_response(mmsi: int, **kwargs) -> bytes:
+    """Type 11 (UTC/date response) — the type-4 layout with msg id 11."""
+    p = bytearray(make_base_station_report(mmsi, **kwargs))
+    p[0] = (p[0] & 0x03) | (11 << 2)
+    return bytes(p)

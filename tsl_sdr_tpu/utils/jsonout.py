@@ -107,17 +107,25 @@ def pocsag_message_json(m, now=None) -> str:
 def ais_message_json(m, now=None) -> str:
     """AIS report dataclasses -> reference JSON line."""
     from tsl_sdr_tpu.models.ais import (
+        AisAcknowledge,
         AisAidToNavigationReport,
+        AisAssignmentCommand,
         AisBaseStationReport,
         AisBinaryMessage,
+        AisChannelManagement,
         AisClassBPositionReport,
+        AisDataLinkManagement,
+        AisDgnssBroadcast,
         AisExtendedClassBReport,
+        AisGroupAssignment,
+        AisInterrogation,
         AisLongRangePositionReport,
         AisPositionReport,
         AisSafetyMessage,
         AisSarAircraftReport,
         AisStaticDataReport,
         AisStaticVoyageData,
+        AisUtcInquiry,
     )
 
     ts = _ts(now)
@@ -227,9 +235,82 @@ def ais_message_json(m, now=None) -> str:
             f'"course":{m.course},"heading":{m.heading},'
             f'"seconds":{m.timestamp},"rawAscii":"{raw}"}}'
         )
-    if isinstance(m, AisBaseStationReport):
+    if isinstance(m, AisAcknowledge):
+        kind = "binaryAcknowledge" if m.msg_id == 7 else "safetyAcknowledge"
+        acks = ",".join(
+            f'{{"destMmsi":{d},"seqNo":{s}}}' for d, s in m.acks)
         return (
-            f'{{"proto":"ais","type":"baseStationReport","timestamp":"{ts}",'
+            f'{{"proto":"ais","type":"{kind}","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},"acks":[{acks}],"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisUtcInquiry):
+        return (
+            f'{{"proto":"ais","type":"utcInquiry","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},"destMmsi":{m.dest_mmsi},"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisInterrogation):
+        tgts = ",".join(
+            f'{{"destMmsi":{d},"msgType":{t},"slotOffset":{o}}}'
+            for d, t, o in m.targets)
+        return (
+            f'{{"proto":"ais","type":"interrogation","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},"targets":[{tgts}],"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisAssignmentCommand):
+        asg = ",".join(
+            f'{{"destMmsi":{d},"slotOffset":{o},"increment":{i}}}'
+            for d, o, i in m.assignments)
+        return (
+            f'{{"proto":"ais","type":"assignmentCommand","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},"assignments":[{asg}],"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisDgnssBroadcast):
+        return (
+            f'{{"proto":"ais","type":"dgnssBroadcast","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},'
+            f'"refPosition":{{"lon":{m.longitude:f},"lat":{m.latitude:f}}},'
+            f'"data":"{m.data}","dataBits":{m.data_bits},'
+            f'"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisDataLinkManagement):
+        res = ",".join(
+            f'{{"slotOffset":{o},"slots":{n},"timeoutMin":{t},'
+            f'"increment":{i}}}' for o, n, t, i in m.reservations)
+        return (
+            f'{{"proto":"ais","type":"dataLinkManagement",'
+            f'"timestamp":"{ts}","mmsi":{m.mmsi},'
+            f'"reservations":[{res}],"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisChannelManagement):
+        if m.addressed:
+            scope = f'"destMmsi1":{m.dest1},"destMmsi2":{m.dest2}'
+        else:
+            scope = (f'"region":{{"neLon":{m.ne_lon:f},"neLat":{m.ne_lat:f},'
+                     f'"swLon":{m.sw_lon:f},"swLat":{m.sw_lat:f}}}')
+        return (
+            f'{{"proto":"ais","type":"channelManagement",'
+            f'"timestamp":"{ts}","mmsi":{m.mmsi},'
+            f'"channelA":{m.channel_a},"channelB":{m.channel_b},'
+            f'"txRxMode":{m.txrx_mode},"power":{m.power},'
+            f'"addressed":{"true" if m.addressed else "false"},{scope},'
+            f'"bandA":{m.band_a},"bandB":{m.band_b},'
+            f'"zoneSize":{m.zone_size},"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisGroupAssignment):
+        return (
+            f'{{"proto":"ais","type":"groupAssignment","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},'
+            f'"region":{{"neLon":{m.ne_lon:f},"neLat":{m.ne_lat:f},'
+            f'"swLon":{m.sw_lon:f},"swLat":{m.sw_lat:f}}},'
+            f'"stationType":{m.station_type},"shipType":{m.ship_type},'
+            f'"txRxMode":{m.txrx_mode},"reportingInterval":{m.interval},'
+            f'"quietTime":{m.quiet_time},"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisBaseStationReport):
+        kind = ("baseStationReport" if m.msg_id == 4
+                else "utcDateResponse")
+        return (
+            f'{{"proto":"ais","type":"{kind}","timestamp":"{ts}",'
             f'"mmsi":{m.mmsi},'
             f'"baseStationDate":"{m.year:04d}-{m.month:02d}-{m.day:02d} '
             f'{m.hour:02d}:{m.minute:02d}:{m.second:02d} UTC",'
