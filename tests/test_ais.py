@@ -448,3 +448,35 @@ def test_control_message_types_roundtrip():
     assert grp.interval == 9 and grp.quiet_time == 5
     assert abs(grp.sw_lat - 40.5) < 1e-2
     assert '"type":"groupAssignment"' in ais_message_json(grp)
+
+
+def test_slot_binary_messages_roundtrip():
+    """Types 25/26 (single-/multi-slot binary, beyond-reference) — with
+    this, every ITU-R M.1371 message type (1-27) decodes."""
+    from tsl_sdr_tpu.models.ais import AisDecoder, AisSlotBinaryMessage
+    from tsl_sdr_tpu.utils.jsonout import ais_message_json
+
+    pkts = [
+        gen.make_slot_binary(366000030, data=b"\x12\x34"),
+        gen.make_slot_binary(366000031, dest_mmsi=367000032, app_id=0x1234,
+                             data=b"\xab\xcd\xef"),
+        gen.make_slot_binary(366000033, msg_id=26, app_id=77,
+                             data=b"\x55\xaa", radio_status=0x5A5A5),
+    ]
+    msgs = AisDecoder().on_pcm(gen.generate(pkts))
+    assert len(msgs) == 3, [type(m).__name__ for m in msgs]
+    plain, addr, multi = msgs
+    assert isinstance(plain, AisSlotBinaryMessage) and plain.msg_id == 25
+    assert not plain.addressed and not plain.structured
+    assert plain.data.startswith("1234")
+    assert '"type":"singleSlotBinary"' in ais_message_json(plain)
+
+    assert addr.addressed and addr.structured
+    assert addr.dest_mmsi == 367000032 and addr.app_id == 0x1234
+    assert addr.data.startswith("abcdef")
+    assert '"destMmsi":367000032' in ais_message_json(addr)
+
+    assert multi.msg_id == 26 and multi.radio_status == 0x5A5A5
+    assert multi.app_id == 77 and multi.data.startswith("55aa")
+    j = ais_message_json(multi)
+    assert '"type":"multiSlotBinary"' in j and '"radioStatus":370085' in j

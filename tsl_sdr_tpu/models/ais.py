@@ -94,10 +94,12 @@ def get_string_to_end(packet: bytes, offset: int) -> str:
     return get_string(packet, offset, n).rstrip("@")
 
 
-def _payload_hex(packet: bytes, offset: int) -> tuple[str, int]:
-    """Left-aligned hex of the remaining bits from ``offset`` (the opaque
-    application payload of binary messages) plus its exact bit length."""
-    nbits = len(packet) * 8 - offset
+def _payload_hex(packet: bytes, offset: int,
+                 end: int | None = None) -> tuple[str, int]:
+    """Left-aligned hex of bits ``offset..end`` (default: packet end) —
+    the opaque application payload of binary messages — plus its exact
+    bit length."""
+    nbits = (len(packet) * 8 if end is None else end) - offset
     if nbits <= 0:
         return "", 0
     nbytes = (nbits + 7) // 8
@@ -399,6 +401,26 @@ class AisDgnssBroadcast:
 
 
 @dataclass
+class AisSlotBinaryMessage:
+    """Type 25 (single-slot binary message) / type 26 (multi-slot binary
+    message with comm state) — beyond-reference extension; ITU-R M.1371-5
+    §§ M.3.22/3.23. Optional addressing and optional 16-bit application
+    id; type 26 carries a trailing 20-bit radio/comm state."""
+
+    mmsi: int
+    data: str
+    data_bits: int
+    msg_id: int = 25
+    addressed: bool = False
+    structured: bool = False
+    dest_mmsi: int | None = None
+    app_id: int | None = None
+    radio_status: int | None = None  # type 26 only
+    repeat: int = 0
+    raw: str = ""
+
+
+@dataclass
 class AisDataLinkManagement:
     """Type 20 (data link management) — beyond-reference extension;
     ITU-R M.1371-5 § M.3.18: up to 4 FATDMA reservation blocks."""
@@ -461,7 +483,7 @@ class AisGroupAssignment:
 _MIN_BITS = {1: 143, 2: 143, 3: 143, 4: 138, 5: 422, 6: 88, 7: 72, 8: 56,
              9: 134, 10: 70, 11: 138, 12: 72, 13: 72, 14: 40, 15: 88,
              16: 92, 17: 80, 18: 139, 19: 305, 20: 70, 21: 270, 22: 145,
-             23: 154, 24: 160, 27: 94}
+             23: 154, 24: 160, 25: 40, 26: 60, 27: 94}
 
 
 def decode_fields(packet: bytes):
@@ -772,6 +794,38 @@ def decode_fields(packet: bytes):
             txrx_mode=get_bitfield(packet, 144, 2),
             interval=get_bitfield(packet, 146, 4),
             quiet_time=get_bitfield(packet, 150, 4),
+            repeat=repeat, raw=raw,
+        )
+    if msg_id in (25, 26):
+        nbits = len(packet) * 8
+        addressed = bool(get_bitfield(packet, 38, 1))
+        structured = bool(get_bitfield(packet, 39, 1))
+        bit = 40
+        dest = app = None
+        if addressed:
+            if nbits < bit + 30:
+                return None
+            dest = get_bitfield(packet, bit, 30)
+            bit += 30
+        if structured:
+            if nbits < bit + 16:
+                return None
+            app = get_bitfield(packet, bit, 16)
+            bit += 16
+        radio = None
+        end = nbits
+        if msg_id == 26:
+            # the comm state is the message's LAST 20 bits (byte-granular
+            # transport: anchored at the de-stuffed packet's end)
+            if nbits < bit + 20:
+                return None
+            end = nbits - 20
+            radio = get_bitfield(packet, end, 20)
+        data, data_bits = _payload_hex(packet, bit, end)
+        return AisSlotBinaryMessage(
+            mmsi=mmsi, data=data, data_bits=data_bits, msg_id=msg_id,
+            addressed=addressed, structured=structured,
+            dest_mmsi=dest, app_id=app, radio_status=radio,
             repeat=repeat, raw=raw,
         )
     if msg_id == 27:

@@ -551,3 +551,33 @@ def make_utc_response(mmsi: int, **kwargs) -> bytes:
     p = bytearray(make_base_station_report(mmsi, **kwargs))
     p[0] = (p[0] & 0x03) | (11 << 2)
     return bytes(p)
+
+
+def make_slot_binary(
+    mmsi: int, *, msg_id=25, dest_mmsi=None, app_id=None,
+    data=b"", data_bits=None, radio_status=None,
+) -> bytes:
+    """Type 25/26 (single-/multi-slot binary message), ITU-R M.1371-5
+    §§ M.3.22/3.23. Type 26's 20-bit comm state sits in the message's
+    final 20 bits (byte-granular transport convention)."""
+    data_bits = len(data) * 8 if data_bits is None else data_bits
+    bit = 40 + (30 if dest_mmsi is not None else 0) \
+        + (16 if app_id is not None else 0)
+    nbits = bit + data_bits + (20 if msg_id == 26 else 0)
+    nbits = -(-nbits // 8) * 8  # byte-granular transport
+    p = bytearray(nbits // 8)
+    set_bitfield(p, 0, 6, msg_id)
+    set_bitfield(p, 8, 30, mmsi)
+    pos = 40
+    if dest_mmsi is not None:
+        set_bitfield(p, 38, 1, 1)
+        set_bitfield(p, pos, 30, dest_mmsi)
+        pos += 30
+    if app_id is not None:
+        set_bitfield(p, 39, 1, 1)
+        set_bitfield(p, pos, 16, app_id)
+        pos += 16
+    _set_payload(p, pos, data, data_bits)
+    if msg_id == 26:
+        set_bitfield(p, nbits - 20, 20, radio_status or 0)
+    return bytes(p)

@@ -123,6 +123,7 @@ def ais_message_json(m, now=None) -> str:
         AisPositionReport,
         AisSafetyMessage,
         AisSarAircraftReport,
+        AisSlotBinaryMessage,
         AisStaticDataReport,
         AisStaticVoyageData,
         AisUtcInquiry,
@@ -269,6 +270,22 @@ def ais_message_json(m, now=None) -> str:
             f'{{"proto":"ais","type":"dgnssBroadcast","timestamp":"{ts}",'
             f'"mmsi":{m.mmsi},'
             f'"refPosition":{{"lon":{m.longitude:f},"lat":{m.latitude:f}}},'
+            f'"data":"{m.data}","dataBits":{m.data_bits},'
+            f'"rawAscii":"{raw}"}}'
+        )
+    if isinstance(m, AisSlotBinaryMessage):
+        kind = ("singleSlotBinary" if m.msg_id == 25
+                else "multiSlotBinary")
+        extra = ""
+        if m.dest_mmsi is not None:
+            extra += f'"destMmsi":{m.dest_mmsi},'
+        if m.app_id is not None:
+            extra += f'"appId":{m.app_id},'
+        if m.radio_status is not None:
+            extra += f'"radioStatus":{m.radio_status},'
+        return (
+            f'{{"proto":"ais","type":"{kind}","timestamp":"{ts}",'
+            f'"mmsi":{m.mmsi},{extra}'
             f'"data":"{m.data}","dataBits":{m.data_bits},'
             f'"rawAscii":"{raw}"}}'
         )
