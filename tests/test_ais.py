@@ -480,3 +480,70 @@ def test_slot_binary_messages_roundtrip():
     assert multi.app_id == 77 and multi.data.startswith("55aa")
     j = ais_message_json(multi)
     assert '"type":"multiSlotBinary"' in j and '"radioStatus":370085' in j
+
+
+def test_nmea_aivdm_sentences():
+    """NMEA 0183 re-emission: armor/fill/checksum correct, payload
+    de-armors back to the exact packet bytes, long packets split into
+    a multi-sentence group with a shared sequential id."""
+    from tsl_sdr_tpu.models.ais import nmea_aivdm, nmea_dearmor
+
+    def cksum_ok(s):
+        assert s.startswith("!") and s[-3] == "*"
+        body, ck = s[1:-3], int(s[-2:], 16)
+        x = 0
+        for c in body:
+            x ^= ord(c)
+        return x == ck
+
+    # single sentence: a 168-bit position report = 28 chars, 0 fill
+    sents = nmea_aivdm(POS)
+    assert len(sents) == 1 and cksum_ok(sents[0])
+    f = sents[0][1:-3].split(",")
+    assert f[0] == "AIVDM" and f[1] == "1" and f[2] == "1" and f[3] == ""
+    assert f[4] == "A" and f[6] == "0"
+    assert nmea_dearmor(f[5], int(f[6])) == POS
+    assert f[5] == ascii_armor(POS)  # 21 bytes: armor forms agree
+
+    # multi-sentence: a 424-bit type 5 = 71 chars -> 2 sentences
+    sents = nmea_aivdm(VOYAGE, channel="B", seq=7)
+    assert len(sents) == 2 and all(cksum_ok(s) for s in sents)
+    p1 = sents[0][1:-3].split(",")
+    p2 = sents[1][1:-3].split(",")
+    assert p1[1] == "2" and p1[2] == "1" and p2[2] == "2"
+    assert p1[3] == p2[3] == "7" and p1[4] == "B"
+    assert p1[6] == "0"  # fill only on the last sentence
+    assert nmea_dearmor(p1[5] + p2[5], int(p2[6])) == VOYAGE
+
+
+def test_decoder_cli_nmea_output(tmp_path):
+    """decoder-tpu --nmea: JSON and standard AIVDM emitted side by side."""
+    import json
+    from tsl_sdr_tpu.cli import decoder as decoder_cli
+    from tsl_sdr_tpu.models.ais import nmea_dearmor
+
+    src = tmp_path / "ais.pcm"
+    gen.generate([POS, VOYAGE]).tofile(src)
+    filt = tmp_path / "filt.json"
+    filt.write_text(json.dumps({"lpfCoeffs": [1.0]}))
+    out = tmp_path / "out.json"
+    nmea = tmp_path / "out.nmea"
+
+    rc = decoder_cli.main([
+        "-m", "ais", "-I", "1", "-D", "1", "-S", "48000",
+        "-F", str(filt), "-f", "161975000", "-o", str(out),
+        "--nmea", str(nmea), "-c", str(src),
+    ])
+    assert rc == 0
+    lines = nmea.read_text().splitlines()
+    assert len(lines) == 3  # 1 for POS + 2 for the long type 5
+    assert all(ln.startswith("!AIVDM,") for ln in lines)
+    f0 = lines[0][1:-3].split(",")
+    assert nmea_dearmor(f0[5], int(f0[6])) == POS
+    assert len([json.loads(x) for x in out.read_text().splitlines()]) == 2
+
+    # --nmea demands -m ais
+    assert decoder_cli.main([
+        "-m", "pocsag", "-I", "1", "-D", "1", "-S", "38400",
+        "-F", str(filt), "-f", "0", "--nmea", "-", "-o", str(out),
+        "-c", str(src)]) == 2

@@ -34,6 +34,13 @@ def build_argparser():
     p.add_argument("-d", dest="pcm_dump", default=None)
     p.add_argument("-o", dest="out_file", default=None)
     p.add_argument("-c", dest="create_out", action="store_true")
+    p.add_argument("--nmea", default=None, metavar="FILE",
+                   help="AIS only: also emit standard NMEA 0183 !AIVDM "
+                        "sentences (6-bit armor, fill bits, checksum, "
+                        "multi-sentence split) to FILE ('-' = stdout) — "
+                        "the interop format AIS tools consume")
+    p.add_argument("--nmea-channel", default="A", choices=["A", "B"],
+                   help="VHF channel letter stamped into --nmea sentences")
     p.add_argument("--exact", action="store_true", default=True)
     p.add_argument("--fast", dest="exact", action="store_false",
                    help="float fast tier for the resampler front-end")
@@ -74,6 +81,27 @@ def main(argv=None):
 
         proto = AisDecoder()
         to_json = jsonout.ais_message_json
+    if args.nmea is not None and args.mode != "ais":
+        print("decoder-tpu: --nmea applies to -m ais only", file=sys.stderr)
+        return 2
+    nmea_out = None
+    if args.nmea is not None:
+        from tsl_sdr_tpu.models.ais import nmea_aivdm
+
+        nmea_out = (sys.stdout if args.nmea == "-"
+                    else open(args.nmea, "w"))
+        nmea_seq = [0]
+
+        def _emit_nmea(packet: bytes):
+            sents = nmea_aivdm(packet, channel=args.nmea_channel,
+                               seq=nmea_seq[0])
+            if len(sents) > 1:
+                nmea_seq[0] = (nmea_seq[0] + 1) % 10
+            for s in sents:
+                nmea_out.write(s + "\r\n")
+            nmea_out.flush()
+
+        proto.packet_hook = _emit_nmea
 
     from tsl_sdr_tpu.utils.config import ConfigError
 
@@ -128,6 +156,8 @@ def main(argv=None):
         print(f"decoder-tpu: {counters.summary()}", file=sys.stderr)
         if out is not sys.stdout:
             out.close()
+        if nmea_out is not None and nmea_out is not sys.stdout:
+            nmea_out.close()
         if dump is not None:
             dump.close()
     return 0

@@ -1275,12 +1275,65 @@ class AisDemodulator:
         return self.packets[start:]
 
 
-class AisDecoder:
-    """Full AIS receive chain: demod + field decode (48 kHz PCM in)."""
+def nmea_aivdm(packet: bytes, channel: str = "A",
+               seq: int | None = None,
+               max_payload_chars: int = 60) -> list:
+    """Standard NMEA 0183 ``!AIVDM`` sentence(s) for a de-stuffed AIS
+    packet: 6-bit armored payload, fill-bit count, XOR checksum, and
+    multi-sentence splitting for long payloads (IEC 61162-1). This is
+    the interop surface downstream AIS consumers (gpsd, OpenCPN, AIS
+    aggregators) ingest — the reference emits only its own JSON."""
+    nbits = len(packet) * 8
+    chars = []
+    for k in range(0, nbits, 6):
+        take = min(6, nbits - k)
+        v = get_bitfield(packet, k, take) << (6 - take)
+        chars.append(chr(v + 48 if v <= 39 else v + 56))
+    fill = (6 - nbits % 6) % 6
+    payload = "".join(chars)
+    groups = [payload[i:i + max_payload_chars]
+              for i in range(0, len(payload), max_payload_chars)] or [""]
+    total = len(groups)
+    # single sentences carry an empty sequential-id field by convention
+    seq_s = "" if total == 1 else str((0 if seq is None else seq) % 10)
+    out = []
+    for num, g in enumerate(groups, 1):
+        body = (f"AIVDM,{total},{num},{seq_s},{channel},{g},"
+                f"{fill if num == total else 0}")
+        ck = 0
+        for c in body:
+            ck ^= ord(c)
+        out.append(f"!{body}*{ck:02X}")
+    return out
 
-    def __init__(self, vectorized: bool = True, native: bool | None = None):
+
+def nmea_dearmor(payload: str, fill: int = 0) -> bytes:
+    """Inverse of the AIVDM payload armor (test/interop helper): 6-bit
+    chars back to packet bytes, dropping ``fill`` trailing pad bits."""
+    nbits = 6 * len(payload) - fill
+    v = 0
+    for c in payload:
+        x = ord(c) - 48
+        if x > 40:
+            x -= 8
+        v = (v << 6) | x
+    v >>= (6 * len(payload) - nbits)
+    v <<= (-nbits) % 8
+    return v.to_bytes((nbits + 7) // 8, "big")
+
+
+class AisDecoder:
+    """Full AIS receive chain: demod + field decode (48 kHz PCM in).
+
+    ``packet_hook`` (optional) fires with every CRC-valid de-stuffed
+    packet's bytes before field decode — the tap NMEA re-emission rides
+    (see :func:`nmea_aivdm`)."""
+
+    def __init__(self, vectorized: bool = True, native: bool | None = None,
+                 packet_hook=None):
         self.demod = AisDemodulator(vectorized=vectorized, native=native)
         self.messages = []
+        self.packet_hook = packet_hook
 
     @property
     def crc_rejects(self) -> int:
@@ -1300,6 +1353,8 @@ class AisDecoder:
     def on_pcm(self, pcm):
         start = len(self.messages)
         for packet in self.demod.on_pcm(pcm):
+            if self.packet_hook is not None:
+                self.packet_hook(packet)
             msg = decode_fields(packet)
             if msg is not None:
                 self.messages.append(msg)
@@ -1309,6 +1364,8 @@ class AisDecoder:
         """Batch decode via the demodulator's vectorized preamble scan."""
         start = len(self.messages)
         for packet in self.demod.scan(pcm):
+            if self.packet_hook is not None:
+                self.packet_hook(packet)
             msg = decode_fields(packet)
             if msg is not None:
                 self.messages.append(msg)
