@@ -1013,3 +1013,64 @@ def test_pipeline_cli_state_file_sigterm(tmp_path):
     assert "state saved" in err, err
     data = np.load(state)
     assert "__meta__" in data
+
+
+def test_pipeline_cli_ais_nmea_output(tmp_path):
+    """pipeline-tpu --nmea: an ais channel's CRC-valid packets re-emit as
+    standard AIVDM sentences alongside the JSON (live aggregator feed)."""
+    import json
+    import os
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+    from tsl_sdr_tpu.models.ais import nmea_dearmor
+    from tsl_sdr_tpu.testing import ais_gen
+
+    decim = 24
+    fs = 51200 * decim  # channel rate 51200 -> AIS 48k = 15/16
+    center = 161_900_000
+    pkt = ais_gen.make_position_report(366778899, latitude=48.5,
+                                       longitude=-124.75)
+    bb = ais_gen.generate([pkt], amplitude=9000)
+    dev = bb.astype(np.float64) / 16384.0 * 4800
+    n_out = int(len(dev) * fs / 48000)
+    idx = np.minimum((np.arange(n_out) * 48000 / fs).astype(np.int64),
+                     len(dev) - 1)
+    ph = np.cumsum(2 * np.pi * (75_000 + dev[idx]) / fs)
+    rng = np.random.default_rng(3)
+    iq = np.stack([np.cos(ph), np.sin(ph)], -1) * 7000
+    iq = np.concatenate([np.zeros((400_000, 2)), iq,
+                         np.zeros((400_000, 2))])
+    iq = (iq + rng.normal(scale=60, size=iq.shape)).astype(np.int16)
+    iq_path = tmp_path / "cap.cs16"
+    iq.reshape(-1).tofile(iq_path)
+
+    lpf = firdes_low_pass(1.0, fs, 24_000, 14_000)
+    cfg = {
+        "device": {"type": "file", "filename": str(iq_path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": fs, "centerFreqHz": center,
+        "decimationFactor": decim,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [{"protocol": "ais",
+                      "chanCenterFreq": center + 75_000}],
+    }
+    cfg_path = tmp_path / "pipe.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out = tmp_path / "msgs.jsonl"
+    nmea = tmp_path / "feed.nmea"
+
+    rc = pipeline_cli.main([str(cfg_path), "-o", str(out),
+                            "--nmea", str(nmea)])
+    assert rc == 0
+    jl = [json.loads(x) for x in out.read_text().splitlines()]
+    assert [m["mmsi"] for m in jl] == [366778899]
+    lines = nmea.read_text().splitlines()
+    assert len(lines) == 1 and lines[0].startswith("!AIVDM,1,1,,A,")
+    f = lines[0][1:-3].split(",")
+    assert nmea_dearmor(f[5], int(f[6])) == pkt
+
+    # --nmea without an ais channel is a config error
+    cfg["channels"] = [{"protocol": "pocsag",
+                        "chanCenterFreq": center + 75_000}]
+    cfg_path.write_text(json.dumps(cfg))
+    assert pipeline_cli.main([str(cfg_path), "--nmea", "-"]) == 2

@@ -148,6 +148,10 @@ def build_argparser():
     p.add_argument("--iq-dump", default=None,
                    help="dump ingested wideband IQ (int16 values) to this "
                         "file — the reference's iqDumpFile tap")
+    p.add_argument("--nmea", default=None, metavar="FILE",
+                   help="emit standard NMEA 0183 !AIVDM sentences for "
+                        "every CRC-valid packet on ais channels to FILE "
+                        "('-' = stdout) — live AIS aggregator feed")
     p.add_argument("-V", "--version", action="version",
                    version=f"%(prog)s {cli_version()}")
     return p
@@ -261,6 +265,27 @@ def main(argv=None):
                          channels=args.channel_shards,
                          devices=jax.devices()[:n_need])
 
+    nmea_out = None
+    ais_hook = None
+    if args.nmea is not None:
+        if not any(s.protocol == "ais" for s in specs):
+            print("pipeline-tpu: --nmea needs at least one ais channel",
+                  file=sys.stderr)
+            return 2
+        from tsl_sdr_tpu.models.ais import nmea_aivdm
+
+        nmea_out = (sys.stdout if args.nmea == "-"
+                    else open(args.nmea, "w"))
+        nmea_seq = [0]
+
+        def ais_hook(packet: bytes):
+            sents = nmea_aivdm(packet, seq=nmea_seq[0])
+            if len(sents) > 1:
+                nmea_seq[0] = (nmea_seq[0] + 1) % 10
+            for s_ in sents:
+                nmea_out.write(s_ + "\r\n")
+            nmea_out.flush()
+
     pipe = ReceivePipeline(
         cfg.lpf_taps, cfg.center_freq_hz, cfg.sample_rate_hz,
         cfg.decimation_factor, specs,
@@ -268,6 +293,7 @@ def main(argv=None):
         block_size=args.block_size,
         inflight_depth=args.inflight_depth,
         mesh=mesh,
+        ais_packet_hook=ais_hook,
     )
 
     if is_main:
@@ -430,6 +456,8 @@ def main(argv=None):
             sink.close()
         if iq_dump is not None:
             iq_dump.close()
+        if nmea_out is not None and nmea_out is not sys.stdout:
+            nmea_out.close()
     dt = time.monotonic() - t0
     print(
         f"pipeline-tpu: {n_samples} samples, {len(specs)} channels, "

@@ -47,7 +47,7 @@ from tsl_sdr_tpu.utils.filter_design import design_rational_resampler_filter
 PROTOCOL_RATES = {"pocsag": 38_400, "flex": 16_000, "ais": 48_000}
 
 
-def _make_decoder(protocol: str, freq_hz: int):
+def _make_decoder(protocol: str, freq_hz: int, ais_packet_hook=None):
     if protocol == "pocsag":
         from tsl_sdr_tpu.models.pocsag import PocsagDecoder
 
@@ -59,7 +59,7 @@ def _make_decoder(protocol: str, freq_hz: int):
     if protocol == "ais":
         from tsl_sdr_tpu.models.ais import AisDecoder
 
-        return AisDecoder()
+        return AisDecoder(packet_hook=ais_packet_hook)
     raise ValueError(f"unknown protocol {protocol!r}")
 
 
@@ -320,7 +320,12 @@ class ReceivePipeline:
         block_size: int | None = None,
         inflight_depth: int = 2,
         mesh=None,
+        ais_packet_hook=None,
     ):
+        # optional callable(packet_bytes) fired for every CRC-valid AIS
+        # packet on any ais channel (survives restore_stream's decoder
+        # recreation) — the NMEA AIVDM re-emission tap
+        self._ais_packet_hook = ais_packet_hook
         # optional jax.sharding.Mesh with 'time'/'channels' axes: the fused
         # device program is GSPMD-partitioned across it (channel-sharded
         # FIR bank, resamplers, prefilters; time-sharded samples) —
@@ -414,7 +419,8 @@ class ReceivePipeline:
                     )
                 )
             self._decoders.append(
-                _make_decoder(spec.protocol, spec.center_freq_hz)
+                _make_decoder(spec.protocol, spec.center_freq_hz,
+                              self._ais_packet_hook)
             )
 
         self._setup_stream(block_size)
@@ -1191,7 +1197,8 @@ class ReceivePipeline:
         for i, spec in enumerate(self.channels):
             if self._decoders[i] is not None:
                 self._decoders[i] = _make_decoder(
-                    spec.protocol, spec.center_freq_hz
+                    spec.protocol, spec.center_freq_hz,
+                    self._ais_packet_hook,
                 )
         for i in s["gap"]:
             s["gap"][i] = True
