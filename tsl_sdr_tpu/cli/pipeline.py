@@ -272,6 +272,9 @@ def main(argv=None):
             print("pipeline-tpu: --nmea needs at least one ais channel",
                   file=sys.stderr)
             return 2
+    if args.nmea is not None and not is_main:
+        pass  # SPMD ranks >0 decode identically; only rank 0 feeds NMEA
+    elif args.nmea is not None:
         from tsl_sdr_tpu.models.ais import nmea_aivdm
 
         nmea_out = (sys.stdout if args.nmea == "-"
