@@ -85,23 +85,6 @@ def main(argv=None):
         print("decoder-tpu: --nmea applies to -m ais only", file=sys.stderr)
         return 2
     nmea_out = None
-    if args.nmea is not None:
-        from tsl_sdr_tpu.models.ais import nmea_aivdm
-
-        nmea_out = (sys.stdout if args.nmea == "-"
-                    else open(args.nmea, "w"))
-        nmea_seq = [0]
-
-        def _emit_nmea(packet: bytes):
-            sents = nmea_aivdm(packet, channel=args.nmea_channel,
-                               seq=nmea_seq[0])
-            if len(sents) > 1:
-                nmea_seq[0] = (nmea_seq[0] + 1) % 10
-            for s in sents:
-                nmea_out.write(s + "\r\n")
-            nmea_out.flush()
-
-        proto.packet_hook = _emit_nmea
 
     from tsl_sdr_tpu.utils.config import ConfigError
 
@@ -118,6 +101,16 @@ def main(argv=None):
         exact=args.exact,
     )
     resampler = PushResampler(chain)
+
+    if args.nmea is not None:
+        # opened only after the config validated — a bad config must not
+        # truncate an existing NMEA feed file
+        from tsl_sdr_tpu.models.ais import NmeaEmitter
+
+        nmea_out = (sys.stdout if args.nmea == "-"
+                    else open(args.nmea, "w"))
+        proto.packet_hook = NmeaEmitter(nmea_out,
+                                        channel=args.nmea_channel)
 
     out = sys.stdout if args.out_file is None else open(
         args.out_file, "w" if args.create_out else "a"

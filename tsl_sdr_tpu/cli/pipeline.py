@@ -257,6 +257,13 @@ def main(argv=None):
                   f"--channel-shards {args.channel_shards} needs "
                   f"{n_need} devices, have {n_dev}", file=sys.stderr)
             return 2
+        if args.distributed is not None and n_need != n_dev:
+            # a partial mesh would leave other ranks' devices outside the
+            # computation — ranks would compile divergent programs
+            print(f"pipeline-tpu: --distributed meshes must span every "
+                  f"global device: time x channels = {n_need} but "
+                  f"{n_dev} devices are attached", file=sys.stderr)
+            return 2
         if len(specs) % args.channel_shards:
             print(f"pipeline-tpu: {len(specs)} channels not divisible by "
                   f"--channel-shards {args.channel_shards}", file=sys.stderr)
@@ -275,19 +282,12 @@ def main(argv=None):
     if args.nmea is not None and not is_main:
         pass  # SPMD ranks >0 decode identically; only rank 0 feeds NMEA
     elif args.nmea is not None:
-        from tsl_sdr_tpu.models.ais import nmea_aivdm
+        from tsl_sdr_tpu.models.ais import NmeaEmitter, aivdm_channel_for_freq
 
         nmea_out = (sys.stdout if args.nmea == "-"
                     else open(args.nmea, "w"))
-        nmea_seq = [0]
-
-        def ais_hook(packet: bytes):
-            sents = nmea_aivdm(packet, seq=nmea_seq[0])
-            if len(sents) > 1:
-                nmea_seq[0] = (nmea_seq[0] + 1) % 10
-            for s_ in sents:
-                nmea_out.write(s_ + "\r\n")
-            nmea_out.flush()
+        # channel letter per AIS carrier frequency (161.975=A, 162.025=B)
+        ais_hook = NmeaEmitter(nmea_out, channel=aivdm_channel_for_freq)
 
     pipe = ReceivePipeline(
         cfg.lpf_taps, cfg.center_freq_hz, cfg.sample_rate_hz,

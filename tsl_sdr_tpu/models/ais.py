@@ -1307,6 +1307,37 @@ def nmea_aivdm(packet: bytes, channel: str = "A",
     return out
 
 
+def aivdm_channel_for_freq(freq_hz) -> str:
+    """VHF channel letter for an AIS carrier: 161.975 MHz (ch 87B) = 'A',
+    162.025 MHz (ch 88B) = 'B'; anything else reports 'A'."""
+    if freq_hz is not None and abs(freq_hz - 162_025_000) < 5_000:
+        return "B"
+    return "A"
+
+
+class NmeaEmitter:
+    """Stateful AIVDM writer for the CLIs: builds sentences via
+    :func:`nmea_aivdm`, rotates the sequential id across multi-sentence
+    groups, frames with CRLF and flushes per packet. ``channel`` is a
+    letter, or a callable(center_freq_hz) -> letter for multi-channel
+    pipelines (see :func:`aivdm_channel_for_freq`)."""
+
+    def __init__(self, fobj, channel="A"):
+        self._fobj = fobj
+        self._channel = channel
+        self._seq = 0
+
+    def __call__(self, packet: bytes, freq_hz=None):
+        ch = (self._channel(freq_hz) if callable(self._channel)
+              else self._channel)
+        sents = nmea_aivdm(packet, channel=ch, seq=self._seq)
+        if len(sents) > 1:
+            self._seq = (self._seq + 1) % 10
+        for s in sents:
+            self._fobj.write(s + "\r\n")
+        self._fobj.flush()
+
+
 def nmea_dearmor(payload: str, fill: int = 0) -> bytes:
     """Inverse of the AIVDM payload armor (test/interop helper): 6-bit
     chars back to packet bytes, dropping ``fill`` trailing pad bits."""

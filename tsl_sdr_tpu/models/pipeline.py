@@ -59,7 +59,13 @@ def _make_decoder(protocol: str, freq_hz: int, ais_packet_hook=None):
     if protocol == "ais":
         from tsl_sdr_tpu.models.ais import AisDecoder
 
-        return AisDecoder(packet_hook=ais_packet_hook)
+        hook = None
+        if ais_packet_hook is not None:
+            # pipeline hook contract: callable(packet, center_freq_hz) —
+            # the frequency identifies the VHF channel (A/B) for NMEA
+            def hook(packet, _f=freq_hz, _h=ais_packet_hook):
+                _h(packet, _f)
+        return AisDecoder(packet_hook=hook)
     raise ValueError(f"unknown protocol {protocol!r}")
 
 
@@ -322,9 +328,10 @@ class ReceivePipeline:
         mesh=None,
         ais_packet_hook=None,
     ):
-        # optional callable(packet_bytes) fired for every CRC-valid AIS
-        # packet on any ais channel (survives restore_stream's decoder
-        # recreation) — the NMEA AIVDM re-emission tap
+        # optional callable(packet_bytes, center_freq_hz) fired for every
+        # CRC-valid AIS packet on any ais channel (survives
+        # restore_stream's decoder recreation) — the NMEA AIVDM
+        # re-emission tap; the frequency selects the VHF channel letter
         self._ais_packet_hook = ais_packet_hook
         # optional jax.sharding.Mesh with 'time'/'channels' axes: the fused
         # device program is GSPMD-partitioned across it (channel-sharded

@@ -420,23 +420,25 @@ def make_utc_inquiry(mmsi: int, dest_mmsi: int) -> bytes:
 
 def make_interrogation(mmsi: int, targets) -> bytes:
     """Type 15 (interrogation), ITU-R M.1371-5 § M.3.13: ``targets`` =
-    [(dest_mmsi, msg_type, slot_offset), ...] — one or two stations, the
+    [(dest_mmsi, msg_type, slot_offset), ...] — at most two stations, the
     first station optionally asked for a second message type."""
-    nbits = 160 if len(targets) > 2 else (110 if len(targets) == 2 else 88)
+    d1 = targets[0][0]
+    same2 = len(targets) >= 2 and targets[1][0] == d1
+    rest = targets[2:] if same2 else targets[1:]
+    if len(rest) > 1:
+        raise ValueError("type 15 interrogates at most two stations")
+    nbits = 160 if rest else (110 if same2 else 88)
     p = bytearray((nbits + 7) // 8)
     set_bitfield(p, 0, 6, 15)
     set_bitfield(p, 8, 30, mmsi)
-    d1, t1, o1 = targets[0]
+    _, t1, o1 = targets[0]
     set_bitfield(p, 40, 30, d1)
     set_bitfield(p, 70, 6, t1)
     set_bitfield(p, 76, 12, o1)
-    if len(targets) >= 2 and targets[1][0] == d1:
+    if same2:
         _, t12, o12 = targets[1]
         set_bitfield(p, 90, 6, t12)
         set_bitfield(p, 96, 12, o12)
-        rest = targets[2:]
-    else:
-        rest = targets[1:]
     if rest:
         d2, t2, o2 = rest[0]
         set_bitfield(p, 110, 30, d2)

@@ -113,6 +113,10 @@ class MultifmConfig:
         except AttributeError:
             raise ConfigError(
                 "'channels' entries must be JSON objects") from None
+        except ConfigError:
+            raise
+        except (TypeError, ValueError) as e:
+            raise ConfigError(f"bad channel value in config: {e}") from None
         if "lpfTaps" not in cfg:
             raise ConfigError(
                 "Need a baseband filter with at least two taps as 'lpfTaps'"
@@ -166,13 +170,19 @@ class RationalResamplerConfig:
     def from_dict(cls, cfg: dict) -> "RationalResamplerConfig":
         if "rationalResampler" in cfg:
             cfg = cfg["rationalResampler"]
-        return cls(
-            interpolate=int(cfg["interpolate"]) if "interpolate" in cfg else 1,
-            decimate=int(cfg["decimate"]) if "decimate" in cfg else 1,
-            lpf_coeffs=[float(t) for t in
-                        _req(cfg, "lpfCoeffs", "resampler filter taps")],
-            fractional_bw=cfg.get("fractionalBw"),
-        )
+        try:
+            return cls(
+                interpolate=(int(cfg["interpolate"])
+                             if "interpolate" in cfg else 1),
+                decimate=int(cfg["decimate"]) if "decimate" in cfg else 1,
+                lpf_coeffs=[float(t) for t in
+                            _req(cfg, "lpfCoeffs", "resampler filter taps")],
+                fractional_bw=cfg.get("fractionalBw"),
+            )
+        except ConfigError:
+            raise
+        except (TypeError, ValueError) as e:
+            raise ConfigError(f"bad resampler config value: {e}") from None
 
     @classmethod
     def load(cls, *paths) -> "RationalResamplerConfig":
@@ -189,4 +199,7 @@ def load_lpf_coeffs(path) -> list[float]:
     if key not in cfg:
         raise ConfigError(
             f"no 'lpfCoeffs' (or 'lpfTaps') filter taps in {path}")
-    return [float(t) for t in cfg[key]]
+    try:
+        return [float(t) for t in cfg[key]]
+    except (TypeError, ValueError) as e:
+        raise ConfigError(f"bad filter tap in {path}: {e}") from None
