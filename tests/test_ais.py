@@ -547,3 +547,16 @@ def test_decoder_cli_nmea_output(tmp_path):
         "-m", "pocsag", "-I", "1", "-D", "1", "-S", "38400",
         "-F", str(filt), "-f", "0", "--nmea", "-", "-o", str(out),
         "-c", str(src)]) == 2
+
+
+def test_interrogation_two_distinct_stations():
+    """Regression: the two-DISTINCT-station type 15 form (the generator
+    once sized its buffer only for the same-station variant)."""
+    from tsl_sdr_tpu.models.ais import decode_fields
+
+    pkt = gen.make_interrogation(366000004, [(367000005, 5, 100),
+                                             (367000006, 3, 300)])
+    m = decode_fields(pkt)
+    assert m.targets == [(367000005, 5, 100), (367000006, 3, 300)]
+    with pytest.raises(ValueError):
+        gen.make_interrogation(1, [(2, 1, 1), (3, 1, 1), (4, 1, 1)])

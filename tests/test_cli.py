@@ -406,3 +406,26 @@ def test_cli_config_errors_are_clean(tmp_path, capsys):
                              "-o", str(tmp_path / "o.json"),
                              "-c", str(tmp_path / "in.pcm")]) == 2
     assert "lpfCoeffs" in capsys.readouterr().err
+
+
+def test_cli_config_value_errors_are_clean(tmp_path, capsys):
+    """Regression: non-numeric CHANNEL values and filter taps take the
+    exit-2 diagnostic path, not a traceback."""
+    good = {
+        "device": {"type": "file", "filename": "x", "fileFormat": "cs16"},
+        "sampleRateHz": 1228800, "centerFreqHz": 929500000,
+        "decimationFactor": 32, "lpfTaps": [1.0, 0.5],
+        "channels": [{"outFifo": "o", "chanCenterFreq": "nine-two-nine"}],
+    }
+    p = tmp_path / "badch.json"
+    p.write_text(json.dumps(good))
+    assert multifm_cli.main([str(p)]) == 2
+    assert "bad channel value" in capsys.readouterr().err
+
+    f = tmp_path / "badtap.json"
+    f.write_text(json.dumps({"lpfCoeffs": [1.0, "bad"]}))
+    assert decoder_cli.main(["-m", "pocsag", "-I", "1", "-D", "1",
+                             "-S", "38400", "-F", str(f), "-f", "0",
+                             "-o", str(tmp_path / "o.json"),
+                             "-c", str(tmp_path / "in.pcm")]) == 2
+    assert "bad filter tap" in capsys.readouterr().err
