@@ -82,6 +82,31 @@ def _atan2_poly(y, x):
     return jnp.where(x_major, ax, ay)
 
 
+def _dot_prec(a, b, precision):
+    """MXU matmul at the requested pass count.
+
+    ``precision`` is either a :class:`jax.lax.Precision` (lowered directly)
+    or the string ``"bf16x3"``: Mosaic on this toolchain rejects
+    ``Precision.HIGH``, so the 3-pass form is built by hand — split each
+    f32 operand into its bf16 head plus the exactly-representable bf16
+    residual and take the three largest cross terms (dropping lo*lo, the
+    classic bf16x3 algorithm; ~1e-5 relative, half of HIGHEST's 6 passes).
+    """
+    if precision == "bf16x3":
+        f32 = jnp.float32
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(f32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(f32)).astype(jnp.bfloat16)
+        return (
+            jnp.dot(ah, bh, preferred_element_type=f32)
+            + jnp.dot(ah, bl, preferred_element_type=f32)
+            + jnp.dot(al, bh, preferred_element_type=f32)
+        )
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=precision)
+
+
 def _fir_acc(x, w_ref, *, tr, cr, precision, chunk_nnz, gspec):
     """FIR accumulators [TR+1, 2*halfcols] from the f32 row view ``x``.
 
@@ -93,42 +118,37 @@ def _fir_acc(x, w_ref, *, tr, cr, precision, chunk_nnz, gspec):
     ``[re | im]`` column split.
     """
     if gspec is None:
-        p = jnp.dot(
-            x,
-            w_ref[0],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        p = _dot_prec(x, w_ref[0], precision)
         acc = p[: tr + 1]
         for i in range(1, cr + 1):
             nnz = chunk_nnz[i]
-            q = jnp.dot(
-                x[:, :nnz],
-                w_ref[i][:nnz],
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+            q = _dot_prec(x[:, :nnz], w_ref[i][:nnz], precision)
             acc = acc + q[i : tr + 1 + i]
         return acc
     g, n_groups, win_g, spill, d, gc = gspec
     row = x.shape[1]
-    parts = [x[: tr + 1]]
-    rem, k = spill, 1
-    while rem > 0:
-        take = min(rem, row)
-        parts.append(x[k : k + tr + 1, :take])
-        rem -= take
-        k += 1
-    xw = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    # The window xw = [x[:tr+1] | x[1:tr+2,:..] | ...] is never materialized:
+    # Mosaic cannot concatenate row-shifted slices (sublane-offset mismatch
+    # on the non-concat dim), so each group's windowed dot is decomposed into
+    # one dot per source part. Window column w lives in part k = w // row
+    # (k = 0 is the base rows, k >= 1 the spill rows shifted down by k),
+    # local column w % row, row span x[k : k + tr + 1].
+    total = row + spill
     res, ims = [], []
     for grp in range(n_groups):
         off = 2 * d * g * grp
-        q = jnp.dot(
-            xw[:, off : off + win_g],
-            w_ref[grp],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # [TR+1, 2*g*C]
+        q = None
+        for k in range(off // row, (off + win_g - 1) // row + 1):
+            a = max(off, k * row)
+            b = min(off + win_g, total, (k + 1) * row)
+            if a >= b:
+                continue
+            part = _dot_prec(
+                x[k : k + tr + 1, a - k * row : b - k * row],
+                w_ref[grp][a - off : b - off],
+                precision,
+            )  # [TR+1, 2*g*C]
+            q = part if q is None else q + part
         res.append(q[:, :gc])
         ims.append(q[:, gc:])
     ar = res[0] if n_groups == 1 else jnp.concatenate(res, axis=1)
@@ -359,9 +379,11 @@ class PallasChain:
         )
         import jax.lax as _lax
 
+        # Mosaic on this toolchain rejects Precision.HIGH on dots; "high"
+        # is realized as a hand-built bf16x3 (see _dot_prec).
         self.precision = {
             "highest": _lax.Precision.HIGHEST,
-            "high": _lax.Precision.HIGH,
+            "high": "bf16x3",
         }[precision]
 
     @property
