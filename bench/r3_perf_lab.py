@@ -180,7 +180,7 @@ def chain():
     block = 16_776_960
     for c in (8, 64):
         offsets = rng.integers(-fs // 3, fs // 3, size=c)
-        iq = rng.integers(-8000, 8000, size=(block + 80 * 3, 2),
+        iq = rng.integers(-8000, 8000, size=(block + 4096, 2),
                           dtype=np.int64).astype(np.int16)
         for label, factory in (
             ("xla", lambda: MultifmChain(lpf, offsets, fs, d, exact=False,
@@ -224,7 +224,7 @@ def chain_tiles():
     block = 16_776_960
     for c in (8, 64):
         offsets = rng.integers(-fs // 3, fs // 3, size=c)
-        iq = rng.integers(-8000, 8000, size=(block + 80 * 3, 2),
+        iq = rng.integers(-8000, 8000, size=(block + 4096, 2),
                           dtype=np.int64).astype(np.int16)
         ch = MultifmChain(lpf, offsets, fs, d, exact=False, backend="xla")
         for tr in (128, 256, 512, 1024):

@@ -508,29 +508,40 @@ def main():
     platform = jax.devices()[0].platform
 
     # ---- prepare (compile/warm) everything up front ----
+    # A single backend failing to compile must not take the suite down:
+    # record the failure, bench everything else.
+    prep_failures = {}
+
+    def _prep(benches, name, fn, *args):
+        try:
+            benches[name] = fn(*args)
+        except Exception as e:  # noqa: BLE001
+            prep_failures[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"prep {name} FAILED: {e}", file=sys.stderr)
+
     print("preparing device benches...", file=sys.stderr)
-    device_benches = {
-        "multifm_1ch_xla": prep_multifm(1, "xla"),
-        "multifm_1ch_pallas": prep_multifm(1, "pallas"),
-        "multifm_8ch_xla": prep_multifm(8, "xla"),
-        "multifm_8ch_pallas": prep_multifm(8, "pallas"),
-        "multifm_8ch_pallas_high": prep_multifm(8, "pallas-high"),
-        "multifm_64ch_xla": prep_multifm(64, "xla"),
-        "multifm_64ch_pallas": prep_multifm(64, "pallas"),
-        "multifm_64ch_pallas_high": prep_multifm(64, "pallas-high"),
-        "exact_fir_8ch": prep_exact_fir(),
-        "resampler_16_25": prep_resampler(),
-        "costas_chain_device": prep_costas_device(),
-    }
+    device_benches = {}
+    _prep(device_benches, "multifm_1ch_xla", prep_multifm, 1, "xla")
+    _prep(device_benches, "multifm_1ch_pallas", prep_multifm, 1, "pallas")
+    _prep(device_benches, "multifm_8ch_xla", prep_multifm, 8, "xla")
+    _prep(device_benches, "multifm_8ch_pallas", prep_multifm, 8, "pallas")
+    _prep(device_benches, "multifm_8ch_pallas_high", prep_multifm,
+          8, "pallas-high")
+    _prep(device_benches, "multifm_64ch_xla", prep_multifm, 64, "xla")
+    _prep(device_benches, "multifm_64ch_pallas", prep_multifm, 64, "pallas")
+    _prep(device_benches, "multifm_64ch_pallas_high", prep_multifm,
+          64, "pallas-high")
+    _prep(device_benches, "exact_fir_8ch", prep_exact_fir)
+    _prep(device_benches, "resampler_16_25", prep_resampler)
+    _prep(device_benches, "costas_chain_device", prep_costas_device)
     print("preparing host/e2e benches...", file=sys.stderr)
-    host_benches = {
-        "pocsag_chain_e2e": prep_pocsag_chain(),
-        "pipeline_8ch_e2e": prep_pipeline_8ch(),
-        "exact_pipeline_8ch_e2e": prep_exact_pipeline(),
-        "decoder_scans": prep_decoder_scans(),
-        "decoder_dense": prep_decoder_dense(),
-        "costas_native": prep_costas(),
-    }
+    host_benches = {}
+    _prep(host_benches, "pocsag_chain_e2e", prep_pocsag_chain)
+    _prep(host_benches, "pipeline_8ch_e2e", prep_pipeline_8ch)
+    _prep(host_benches, "exact_pipeline_8ch_e2e", prep_exact_pipeline)
+    _prep(host_benches, "decoder_scans", prep_decoder_scans)
+    _prep(host_benches, "decoder_dense", prep_decoder_dense)
+    _prep(host_benches, "costas_native", prep_costas)
 
     # ---- interleaved measurement ----
     print("running interleaved device trials...", file=sys.stderr)
@@ -545,7 +556,7 @@ def main():
 
     # ---- derived row values ----
     def best_of(*keys):
-        sts = [flat[k] for k in keys]
+        sts = [flat[k] for k in keys if k in flat]
         return max(sts, key=lambda s: s["best"])
 
     r1 = best_of("multifm_1ch_xla", "multifm_1ch_pallas")
@@ -636,6 +647,7 @@ def main():
         "cpu_baseline_8ch_msps": cpu8,
         "flat_summary": flat,
         "regressions": regressions,
+        "prep_failures": prep_failures,
     }
     (REPO / "BENCH_SUITE.json").write_text(json.dumps(out, indent=1) + "\n")
     if regressions:
