@@ -18,48 +18,26 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import numpy as np
 
-REP_LO, REP_HI, TRIALS = 2, 8, 4
+TRIALS = 4
 
 
-def _rate(step_fn, state0, blocks, samples_per_pass):
+def _rate(step_fn, state0, blocks, samples_per_pass, bound_msps=None):
+    """Median Msps over TRIALS calibrated differential trials
+    (utils/benchtime.py: >=0.5 s windows, above-roofline rejection)."""
+    import statistics
+
     import jax
-    import jax.numpy as jnp
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from tsl_sdr_tpu.utils.benchtime import make_calibrated_bench
 
-    def make(reps):
-        @jax.jit
-        def run(state, blocks):
-            def rep(carry, _):
-                st, acc = carry
-                st, out = jax.lax.scan(step_fn, st, blocks)
-                return (st, acc + jnp.sum(out.astype(jnp.int32))), None
-
-            (st, acc), _ = jax.lax.scan(
-                rep, (state, jnp.int32(0)), None, length=reps
-            )
-            tot = acc.astype(jnp.float32)
-            for leaf in jax.tree.leaves(st):
-                tot = tot + jnp.sum(leaf.astype(jnp.float32))
-            return tot
-
-        return run
-
-    lo, hi = make(REP_LO), make(REP_HI)
-    float(lo(state0, blocks))
-    float(hi(state0, blocks))
-    best = float("inf")
-    for _ in range(TRIALS):
-        t0 = time.perf_counter()
-        float(lo(state0, blocks))
-        tl = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(hi(state0, blocks))
-        th = time.perf_counter() - t0
-        dt = (th - tl) / (REP_HI - REP_LO)
-        if 0 < dt < best:
-            best = dt
-    return samples_per_pass / best / 1e6
+    bench = make_calibrated_bench(
+        step_fn, state0, blocks, samples_per_pass, bound_msps=bound_msps
+    )
+    rates = [r for r in (bench() for _ in range(TRIALS)) if r is not None]
+    if not rates:
+        return float("nan")
+    return statistics.median(rates)
 
 
 def resampler():
