@@ -189,3 +189,34 @@ def test_iq_formats(tmp_path):
     assert cu8u[64, 0] == 128 - 127
     rtl = iqio.rtl_u8_to_q14(raw)
     assert rtl[0] == -127 << 7 and rtl[255] == 128 << 7
+
+
+def test_debug_coefficient_dumps(tmp_path, monkeypatch):
+    """Runtime equivalents of the reference's compile-time dump hooks
+    (_DUMP_LPF multifm/demod.c:229-258, _DUMP_FILTER_COEFFICIENTS
+    filter/polyphase_fir.c:86-94), gated on env vars."""
+    from tsl_sdr_tpu.ops import packed_fir, polyphase
+
+    lpf_dump = tmp_path / "lpf.txt"
+    ph_dump = tmp_path / "phases.txt"
+    monkeypatch.setenv("TSL_DUMP_LPF", str(lpf_dump))
+    monkeypatch.setenv("TSL_DUMP_FILTER_COEFFICIENTS", str(ph_dump))
+
+    lpf = firdes_low_pass(1.0, 256_000, 12_500, 9_000)[:32]
+    packed_fir.make_packed_fir_plan(lpf, [40_000, -30_000], 256_000, 8)
+    txt = lpf_dump.read_text()
+    assert "lpf_shifted_40000 = [" in txt
+    assert "lpf_shifted_-30000 = [" in txt
+    assert "Total power:" in txt
+    assert txt.count("complex(") == 64  # 32 taps x 2 channels
+
+    coeffs = design_rational_resampler_filter(3, 2, 0.4)
+    polyphase.make_resampler_plan(q14.quantize_q14(coeffs), 3, 2)
+    ph = ph_dump.read_text()
+    assert ph.count("Phase ") == 3  # one line per interpolation phase
+
+    # unset -> no output, no crash
+    monkeypatch.delenv("TSL_DUMP_LPF")
+    monkeypatch.delenv("TSL_DUMP_FILTER_COEFFICIENTS")
+    packed_fir.make_packed_fir_plan(lpf, [10_000], 256_000, 8)
+    polyphase.make_resampler_plan(q14.quantize_q14(coeffs), 3, 2)

@@ -144,6 +144,9 @@ def make_packed_fir_plan(
         # (multifm/demod.c:214-218)
         qr = q14.quantize_q14(taps.real)
         qi = q14.quantize_q14(taps.imag)
+        from tsl_sdr_tpu.utils.diag import dump_shifted_lpf
+
+        dump_shifted_lpf(int(offsets_hz[c]), taps, qr, qi)
         for j in range(opr):
             vre = 2 * d * j + tidx
             # out_re += cr*xr - ci*xi ; out_im += ci*xr + cr*xi

@@ -91,6 +91,9 @@ def make_resampler_plan(
     """Build the static plan. ``fir_coeff_q14``: int16 Q.14 taps (use
     :func:`tsl_sdr_tpu.ops.q14.quantize_q14` on float coefficients)."""
     phases = build_phase_filters(fir_coeff_q14, interpolate)
+    from tsl_sdr_tpu.utils.diag import dump_phase_filters
+
+    dump_phase_filters(phases)
     p = phases.shape[1]
 
     g = math.gcd(interpolate, decimate)

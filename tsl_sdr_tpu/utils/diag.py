@@ -33,6 +33,69 @@ def message(subsystem: str, severity: str, code: str, fmt: str, *args):
     )
 
 
+def _dump_stream(env_value: str):
+    """``stderr``/``-`` -> stderr; anything else -> append to that path."""
+    import sys
+
+    if env_value in ("stderr", "-", "1", "true"):
+        return sys.stderr, False
+    return open(env_value, "a"), True
+
+
+def dump_shifted_lpf(offset_hz: int, taps, q_re, q_im) -> None:
+    """Per-channel shifted-LPF coefficient dump, gated on ``TSL_DUMP_LPF``.
+
+    Runtime equivalent of the reference's compile-time ``_DUMP_LPF`` block
+    (``multifm/demod.c:229-258``): emits the complex bandpass taps and
+    their Q.14-quantized integer forms in the same MATLAB-ish layout,
+    followed by the total tap power. Set ``TSL_DUMP_LPF=stderr`` (or a
+    file path to append to)."""
+    import os
+
+    dst = os.environ.get("TSL_DUMP_LPF")
+    if not dst:
+        return
+    import numpy as np
+
+    f, close = _dump_stream(dst)
+    try:
+        f.write(f"lpf_shifted_{offset_hz} = [\n")
+        power = 0
+        dpower = 0.0
+        for t, qr, qi in zip(np.asarray(taps), q_re, q_im):
+            f.write(f"    complex({t.real:f}, {t.imag:f}), "
+                    f"%% ({int(qr)}, {int(qi)})\n")
+            power += int(np.sqrt(float(int(qr) ** 2 + int(qi) ** 2)))
+            dpower += abs(t)
+        f.write("];\n")
+        f.write(f"%% Total power: {power} ({power:016x}) ({dpower:f})\n")
+    finally:
+        if close:
+            f.close()
+
+
+def dump_phase_filters(phases) -> None:
+    """Polyphase phase-filter dump, gated on ``TSL_DUMP_FILTER_COEFFICIENTS``.
+
+    Runtime equivalent of the reference's compile-time
+    ``_DUMP_FILTER_COEFFICIENTS`` block (``filter/polyphase_fir.c:86-94``):
+    one line per phase with its zero-padded integer coefficients."""
+    import os
+
+    dst = os.environ.get("TSL_DUMP_FILTER_COEFFICIENTS")
+    if not dst:
+        return
+    f, close = _dump_stream(dst)
+    try:
+        for i, row in enumerate(phases):
+            f.write(f"\nPhase {i:4d}: ")
+            f.write(" ".join(f"{int(v):6d}" for v in row))
+        f.write("\n")
+    finally:
+        if close:
+            f.close()
+
+
 def hexdump(data: bytes, width: int = 16) -> str:
     """Classic offset/hex/ASCII dump (``tsl/hexdump.h`` equivalent)."""
     data = bytes(data)
