@@ -155,7 +155,7 @@ def chain():
     fs, d, t = 1_000_000, 40, 128
     lpf = firdes_low_pass(1.0, fs, 12_500, 9_000)[:t]
     rng = np.random.default_rng(0)
-    block = 16_776_960
+    block = 16_711_680  # 52224 rows: divisible by every pallas tile (256/512/1024) so the zero-copy v2 path engages (a misaligned block silently measures the concat-copy path)
     for c in (8, 64):
         offsets = rng.integers(-fs // 3, fs // 3, size=c)
         iq = rng.integers(-8000, 8000, size=(block + 4096, 2),
@@ -199,7 +199,7 @@ def chain_tiles():
     fs, d, t = 1_000_000, 40, 128
     lpf = firdes_low_pass(1.0, fs, 12_500, 9_000)[:t]
     rng = np.random.default_rng(0)
-    block = 16_776_960
+    block = 16_711_680  # 52224 rows: divisible by every pallas tile (256/512/1024) so the zero-copy v2 path engages (a misaligned block silently measures the concat-copy path)
     for c in (8, 64):
         offsets = rng.integers(-fs // 3, fs // 3, size=c)
         iq = rng.integers(-8000, 8000, size=(block + 4096, 2),

@@ -1,0 +1,280 @@
+#!/usr/bin/env python3
+"""Live deployment soak on the REAL TPU (VERDICT r3 next-round #8).
+
+Proves the run-forever deployment story (the reference's operational shape,
+``/root/reference/multifm/multifm.c:163-165``) on hardware, not just in
+pytest: ``pipeline-tpu --follow`` consumes a named FIFO fed by a paced
+writer at the flagship wideband rate (1.2288 Msps, 8 POCSAG channels) for
+the requested duration, with ONE kill (SIGTERM -> checkpoint) and resume
+(``--state-file``) mid-run.
+
+The writer stamps every burst with a sequence number and records the wall
+time each was written; the soak tails the decoder's JSONL output and turns
+each decode into an end-to-end latency sample. Reported at the end (one
+JSON line):
+
+* offered vs achieved ingest rate (writer side; a slow pipeline would
+  backpressure the FIFO and drag the achieved rate below nominal),
+* decoded/expected burst counts (pre-kill, post-resume, total),
+* end-to-end latency percentiles (write -> decoded-message-on-disk),
+* the kill/resume event log.
+
+Usage:  python bench/soak_deployment_tpu.py [--minutes 30] [--kill-at 0.5]
+"""
+
+import argparse
+import json
+import os
+import re
+import signal
+import subprocess
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+
+DECIM = 32
+CHANNEL_RATE = 38400
+FS = CHANNEL_RATE * DECIM          # 1.2288 Msps wideband
+CENTER = 929_500_000
+OFFSETS = [-450_000, -320_000, -190_000, -60_000,
+           60_000, 190_000, 320_000, 450_000]
+BAUD = 1200
+
+
+class PacedWriter(threading.Thread):
+    """Generates the live IQ stream second-by-second and writes it to the
+    FIFO at real-time pace. Each stream-second carries one POCSAG burst on
+    channel ``seq % 8`` stamped with ``seq``; write times are recorded for
+    latency measurement. Survives reader restarts (reopens the FIFO)."""
+
+    def __init__(self, fifo: str, seconds: float):
+        super().__init__(daemon=True)
+        self.fifo = fifo
+        self.seconds = seconds
+        self.write_times = {}          # seq -> wall time fully written
+        self.bytes_written = 0
+        self.t_start = None
+        self.t_end = None
+        self.reopens = 0
+        self.stop_flag = threading.Event()
+        self._rng = np.random.default_rng(42)
+        from tsl_sdr_tpu.testing import pocsag_gen
+
+        self._gen = pocsag_gen
+
+    def _second(self, seq: int) -> np.ndarray:
+        """One second of wideband IQ: noise + one stamped burst on
+        channel seq % 8."""
+        n = FS
+        ch = seq % len(OFFSETS)
+        off = OFFSETS[ch]
+        bb = self._gen.generate(
+            [self._gen.PocsagBurst(capcode=100_000 + ch, function=1,
+                                   kind="alpha", content=f"SOAK {seq}")],
+            baud=BAUD, amplitude=6000, tail_bits=64)
+        dev = bb.astype(np.float64) / 16384.0 * (CHANNEL_RATE / 2)
+        ph = np.cumsum(np.repeat(2 * np.pi * (off + dev) / FS, DECIM))
+        sig = np.stack([np.cos(ph), np.sin(ph)], -1) * 6000
+        iq = self._rng.normal(scale=90, size=(n, 2))
+        m = min(len(sig), n - 8192)
+        iq[4096:4096 + m] += sig[:m]
+        return iq.astype(np.int16)
+
+    def run(self):
+        self.t_start = time.monotonic()
+        deadline = self.t_start + self.seconds
+        seq = 0
+        f = open(self.fifo, "wb", buffering=0)
+        try:
+            while not self.stop_flag.is_set():
+                now = time.monotonic()
+                if now >= deadline:
+                    break
+                buf = self._second(seq).tobytes()
+                # pace: second k of stream goes out during wall second k
+                target = self.t_start + seq
+                delay = target - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+                view = memoryview(buf)
+                while len(view) and not self.stop_flag.is_set():
+                    try:
+                        k = f.write(view)
+                        view = view[k:]
+                        self.bytes_written += k
+                    except BrokenPipeError:
+                        # reader restarting (kill/resume window): reopen
+                        # blocks until the resumed process attaches
+                        f.close()
+                        self.reopens += 1
+                        f = open(self.fifo, "wb", buffering=0)
+                self.write_times[seq] = time.time()
+                seq += 1
+        finally:
+            try:
+                f.close()
+            except BrokenPipeError:
+                pass
+            self.t_end = time.monotonic()
+        self.n_seq = seq
+
+
+def launch_pipeline(cfg_path, fifo, out_path, state_file):
+    """One pipeline leg. ``out_path`` must be unique per leg: ``-o`` opens
+    with "w" and would truncate the previous leg's messages on resume."""
+    env = dict(os.environ)
+    return subprocess.Popen(
+        [sys.executable, "-m", "tsl_sdr_tpu.cli.pipeline", str(cfg_path),
+         "--iq-file", str(fifo), "--iq-format", "cs16", "--follow",
+         "--idle-exit", "30", "--stats", "15",
+         "--state-file", str(state_file),
+         "-o", str(out_path)],
+        env=env, stderr=subprocess.PIPE, text=True,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=30.0)
+    ap.add_argument("--kill-at", type=float, default=0.5,
+                    help="fraction of the run at which to SIGTERM + resume")
+    ap.add_argument("--workdir", default="/tmp/soak_deploy")
+    args = ap.parse_args()
+
+    wd = Path(args.workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+    fifo = wd / "iq.fifo"
+    if fifo.exists():
+        fifo.unlink()
+    os.mkfifo(fifo)
+    out_paths = [wd / "messages_0.jsonl"]
+    out_paths[0].write_text("")
+    state_file = wd / "pipe.state.npz"
+    if state_file.exists():
+        state_file.unlink()
+
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    cfg = {
+        "sampleRateHz": FS,
+        "centerFreqHz": CENTER,
+        "decimationFactor": DECIM,
+        "lpfTaps": list(map(float, firdes_low_pass(1.0, FS, 9_600, 7_000))),
+        "channels": [
+            {"chanCenterFreq": CENTER + o, "protocol": "pocsag"}
+            for o in OFFSETS
+        ],
+    }
+    cfg_path = wd / "soak.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    total_s = args.minutes * 60.0
+    writer = PacedWriter(str(fifo), total_s)
+    events = []
+
+    proc = launch_pipeline(cfg_path, fifo, out_paths[-1], state_file)
+    stderr_lines = []
+
+    def _drain(p):
+        for line in p.stderr:
+            stderr_lines.append(line.rstrip())
+
+    drain = threading.Thread(target=_drain, args=(proc,), daemon=True)
+    drain.start()
+    writer.start()
+    events.append(("start", time.time()))
+
+    latencies = []
+    seen = set()
+    seq_re = re.compile(r"SOAK (\d+)")
+
+    def scan_output():
+        lines = []
+        for p in out_paths:
+            try:
+                lines += p.read_text().splitlines()
+            except FileNotFoundError:
+                pass
+        for line in lines:
+            m = seq_re.search(line)
+            if not m:
+                continue
+            seq = int(m.group(1))
+            if seq in seen:
+                continue
+            seen.add(seq)
+            wt = writer.write_times.get(seq)
+            if wt is not None:
+                latencies.append(time.time() - wt)
+
+    kill_t = time.monotonic() + total_s * args.kill_at
+    end_t = time.monotonic() + total_s
+    killed = False
+    while time.monotonic() < end_t:
+        time.sleep(5)
+        scan_output()
+        if not killed and time.monotonic() >= kill_t:
+            events.append(("sigterm", time.time()))
+            proc.send_signal(signal.SIGTERM)
+            rc = proc.wait(timeout=300)
+            events.append(("checkpointed", time.time(), rc,
+                           state_file.exists()))
+            drain.join(timeout=10)
+            scan_output()
+            out_paths.append(wd / f"messages_{len(out_paths)}.jsonl")
+            proc = launch_pipeline(cfg_path, fifo, out_paths[-1], state_file)
+            drain = threading.Thread(target=_drain, args=(proc,), daemon=True)
+            drain.start()
+            events.append(("resumed", time.time()))
+            killed = True
+        if proc.poll() is not None and time.monotonic() < end_t - 35:
+            events.append(("unexpected-exit", time.time(), proc.returncode))
+            break
+
+    writer.stop_flag.set()
+    writer.join(timeout=30)
+    # let the pipeline drain the tail then stop it cleanly
+    time.sleep(max(5.0, args.minutes))  # generous drain for the last blocks
+    scan_output()
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=300)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    drain.join(timeout=10)
+    scan_output()
+
+    achieved = writer.bytes_written / 4 / max(
+        (writer.t_end or time.monotonic()) - writer.t_start, 1e-9)
+    lat = sorted(latencies)
+
+    def pct(p):
+        return round(lat[min(len(lat) - 1, int(p * len(lat)))], 2) if lat else None
+
+    n_written = len(writer.write_times)
+    result = {
+        "minutes": args.minutes,
+        "offered_msps": FS / 1e6,
+        "achieved_msps": round(achieved / 1e6, 4),
+        "bursts_written": n_written,
+        "bursts_decoded": len(seen),
+        "fifo_reopens": writer.reopens,
+        "latency_s": {"p50": pct(0.5), "p90": pct(0.9), "max": pct(1.0),
+                      "n": len(lat)},
+        "events": [e[0] for e in events],
+        "kill_resume_ok": killed and state_file.exists(),
+        "stats_tail": stderr_lines[-6:],
+    }
+    print(json.dumps(result))
+    (wd / "soak_result.json").write_text(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,7 +71,7 @@ def prep_multifm(nr_channels, backend):
     lpf = firdes_low_pass(1.0, fs, 12_500, 9_000)[:t]
     rng = np.random.default_rng(0)
     offsets = rng.integers(-fs // 3, fs // 3, size=nr_channels)
-    block = 16_776_960
+    block = 16_711_680  # 52224 rows: divisible by every pallas tile (256/512/1024) so the zero-copy v2 path engages (a misaligned block silently measures the concat-copy path)
     chain = MultifmChain(lpf, offsets, fs, d, exact=False, backend=backend)
     iq = rng.integers(-8000, 8000, size=(chain.carry_len + block, 2),
                       dtype=np.int64).astype(np.int16)
@@ -98,7 +98,7 @@ def prep_exact_fir():
     offsets = rng.integers(-fs // 3, fs // 3, size=c)
     chain = MultifmChain(lpf, offsets, fs, d, exact=True)
     plan = chain.packed_plan
-    block = 16_776_960
+    block = 16_711_680  # 52224 rows: divisible by every pallas tile (256/512/1024) so the zero-copy v2 path engages (a misaligned block silently measures the concat-copy path)
     iq = rng.integers(-8000, 8000, size=(plan.carry_len + block, 2),
                       dtype=np.int64).astype(np.int16)
     carry = packed_fir.init_packed_carry(plan, iq[: plan.carry_len])
