@@ -25,7 +25,13 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon site hook re-forces JAX_PLATFORMS at import; honoring cpu needs
+# the config set BEFORE device init (CLAUDE.md) — without this the script
+# silently grabs the TPU and fights any benchmark running there
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 OUT = Path(__file__).resolve().parent / "replay"
 
@@ -71,7 +77,7 @@ def make_pocsag_512bps():
     bursts = [
         pocsag_gen.PocsagBurst(capcode=1122334, function=0, kind="alpha",
                                content="REPLAY FIXTURE 512"),
-        pocsag_gen.PocsagBurst(capcode=7654321, function=2, kind="numeric",
+        pocsag_gen.PocsagBurst(capcode=654321, function=2, kind="numeric",
                                content="0123456789"),
     ]
     bb = pocsag_gen.generate(bursts, baud=512, amplitude=6000, tail_bits=64)
@@ -83,7 +89,7 @@ def make_pocsag_512bps():
                    noise_rms=350.0, seed=101)
     msgs = PocsagDecoder().scan(pcm)
     caps = {m.capcode for m in msgs}
-    assert {1122334, 7654321} <= caps, msgs
+    assert {1122334, 654321} <= caps, msgs
     assert all(m.baud == 512 for m in msgs), msgs
     (OUT / "synthetic_pocsag_38400_512bps.raw").write_bytes(pcm.tobytes())
     print(f"pocsag 512bps: {len(pcm)} samples, {len(msgs)} msgs")
@@ -104,7 +110,7 @@ def make_mm_anchor():
     bursts = [
         pocsag_gen.PocsagBurst(capcode=200000 + 8 * k, function=1,
                                kind="alpha",
-                               content=f"HOSPITAL PAGE {k:02d} " * 4)
+                               content=f"HOSPITAL PAGE {k:02d}")
         for k in range(9)
     ]
     bb = pocsag_gen.generate(bursts, baud=1200, amplitude=6000, tail_bits=32)
