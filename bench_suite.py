@@ -405,6 +405,30 @@ def prep_costas():
     return trial
 
 
+def measure_ingest_bound_msps() -> float:
+    """Measured host->device streaming bandwidth -> the hard Msps ceiling
+    for any end-to-end row that ingests int16 IQ (4 B/sample).
+
+    On this box the device sits behind a tunnel whose h2d bandwidth swings
+    from ~55 MB/s to ~1.5 GB/s depending on co-tenancy; every e2e
+    deployment row is capped at bw/4 Msps REGARDLESS of device speed, so
+    the suite reports e2e rows as a fraction of this measured ceiling (on
+    a real TPU host the same transfer is PCIe, >10 GB/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    nbytes = 16 << 20
+    host = np.zeros(nbytes // 2, np.int16)
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a = jax.device_put(host)
+        float(jnp.sum(a[:4].astype(jnp.int32)))  # ensure it landed
+        rates.append(nbytes / (time.perf_counter() - t0))
+    bw = statistics.median(rates)
+    return bw / 4.0 / 1e6
+
+
 def cpu_baseline(nr_channels, taps, decim) -> float:
     exe = REPO / "bench" / "cpu_baseline"
     src = REPO / "bench" / "cpu_baseline.c"
@@ -482,6 +506,14 @@ def compare_with_previous(flat, prev_path):
     return regressions
 
 
+def _ingest_pct(st, ingest_bound_msps) -> str:
+    """E2e rows are capped by host->device ingest bandwidth (4 B/sample),
+    not by device speed — report the fraction of that measured ceiling."""
+    pct = 100.0 * st["median"] / ingest_bound_msps
+    return (f"{pct:.0f}% of the measured {ingest_bound_msps:,.1f} Msps "
+            f"tunnel-ingest ceiling (h2d-bound)")
+
+
 def _fmt(st, unit="Msps"):
     """Median-first (the defensible number); best + spread alongside."""
     ratio = st["max"] / st["min"] if st["min"] > 0 else float("inf")
@@ -541,6 +573,9 @@ def main():
     print("running interleaved device trials...", file=sys.stderr)
     trials = _collect(device_benches, DEVICE_TRIALS)
     print("running interleaved host trials...", file=sys.stderr)
+    ingest_bound = measure_ingest_bound_msps()
+    print(f"measured tunnel-ingest ceiling: {ingest_bound:.1f} Msps",
+          file=sys.stderr)
     trials.update(_collect(host_benches, HOST_TRIALS))
 
     summary = {k: _summarize(v) for k, v in trials.items()}
@@ -586,14 +621,16 @@ def main():
          br.describe(flat["resampler_16_25"]["median"])),
         ("POCSAG chain: wideband 1.2288 Msps -> channelize+demod (TPU) -> "
          "scan decode (host)",
-         _fmt(flat["pocsag_chain_e2e"]) + ", messages verified", "-"),
+         _fmt(flat["pocsag_chain_e2e"]) + ", messages verified",
+         _ingest_pct(flat["pocsag_chain_e2e"], ingest_bound)),
         ("pipeline: 8-channel POCSAG deployment, wideband -> 8 decoded "
          "channels in one call",
-         _fmt(flat["pipeline_8ch_e2e"]) + ", all 8 messages verified", "-"),
+         _fmt(flat["pipeline_8ch_e2e"]) + ", all 8 messages verified",
+         _ingest_pct(flat["pipeline_8ch_e2e"], ingest_bound)),
         ("pipeline, BIT-EXACT tier: same 8-channel deployment, output == "
          "the C arithmetic",
          _fmt(flat["exact_pipeline_8ch_e2e"]) + ", all 8 messages verified",
-         "-"),
+         _ingest_pct(flat["exact_pipeline_8ch_e2e"], ingest_bound)),
         ("decoder batch scans on sync-free PCM (host)",
          f"POCSAG {flat['decoder_scans/pocsag']['median']:.1f} / "
          f"FLEX {flat['decoder_scans/flex']['median']:.0f} / "
@@ -639,10 +676,13 @@ def main():
               "calibration facts). Speed-of-light bounds are algorithmic "
               "(useful MACs at 98.5e12 MAC/s, minimal stream bytes at "
               "819 GB/s — tsl_sdr_tpu/utils/roofline.py); 100% would mean "
-              "zero overhead and perfect overlap. The POCSAG end-to-end row "
-              "includes pulling the decoded-rate PCM to the host across this "
-              "box's <3 MB/s tunnel — on a real TPU host that transfer is "
-              "PCIe-speed. Generated by bench_suite.py.")
+              "zero overhead and perfect overlap. End-to-end rows are "
+              "capped by this box's HOST->DEVICE tunnel bandwidth (int16 "
+              "IQ is 4 B/sample; the ceiling above is measured at bench "
+              "time and swings ~55 MB/s-1.5 GB/s with co-tenancy) — on a "
+              "real TPU host the same ingest is PCIe, >10 GB/s, and the "
+              "device-rate rows above are the binding limit. Generated by "
+              "bench_suite.py.")
     (REPO / "BENCH_SUITE.md").write_text("\n".join(md) + "\n")
     print("\n".join(md))
 
@@ -651,6 +691,7 @@ def main():
         "device_trials": DEVICE_TRIALS,
         "host_trials": HOST_TRIALS,
         "cpu_baseline_8ch_msps": cpu8,
+        "ingest_bound_msps": round(ingest_bound, 2),
         "flat_summary": flat,
         "regressions": regressions,
         "prep_failures": prep_failures,
