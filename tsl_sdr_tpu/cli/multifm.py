@@ -77,7 +77,8 @@ def build_argparser():
     p.add_argument("--runtime", default="native", choices=["native", "python"],
                    help="IO runtime: native C++ reader/writer threads "
                         "(frame pool + drop counters) or pure-Python loops")
-    p.add_argument("--backend", default="xla", choices=["xla", "pallas"],
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas", "pallas-high"],
                    help="fast-tier compute backend")
     p.add_argument("--iq-dump", default=None,
                    help="dump ingested wideband IQ (int16 values) to this "

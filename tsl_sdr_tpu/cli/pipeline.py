@@ -89,7 +89,8 @@ def build_argparser():
     p.add_argument("-o", "--output", default=None, help="messages JSON file")
     p.add_argument("--exact", action="store_true",
                    help="bit-exact integer front-end tier")
-    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas", "pallas-high"])
     p.add_argument("--follow", action="store_true",
                    help="consume the IQ source LIVE (FIFO, growing file, "
                         "or hardware device): decode as data arrives, "

@@ -79,7 +79,7 @@ class MultifmChain:
         gains=None,
         *,
         exact: bool = True,
-        backend: str = "xla",
+        backend: str = "auto",
         exact_tier: str = "packed",
     ):
         """``exact_tier`` selects the bit-exact streaming implementation:
@@ -103,6 +103,17 @@ class MultifmChain:
         if exact_tier not in ("packed", "scan"):
             raise ValueError(f"unknown exact_tier {exact_tier!r}")
         self.exact_tier = exact_tier
+        if backend == "auto":
+            # measured winners (BENCH_SUITE.md, r4, calibrated medians):
+            # the fused Pallas bf16x3 kernel beats the XLA-composed int16
+            # path at BOTH shipped widths on TPU v5e — 13.8 vs 12.5 Gsps
+            # at 8ch and ~8.7 vs 2.4 Gsps at 64ch (the XLA path
+            # materializes the int32 accumulators + baseband between ops;
+            # the kernel keeps the whole tile dataflow in VMEM). On CPU
+            # (tests) Pallas would run in interpret mode — keep xla.
+            from tsl_sdr_tpu.ops.pallas_chain import _is_tpu
+
+            backend = "pallas-high" if (not exact and _is_tpu()) else "xla"
         self.backend = backend
         self.sample_rate = float(sample_rate)
         self.decimation = int(decimation)

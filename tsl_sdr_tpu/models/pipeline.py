@@ -321,7 +321,7 @@ class ReceivePipeline:
         channels,
         *,
         exact: bool = False,
-        backend: str = "xla",
+        backend: str = "auto",
         max_ratio: int = 256,
         block_size: int | None = None,
         inflight_depth: int = 2,

@@ -341,13 +341,20 @@ class PallasChain:
         self.plan = plan
         self.halfcols = plan.opr * plan.nr_channels
         if tile_rows is None:
-            # measured on v5e: wide banks (64ch, halfcols=1024) run ~13%
-            # faster with 512-row tiles (more row reuse per tap-matrix
-            # load); narrow banks lose from the reduced grid parallelism,
-            # and the f32 working tile (~tr * halfcols * 4B) must stay
-            # within VMEM — 1024 rows already fails at 64ch, so banks wider
-            # than 64ch fall back to 256 rather than doubling the footprint
-            tile_rows = 512 if 512 <= self.halfcols <= 2048 else 256
+            # r4 calibrated tile sweep on v5e (bench/r3_perf_lab.py
+            # chain-tiles, aligned 52224-row block, medians): bigger tiles
+            # win monotonically at both shipped widths — 8ch (halfcols=64)
+            # 12.2->14.4 Gsps and 64ch (halfcols=512) 9.8->10.6 Gsps going
+            # tr=128->1024 — EXCEPT 64ch tr=1024 at HIGHEST precision,
+            # which overflows scoped VMEM (the 6-pass matmul's f32 stack;
+            # bf16x3 fits). Banks wider than 64ch keep 256 rows so the
+            # f32 working tile (~tr * halfcols * 4B) stays inside VMEM.
+            if self.halfcols > 512:
+                tile_rows = 256
+            elif self.halfcols > 128 and precision == "highest":
+                tile_rows = 512
+            else:
+                tile_rows = 1024
         self.tr = int(tile_rows)
         # quantized-tap values in f32 (the int-valued products stay well
         # within f32's exact range per-term; the HIGHEST-precision MXU sum
