@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Measure THIS chip's effective HBM and MXU ceilings (run on TPU).
+
+The roofline bounds in utils/roofline.py use the v5e spec sheet (819 GB/s
+HBM, 98.5e12 MAC/s). The parts labs show even a trivial Pallas copy
+streams at ~105-150 GB/s here — consistent with a time-shared/co-tenant
+chip slice. This probe measures, with the calibrated differential
+harness:
+
+  hbm   — XLA elementwise copy of a 64 MB int16 array (in+out bytes)
+  hbm32 — same in f32 (is it bytes or elements that cap?)
+  mxu   — bf16 4096^3 matmul chain (effective MAC/s)
+  mxui  — int16 4096^3 matmul chain (the integer path's effective rate)
+
+Prints one line each: effective GB/s or TMAC/s, plus % of spec.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+
+TRIALS = 5
+
+
+def _per_rep_seconds(step_fn, state0, blocks):
+    import statistics
+
+    from tsl_sdr_tpu.utils.benchtime import make_calibrated_bench
+
+    bench = make_calibrated_bench(step_fn, state0, blocks, 10 ** 6)
+    # bench() returns samples_per_pass/dt/1e6 with samples_per_pass=1e6
+    # => rate == 1/dt; invert back to per-rep seconds
+    rates = [r for r in (bench() for _ in range(TRIALS)) if r is not None]
+    # bench() returns (1e6 samples)/dt/1e6 == 1/dt -> per-rep dt = 1/rate
+    return 1.0 / statistics.median(rates) if rates else float("nan")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    rng = np.random.default_rng(0)
+
+    # ---- HBM streaming: y = x + state (state-threaded, non-elidable) ----
+    for name, dtype in (("hbm_i16", np.int16), ("hbm_f32", np.float32)):
+        n = (64 << 20) // np.dtype(dtype).itemsize  # 64 MB array
+        x = jnp.asarray(rng.integers(-100, 100, size=n).astype(dtype))
+
+        def step(st, blk):
+            y = blk + st.astype(blk.dtype)
+            return st + jnp.int32(1), y
+
+        dt = _per_rep_seconds(step, jnp.int32(0), x[None, :])
+        byts = 2 * (64 << 20)  # read + write
+        print(f"{name}: {byts / dt / 1e9:,.0f} GB/s effective "
+              f"({100 * byts / dt / 819e9:.0f}% of 819 GB/s spec)",
+              flush=True)
+
+    # ---- MXU: C = A@B + c (threaded), 4096^3 ----
+    for name, dtype, prec in (
+        ("mxu_bf16", jnp.bfloat16, None),
+        ("mxu_f32_highest", jnp.float32, "highest"),
+        ("mxu_i16", jnp.int16, None),
+    ):
+        m = 4096
+        a = jnp.asarray(rng.integers(-100, 100, size=(m, m)).astype(
+            np.float32)).astype(dtype)
+        b = jnp.asarray(rng.integers(-100, 100, size=(m, m)).astype(
+            np.float32)).astype(dtype)
+
+        if dtype == jnp.int16:
+            def step(st, _blk, a=a, b=b):
+                y = jax.lax.dot_general(
+                    a + st.astype(jnp.int16), b,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return st + jnp.int32(1), jnp.sum(y, axis=0)[:8]
+        else:
+            def step(st, _blk, a=a, b=b, prec=prec):
+                y = jnp.dot(a + st.astype(a.dtype), b,
+                            precision=prec,
+                            preferred_element_type=jnp.float32)
+                return st + jnp.int32(1), jnp.sum(y, axis=0)[:8]
+
+        dummy = jnp.zeros((1, 8), jnp.int32)
+        dt = _per_rep_seconds(step, jnp.int32(0), dummy)
+        macs = m ** 3
+        print(f"{name}: {macs / dt / 1e12:,.1f} TMAC/s effective "
+              f"({100 * macs / dt / 98.5e12:.0f}% of 98.5 TMAC/s spec)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
