@@ -57,12 +57,27 @@ _ATAN_COEFFS = (
 )
 
 
-def _atan2_poly(y, x):
-    """Quadrant-unfolded polynomial atan2 for inside Pallas kernels."""
+def _atan2_poly(y, x, approx_div=False):
+    """Quadrant-unfolded polynomial atan2 for inside Pallas kernels.
+
+    ``approx_div``: use the VPU's reciprocal approximation + one Newton
+    step instead of a full-precision divide (measured ~2 us/tile of the
+    FM section is the divide alone — bench/pallas_parts_lab6.py). One
+    Newton step squares the ~1e-4 approximation error to ~1e-8 relative,
+    far below the polynomial's own 2e-6 rad error, so the 'high' tier's
+    LSB bound is unaffected."""
     ya = jnp.abs(y)
     xa = jnp.abs(x)
     hi = jnp.maximum(ya, xa)
-    z = jnp.minimum(ya, xa) / jnp.where(hi == 0, jnp.float32(1), hi)
+    safe = jnp.where(hi == 0, jnp.float32(1), hi)
+    if approx_div:
+        from jax.experimental import pallas as _pl
+
+        r = _pl.reciprocal(safe, approx=True)
+        r = r * (jnp.float32(2) - safe * r)   # Newton: err ~(err0)^2
+        z = jnp.minimum(ya, xa) * r
+    else:
+        z = jnp.minimum(ya, xa) / safe
     z2 = z * z
     p = jnp.float32(_ATAN_COEFFS[0])
     for c in _ATAN_COEFFS[1:]:
@@ -82,6 +97,28 @@ def _atan2_poly(y, x):
     return jnp.where(x_major, ax, ay)
 
 
+def _split_bf16(a_f32):
+    """f32 -> (head, residual) bf16 pair; exact for int16-valued inputs
+    (the residual of a <=16-bit integer fits bf16's 8-bit mantissa)."""
+    ah = a_f32.astype(jnp.bfloat16)
+    al = (a_f32 - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    return ah, al
+
+
+def _xslice(x, rsl, csl=slice(None)):
+    """Row/col slice of an operand that may be a (head, residual) pair."""
+    if isinstance(x, tuple):
+        return (x[0][rsl, csl], x[1][rsl, csl])
+    return x[rsl, csl]
+
+
+def _wsel(w, idx, rsl=slice(None)):
+    """``w_ref[idx][rsl]`` for a plain stack or a (head, residual) pair."""
+    if isinstance(w, tuple):
+        return (w[0][idx][rsl], w[1][idx][rsl])
+    return w[idx][rsl]
+
+
 def _dot_prec(a, b, precision):
     """MXU matmul at the requested pass count.
 
@@ -91,13 +128,14 @@ def _dot_prec(a, b, precision):
     f32 operand into its bf16 head plus the exactly-representable bf16
     residual and take the three largest cross terms (dropping lo*lo, the
     classic bf16x3 algorithm; ~1e-5 relative, half of HIGHEST's 6 passes).
+    Operands may arrive PRE-SPLIT as (head, residual) bf16 pairs — the
+    kernels split x once per tile and the tap stack once on the host
+    instead of once per chunk matmul (same bits, less VPU work).
     """
     if precision == "bf16x3":
         f32 = jnp.float32
-        ah = a.astype(jnp.bfloat16)
-        al = (a - ah.astype(f32)).astype(jnp.bfloat16)
-        bh = b.astype(jnp.bfloat16)
-        bl = (b - bh.astype(f32)).astype(jnp.bfloat16)
+        ah, al = a if isinstance(a, tuple) else _split_bf16(a)
+        bh, bl = b if isinstance(b, tuple) else _split_bf16(b)
         return (
             jnp.dot(ah, bh, preferred_element_type=f32)
             + jnp.dot(ah, bl, preferred_element_type=f32)
@@ -118,15 +156,16 @@ def _fir_acc(x, w_ref, *, tr, cr, precision, chunk_nnz, gspec):
     ``[re | im]`` column split.
     """
     if gspec is None:
-        p = _dot_prec(x, w_ref[0], precision)
+        p = _dot_prec(x, _wsel(w_ref, 0), precision)
         acc = p[: tr + 1]
         for i in range(1, cr + 1):
             nnz = chunk_nnz[i]
-            q = _dot_prec(x[:, :nnz], w_ref[i][:nnz], precision)
+            q = _dot_prec(_xslice(x, slice(None), slice(None, nnz)),
+                          _wsel(w_ref, i, slice(None, nnz)), precision)
             acc = acc + q[i : tr + 1 + i]
         return acc
     g, n_groups, win_g, spill, d, gc = gspec
-    row = x.shape[1]
+    row = (x[0] if isinstance(x, tuple) else x).shape[1]
     # The window xw = [x[:tr+1] | x[1:tr+2,:..] | ...] is never materialized:
     # Mosaic cannot concatenate row-shifted slices (sublane-offset mismatch
     # on the non-concat dim), so each group's windowed dot is decomposed into
@@ -144,8 +183,9 @@ def _fir_acc(x, w_ref, *, tr, cr, precision, chunk_nnz, gspec):
             if a >= b:
                 continue
             part = _dot_prec(
-                x[k : k + tr + 1, a - k * row : b - k * row],
-                w_ref[grp][a - off : b - off],
+                _xslice(x, slice(k, k + tr + 1),
+                        slice(a - k * row, b - k * row)),
+                _wsel(w_ref, grp, slice(a - off, b - off)),
                 precision,
             )  # [TR+1, 2*g*C]
             q = part if q is None else q + part
@@ -156,14 +196,24 @@ def _fir_acc(x, w_ref, *, tr, cr, precision, chunk_nnz, gspec):
     return jnp.concatenate([ar, ai], axis=1)
 
 
+def _prep_xw(x_f32, w_ref, precision):
+    """Split x once per tile and unpack the host-presplit tap planes when
+    running the bf16x3 tier; pass through otherwise."""
+    if precision == "bf16x3":
+        return _split_bf16(x_f32), (w_ref[0], w_ref[1])
+    return x_f32, w_ref
+
+
 def _chain_kernel(xa_ref, xb_ref, w_ref, om_ref, out_ref, *, cr, halfcols,
-                  nr_ch, opr, precision, chunk_nnz, gspec=None):
+                  nr_ch, opr, precision, chunk_nnz, gspec=None,
+                  approx_div=False):
     tr = xa_ref.shape[0]
     row = xa_ref.shape[1]
     # halo: 1 look-back row + cr spill rows from the next tile
     x = jnp.concatenate(
         [xa_ref[:].astype(jnp.float32), xb_ref[: 1 + cr].astype(jnp.float32)]
     )  # [TR + 1 + cr, ROW]
+    x, w_ref = _prep_xw(x, w_ref, precision)
 
     acc = _fir_acc(x, w_ref, tr=tr, cr=cr, precision=precision,
                    chunk_nnz=chunk_nnz, gspec=gspec)
@@ -185,7 +235,7 @@ def _chain_kernel(xa_ref, xb_ref, w_ref, om_ref, out_ref, *, cr, halfcols,
     pi_ = prev_of(ai)
     sre = ar * pr + ai * pi_
     sim = ai * pr - ar * pi_
-    phi = _atan2_poly(sim, sre) + om_ref[0][None, :]
+    phi = _atan2_poly(sim, sre, approx_div=approx_div) + om_ref[0][None, :]
     phi = jnp.where(phi > _PI, phi - 2 * _PI, phi)
     phi = jnp.where(phi <= -_PI, phi + 2 * _PI, phi)
     phi = jnp.where((sre == 0) & (sim == 0), jnp.float32(0), phi)
@@ -195,15 +245,18 @@ def _chain_kernel(xa_ref, xb_ref, w_ref, om_ref, out_ref, *, cr, halfcols,
 
 @functools.partial(
     jax.jit, static_argnames=("tr", "cr", "halfcols", "nr_ch", "opr",
-                              "interpret", "precision", "chunk_nnz", "gspec")
+                              "interpret", "precision", "chunk_nnz", "gspec",
+                              "approx_div")
 )
 def _chain_call(padded_rows, w_stack, omega_row, *, tr, cr, halfcols, nr_ch,
-                opr, interpret, precision, chunk_nnz, gspec=None):
+                opr, interpret, precision, chunk_nnz, gspec=None,
+                approx_div=False):
     n_rows, row = padded_rows.shape
     grid = n_rows // tr - 1
     kernel = functools.partial(
         _chain_kernel, cr=cr, halfcols=halfcols, nr_ch=nr_ch, opr=opr,
         precision=precision, chunk_nnz=chunk_nnz, gspec=gspec,
+        approx_div=approx_div,
     )
     return pl.pallas_call(
         kernel,
@@ -224,7 +277,8 @@ def _chain_call(padded_rows, w_stack, omega_row, *, tr, cr, halfcols, nr_ch,
 
 
 def _chain_kernel_v2(xc_ref, xa_ref, carry_ref, w_ref, om_ref, out_ref, *,
-                     cr, halfcols, nr_ch, precision, chunk_nnz, gspec=None):
+                     cr, halfcols, nr_ch, precision, chunk_nnz, gspec=None,
+                     approx_div=False):
     """Zero-copy variant: block rows arrive as two views (previous tile,
     clamped, and this tile) and the stream carry as a tiny replicated input;
     program 0 swaps the carry in for the head. x row j == stream row
@@ -236,15 +290,16 @@ def _chain_kernel_v2(xc_ref, xa_ref, carry_ref, w_ref, om_ref, out_ref, *,
     head = jnp.where(i == 0, carry_ref[:], head_prev)
     _chain_body(head, xa_ref[:], w_ref, om_ref, out_ref, cr=cr,
                 halfcols=halfcols, nr_ch=nr_ch, precision=precision,
-                chunk_nnz=chunk_nnz, gspec=gspec)
+                chunk_nnz=chunk_nnz, gspec=gspec, approx_div=approx_div)
 
 
 def _chain_body(head_i16, block_i16, w_ref, om_ref, out_ref, *, cr, halfcols,
-                nr_ch, precision, chunk_nnz, gspec=None):
+                nr_ch, precision, chunk_nnz, gspec=None, approx_div=False):
     tr = block_i16.shape[0]
     x = jnp.concatenate(
         [head_i16.astype(jnp.float32), block_i16.astype(jnp.float32)]
     )  # [1+cr+TR, ROW], x row j == stream row i*TR + j
+    x, w_ref = _prep_xw(x, w_ref, precision)
     acc = _fir_acc(x, w_ref, tr=tr, cr=cr, precision=precision,
                    chunk_nnz=chunk_nnz, gspec=gspec)
 
@@ -262,7 +317,7 @@ def _chain_body(head_i16, block_i16, w_ref, om_ref, out_ref, *, cr, halfcols,
     pi_ = prev_of(ai)
     sre = ar * pr + ai * pi_
     sim = ai * pr - ar * pi_
-    phi = _atan2_poly(sim, sre) + om_ref[0][None, :]
+    phi = _atan2_poly(sim, sre, approx_div=approx_div) + om_ref[0][None, :]
     phi = jnp.where(phi > _PI, phi - 2 * _PI, phi)
     phi = jnp.where(phi <= -_PI, phi + 2 * _PI, phi)
     phi = jnp.where((sre == 0) & (sim == 0), jnp.float32(0), phi)
@@ -273,11 +328,11 @@ def _chain_body(head_i16, block_i16, w_ref, om_ref, out_ref, *, cr, halfcols,
 @functools.partial(
     jax.jit,
     static_argnames=("tr", "cr", "halfcols", "nr_ch", "interpret",
-                     "precision", "chunk_nnz", "gspec"),
+                     "precision", "chunk_nnz", "gspec", "approx_div"),
 )
 def _chain_call_v2(block_rows, carry_rows, w_stack, omega_row, *, tr, cr,
                    halfcols, nr_ch, interpret, precision, chunk_nnz,
-                   gspec=None):
+                   gspec=None, approx_div=False):
     """Streaming call with NO copy of the block: requires tr | n_rows.
 
     x row j == stream row i*TR + j where stream = [carry(1+cr) ++ block];
@@ -289,6 +344,7 @@ def _chain_call_v2(block_rows, carry_rows, w_stack, omega_row, *, tr, cr,
     kernel = functools.partial(
         _chain_kernel_v2, cr=cr, halfcols=halfcols, nr_ch=nr_ch,
         precision=precision, chunk_nnz=chunk_nnz, gspec=gspec,
+        approx_div=approx_div,
     )
     return pl.pallas_call(
         kernel,
@@ -368,14 +424,24 @@ class PallasChain:
         if grouped:
             gp = make_grouped_from_plan(plan)
             # quantized-tap VALUES in f32, like the chunked stack below
-            self.w_stack = jnp.asarray(gp.wg_i16.astype(np.float32))
+            w_np = gp.wg_i16.astype(np.float32)
             self._gspec = (gp.g, gp.n_groups, gp.win_g, gp.spill,
                            plan.decimation, gp.g * plan.nr_channels)
         else:
             self._gspec = None
-            self.w_stack = jnp.asarray(
-                np.stack(plan.w_chunks_i16).astype(np.float32)
-            )
+            w_np = np.stack(plan.w_chunks_i16).astype(np.float32)
+        if precision == "high":
+            # bf16x3 tier: presplit the tap stack into (head, residual)
+            # bf16 planes ON THE HOST (exact for int16-valued taps) so the
+            # kernel doesn't re-split w per chunk matmul; x is split once
+            # per tile in _prep_xw
+            import ml_dtypes
+
+            wh = w_np.astype(ml_dtypes.bfloat16)
+            wl = (w_np - wh.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            self.w_stack = jnp.asarray(np.stack([wh, wl]))
+        else:
+            self.w_stack = jnp.asarray(w_np)
         # omega per output column (j, c): tile over j
         om = np.tile(np.asarray(omega_reduced, np.float32), plan.opr)
         self.omega_row = jnp.asarray(om[None, :])
@@ -392,6 +458,10 @@ class PallasChain:
             "highest": _lax.Precision.HIGHEST,
             "high": "bf16x3",
         }[precision]
+        # approximate-reciprocal atan2 divide (lab6: the full divide is
+        # ~2 us/tile); Newton-refined, error well under the LSB bound, and
+        # interpret mode emulates it so CPU tests cover the same path
+        self.approx_div = precision == "high"
 
     @property
     def carry_rows(self) -> int:
@@ -445,6 +515,7 @@ class PallasChain:
                 precision=self.precision,
                 chunk_nnz=self._chunk_nnz,
                 gspec=self._gspec,
+                approx_div=self.approx_div,
             )
             new_carry = jax.lax.dynamic_slice_in_dim(
                 block_rows, r_b - self.carry_rows, self.carry_rows
@@ -470,6 +541,7 @@ class PallasChain:
             precision=self.precision,
             chunk_nnz=self._chunk_nnz,
             gspec=self._gspec,
+            approx_div=self.approx_div,
         )
         # last 1+cr real rows of (carry ++ block) — sliced from the already
         # materialized buffer, NOT a second concat (that would re-copy the
