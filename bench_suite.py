@@ -691,17 +691,23 @@ def main():
             md.append(
                 "Measured chip context (bench/chip_ceiling_probe.py, "
                 "calibrated medians on THIS chip slice): XLA elementwise "
-                f"streams {ceil.get('hbm_f32', '?')} GB/s (f32) / "
-                f"{ceil.get('hbm_i16', '?')} GB/s (int16); MXU "
+                "reads are ELEMENT-rate-bound at ~93 G elem/s "
+                f"({ceil.get('hbm_read_i16', '?')} GB/s int16 / "
+                f"{ceil.get('hbm_read_f32', '?')} GB/s f32); an honest "
+                "3-stream int16 read+write loop sustains "
+                f"{ceil.get('hbm_rw_i16', '?')} GB/s (the f32 variant "
+                "exceeds HBM spec — XLA keeps the 64 MB scan carry "
+                "VMEM-resident, so it is not an HBM number). MXU "
                 f"{ceil.get('mxu_bf16', '?')} TMAC/s bf16 (96% of spec), "
                 f"{ceil.get('mxu_i16', '?')} TMAC/s int16 (1/4 rate), "
                 f"{ceil.get('mxu_f32_highest', '?')} TMAC/s f32-HIGHEST "
                 "(6-pass). Pallas HBM->VMEM block DMA caps at ~100 GB/s "
                 "here regardless of tile size/width/stream count/DMA depth "
-                "(bench/pallas_parts_lab*.py) — the fused kernel's input "
-                "DMA is therefore ~2/3 of its tile time, so the spec-sheet "
-                "'% of SoL' understates how close the kernel is to what "
-                "THIS chip slice allows.")
+                "(bench/pallas_parts_lab*.py) — a Mosaic DMA-path "
+                "property of this virtualized slice, not the chip limit — "
+                "so the fused kernel's input DMA is ~2/3 of its tile time "
+                "and the spec-sheet '% of SoL' understates how close the "
+                "kernel is to what THIS chip slice allows.")
         except Exception:  # noqa: BLE001
             pass
     (REPO / "BENCH_SUITE.md").write_text("\n".join(md) + "\n")
