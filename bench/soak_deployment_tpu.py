@@ -174,9 +174,33 @@ def main():
     cfg_path = wd / "soak.json"
     cfg_path.write_text(json.dumps(cfg))
 
+    # ---- warmup: populate the persistent compile cache BEFORE going live.
+    # First compile of the deployment program takes minutes on this
+    # tunneled chip; without this, a short soak measures the compiler, not
+    # the deployment (the kill can even land mid-compile, so the cache
+    # never fills and every leg recompiles). Operationally this is the
+    # standard "prime the jit cache on rollout" step.
+    t_warm0 = time.monotonic()
+    warm_file = wd / "warmup.cs16"
+    n_warm = int(FS * 8) * 4  # 8 stream-seconds of zeros (>=1 full block)
+    warm_file.write_bytes(b"\x00" * n_warm)
+    warm = subprocess.run(
+        [sys.executable, "-m", "tsl_sdr_tpu.cli.pipeline", str(cfg_path),
+         "--iq-file", str(warm_file), "--iq-format", "cs16",
+         # --follow so the warmup compiles the SAME streaming programs
+         # (push + flush) the live legs run, not the capture path
+         "--follow", "--idle-exit", "2",
+         "-o", os.devnull],
+        capture_output=True, text=True, timeout=1800,
+    )
+    warm_s = round(time.monotonic() - t_warm0, 1)
+    warm_file.unlink()
+    print(f"soak: warmup leg rc={warm.returncode} in {warm_s}s",
+          flush=True)
+
     total_s = args.minutes * 60.0
     writer = PacedWriter(str(fifo), total_s)
-    events = []
+    events = [("warmup", time.time(), warm.returncode, warm_s)]
 
     proc = launch_pipeline(cfg_path, fifo, out_paths[-1], state_file)
     stderr_lines = []
@@ -269,6 +293,7 @@ def main():
         "latency_s": {"p50": pct(0.5), "p90": pct(0.9), "max": pct(1.0),
                       "n": len(lat)},
         "events": [e[0] for e in events],
+        "warmup_s": warm_s,
         "kill_resume_ok": killed and state_file.exists(),
         "stats_tail": stderr_lines[-6:],
     }

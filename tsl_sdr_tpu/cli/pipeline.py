@@ -417,11 +417,18 @@ def main(argv=None):
                     if args.stats:
                         counters.samples_in = n_samples
                         counters.messages = n_msgs
-                        st = pipe.stream_stats
-                        ticker.tick(
-                            f" blocks={st['blocks']} "
-                            f"fetched={st['fetched'].tolist()}"
-                        )
+                        # the device-counter fetch is a critical section
+                        # too: a signal raising mid-fetch surfaces as an
+                        # "Exception ignored" traceback from jax's array
+                        # materialization (seen in soak stderr tails)
+                        with guard.defer():
+                            st = pipe.stream_stats
+                            ticker.tick(
+                                f" blocks={st['blocks']} "
+                                f"fetched={st['fetched'].tolist()}"
+                            )
+                        if guard.pending:
+                            raise KeyboardInterrupt
             except KeyboardInterrupt:
                 pass
             finally:
@@ -441,7 +448,10 @@ def main(argv=None):
                       file=sys.stderr)
             else:
                 try:
-                    emit(pipe.flush())
+                    # same protection as the checkpoint branch: a SIGTERM
+                    # mid-drain must not abort the final flush uncaught
+                    with guard.defer():
+                        emit(pipe.flush())
                 except ValueError as e:
                     # a follow run stopped before the stream ever primed
                     # (fewer than prefix samples arrived) is a clean stop,

@@ -1180,11 +1180,14 @@ class ReceivePipeline:
         restored = []
         for i, tmpl in enumerate(leaves):
             arr = data[f"leaf_{i}"]
-            t = np.asarray(tmpl)
-            if arr.shape != t.shape or arr.dtype != t.dtype:
+            # compare METADATA only — np.asarray(tmpl) here would fetch
+            # every device leaf to the host just to read .shape/.dtype,
+            # and on a tunneled TPU that single line stalled the resume
+            # leg for minutes (soak r4: leg 1 read 0 samples in 90 s)
+            if arr.shape != tuple(tmpl.shape) or arr.dtype != tmpl.dtype:
                 raise ValueError(
                     f"checkpoint leaf {i} is {arr.dtype}{arr.shape}, "
-                    f"pipeline expects {t.dtype}{t.shape}"
+                    f"pipeline expects {tmpl.dtype}{tmpl.shape}"
                 )
             restored.append(jax.device_put(arr))
         s["st"] = jax.tree.unflatten(treedef, restored)

@@ -439,12 +439,21 @@ class PallasChain:
 
             wh = w_np.astype(ml_dtypes.bfloat16)
             wl = (w_np - wh.astype(np.float32)).astype(ml_dtypes.bfloat16)
-            self.w_stack = jnp.asarray(np.stack([wh, wl]))
+            self.w_stack = np.stack([wh, wl])
         else:
-            self.w_stack = jnp.asarray(w_np)
+            self.w_stack = w_np
         # omega per output column (j, c): tile over j
         om = np.tile(np.asarray(omega_reduced, np.float32), plan.opr)
-        self.omega_row = jnp.asarray(om[None, :])
+        self.omega_row = om[None, :].copy()
+        # The tap stack stays a HOST np array: when step() is traced into
+        # an outer jit (the deployment pipeline's dev_step), np closure
+        # constants are embedded into MLIR by memcpy. Eager device arrays
+        # here would make every first lowering fetch them DEVICE->HOST —
+        # on the tunneled chip that d2h swings 0.1-30 MB/s and a resume
+        # leg once spent 785 s in "jaxpr to MLIR module conversion" on
+        # exactly this. Eager step() calls use a lazily device_put copy so
+        # per-block dispatch does not re-upload the taps.
+        self._dev_operands_cache = None
         self.interpret = (not _is_tpu()) if interpret is None else interpret
         self._chunk_nnz = (
             tuple(plan.chunk_nnz) if plan.chunk_nnz
@@ -490,6 +499,24 @@ class PallasChain:
             )
         )
 
+    def _operands(self, example):
+        """(w_stack, omega_row) to pass to the kernel call.
+
+        Under an outer trace, return the HOST np arrays so they embed as
+        np constants (lowering = memcpy, never a device->host fetch).
+        Eagerly, return a cached on-device copy so per-block dispatch
+        does not re-upload the taps."""
+        from jax.core import Tracer
+
+        if isinstance(example, Tracer):
+            return self.w_stack, self.omega_row
+        if self._dev_operands_cache is None:
+            self._dev_operands_cache = (
+                jax.device_put(self.w_stack),
+                jax.device_put(self.omega_row),
+            )
+        return self._dev_operands_cache
+
     def step(self, carry_rows, block_vals):
         """carry [1+cr, ROW] int16, block_vals [2N] int16 (flat interleaved).
 
@@ -499,14 +526,15 @@ class PallasChain:
         row = self.plan.row
         block_rows = block_vals.reshape(-1, row)
         r_b = block_rows.shape[0]
+        w_stack, omega_row = self._operands(block_vals)
         if r_b % self.tr == 0 and r_b >= 2 * self.tr:
             # zero-copy path: the kernel reads the block through two views
             # and the small carry directly — no 2-bytes/value stream copy
             pcm = _chain_call_v2(
                 block_rows,
                 carry_rows,
-                self.w_stack,
-                self.omega_row,
+                w_stack,
+                omega_row,
                 tr=self.tr,
                 cr=self.plan.cr_rows,
                 halfcols=self.halfcols,
@@ -530,8 +558,8 @@ class PallasChain:
         )
         pcm = _chain_call(
             vals,
-            self.w_stack,
-            self.omega_row,
+            w_stack,
+            omega_row,
             tr=self.tr,
             cr=self.plan.cr_rows,
             halfcols=self.halfcols,
