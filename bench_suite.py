@@ -150,6 +150,44 @@ def prep_resampler():
     )
 
 
+def prep_resampler_pallas():
+    """Fused Pallas packed-row resampler (the fast tier's TPU-auto
+    backend, ops/pallas_resampler.PallasResampler; +78% over the XLA
+    packed-row tier — bench/r4_resampler_lab.py)."""
+    import jax
+    import jax.numpy as jnp
+    from tsl_sdr_tpu.ops import polyphase, q14
+    from tsl_sdr_tpu.ops.pallas_resampler import PallasResampler
+    from tsl_sdr_tpu.utils.filter_design import design_rational_resampler_filter
+
+    coeffs = design_rational_resampler_filter(16, 25, 0.4)
+    plan = polyphase.make_resampler_plan(
+        q14.quantize_q14(coeffs), 16, 25, block_out_target=1 << 20
+    )
+    rng = np.random.default_rng(0)
+    nb, tr = 8, 1024
+    row = plan.row_in
+    pr = PallasResampler(plan, tile_rows=tr, precision="high")
+    m_per = ((plan.block_in // row) // tr) * tr
+    n_per = m_per * row
+    x = rng.integers(-12000, 12000, size=(row + nb * n_per,),
+                     dtype=np.int64).astype(np.int16)
+    blocks = jax.device_put(jnp.asarray(
+        x[row: row + nb * n_per].reshape(nb, n_per)))
+    carry0 = pr.init_carry(x[:row])
+
+    def step(carry, blk):
+        carry2, out = pr.step(carry, blk)
+        return carry2, out.astype(jnp.int32)
+
+    from tsl_sdr_tpu.utils import roofline
+
+    return _device_trial_fn(
+        step, carry0, blocks, nb * n_per,
+        bound_msps=roofline.resampler(821, 16, 25).sol_msps,
+    )
+
+
 def prep_pocsag_chain():
     """Wideband -> channelize+demod (TPU) -> POCSAG scan (host)."""
     from tsl_sdr_tpu.models.channelizer import MultifmChain
@@ -559,6 +597,7 @@ def main():
           64, "pallas-high")
     _prep(device_benches, "exact_fir_8ch", prep_exact_fir)
     _prep(device_benches, "resampler_16_25", prep_resampler)
+    _prep(device_benches, "resampler_16_25_pallas", prep_resampler_pallas)
     _prep(device_benches, "costas_chain_device", prep_costas_device)
     print("preparing host/e2e benches...", file=sys.stderr)
     host_benches = {}
@@ -616,9 +655,14 @@ def main():
         ("BIT-EXACT integer FIR bank (== C arithmetic, 8ch/128tap)",
          _fmt(flat["exact_fir_8ch"]),
          b8.describe(flat["exact_fir_8ch"]["median"])),
-        ("rational resampler 16/25 (821 taps)",
+        ("rational resampler 16/25 (821 taps), XLA packed-row tier",
          _fmt(flat["resampler_16_25"]),
          br.describe(flat["resampler_16_25"]["median"])),
+        ("rational resampler 16/25, FUSED Pallas packed-row kernel "
+         "(bf16x4, hardware-exact to 0.003 PCM units; the fast tier's "
+         "TPU capture path) [resampler_16_25_pallas]",
+         _fmt(flat["resampler_16_25_pallas"]),
+         br.describe(flat["resampler_16_25_pallas"]["median"])),
         ("POCSAG chain: wideband 1.2288 Msps -> channelize+demod (TPU) -> "
          "scan decode (host)",
          _fmt(flat["pocsag_chain_e2e"]) + ", messages verified",

@@ -77,6 +77,194 @@ def _is_tpu() -> bool:
         return False
 
 
+def _split_bf16_np(a_f32: np.ndarray) -> np.ndarray:
+    """Host presplit into (head, residual) planes with bf16-EXACT values,
+    stored as f32 (same trick as ops/pallas_chain, except the planes stay
+    f32: the dots below run at Precision.DEFAULT, which on the TPU MXU
+    rounds f32 inputs to bf16 — lossless for these values — and
+    accumulates in f32, while interpret mode computes a true f32 matmul.
+    Passing actual bf16 arrays instead would make interpret mode
+    accumulate in bf16 and fail the accuracy tests by ~3 orders)."""
+    import ml_dtypes
+
+    ah = a_f32.astype(ml_dtypes.bfloat16).astype(np.float32)
+    al = a_f32 - ah
+    return np.stack([ah, al])
+
+
+def _dot3(x, w, precision):
+    """bf16x4 or HIGHEST matmul; operands may be (head, residual) pairs.
+
+    bf16x4 keeps ALL four cross terms: for int16-valued operands the
+    (head, residual) split is exact and every product is exact in f32, so
+    unlike the chain kernel's bf16x3 (whose dropped lo*lo error hides
+    under the FM discriminator's phase normalization) this tier tracks
+    the int16-exact XLA tier to f32 accumulation rounding (~0.002 PCM
+    units measured) on RAW AMPLITUDE outputs."""
+    if precision == "bf16x4":
+        xh, xl = x
+        wh, wl = w
+        f32 = jnp.float32
+        dflt = jax.lax.Precision.DEFAULT
+        return (
+            jnp.dot(xh, wh, preferred_element_type=f32, precision=dflt)
+            + jnp.dot(xh, wl, preferred_element_type=f32, precision=dflt)
+            + jnp.dot(xl, wh, preferred_element_type=f32, precision=dflt)
+            + jnp.dot(xl, wl, preferred_element_type=f32, precision=dflt)
+        )
+    return jnp.dot(x, w, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _row_kernel_v2(xc_ref, xa_ref, carry_ref, w0_ref, w1_ref, out_ref, *,
+                   sp, precision, q_scale):
+    """Packed-row streaming kernel. x row j == resampler 'total' row
+    ``i*TR + j`` (the head row is the previous tile's last row; program 0
+    swaps in the stream carry). Output row j is the k_row outputs of
+    total row ``i*TR + j``: main [ROW_IN] window against w0 plus the
+    first ``sp`` samples of the NEXT row against the trimmed spill
+    matrix (``ops/polyphase.row_matmul_acc``'s arithmetic, fused)."""
+    i = pl.program_id(0)
+    tr = xa_ref.shape[0]
+    head = jnp.where(i == 0, carry_ref[:], xc_ref[tr - 1:])
+    x = jnp.concatenate([head, xa_ref[:]]).astype(jnp.float32)
+    if precision == "bf16x4":
+        xh = x.astype(jnp.bfloat16).astype(jnp.float32)
+        xl = x - xh
+        xm = (xh[:tr], xl[:tr])
+        xs = (xh[1: tr + 1, :sp], xl[1: tr + 1, :sp]) if sp else None
+        w0 = (w0_ref[0], w0_ref[1])
+        w1 = (w1_ref[0][:sp], w1_ref[1][:sp]) if sp else None
+    else:
+        xm = x[:tr]
+        xs = x[1: tr + 1, :sp] if sp else None
+        w0 = w0_ref[:]
+        w1 = w1_ref[:sp] if sp else None
+    acc = _dot3(xm, w0, precision)
+    if sp:
+        acc = acc + _dot3(xs, w1, precision)
+    out_ref[:] = acc * jnp.float32(q_scale)
+
+
+@functools.partial(jax.jit, static_argnames=("tr", "sp", "precision",
+                                             "q_scale", "interpret"))
+def _row_call_v2(block_rows, carry_row, w0, w1, *, tr, sp, precision,
+                 q_scale, interpret):
+    m, row_in = block_rows.shape
+    assert m % tr == 0, (m, tr)
+    grid = m // tr
+    k_row = w0.shape[-1]
+    kernel = functools.partial(_row_kernel_v2, sp=sp, precision=precision,
+                               q_scale=q_scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tr, row_in), lambda i: (jnp.maximum(i - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, row_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tr, k_row), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, k_row), jnp.float32),
+        interpret=interpret,
+    )(block_rows, block_rows, carry_row, w0, w1)
+
+
+class PallasResampler:
+    """Streaming packed-row rational resampler fused into one Pallas kernel
+    (the fast tier of ``ops/polyphase.resample_step``, VMEM-resident; the
+    frame-form kernel above wastes lanes on a [TM, D_rep] minor dim and
+    loses badly — this is the channelizer kernel's row form applied to the
+    resampler; reference hot loop ``filter/polyphase_fir.c:162-233``).
+
+    Streaming contract: rows are the resampler's 'total' rows (ROW_IN
+    samples each, first row = ``spill`` history samples ++ stream head).
+    The carry is ONE row; ``step`` takes blocks that are a multiple of
+    ``tile_rows`` rows and emits the k_row outputs of every row ending in
+    the block's predecessor window — the concatenated output stream is
+    value-identical (to the precision tier's tolerance) to the XLA
+    packed-row tier fed the same stream.
+    """
+
+    def __init__(self, plan: ResamplerPlan, tile_rows: int = 1024,
+                 precision: str = "high", interpret: bool | None = None):
+        if not plan.k_row:
+            raise ValueError("plan does not support the packed-row form")
+        if plan.phase0 != 0:
+            raise ValueError("packed-row pallas tier needs phase0 == 0")
+        self.plan = plan
+        self.tr = int(tile_rows)
+        self.interpret = (not _is_tpu()) if interpret is None else interpret
+        w0_np = plan.w_row_i16.astype(np.float32)
+        sp_w = plan.w_spill_i16
+        self.sp = int(sp_w.shape[0]) if sp_w is not None else 0
+        w1_np = (sp_w.astype(np.float32) if sp_w is not None
+                 else np.zeros((1, plan.k_row), np.float32))
+        if precision == "high":
+            self.precision = "bf16x4"
+            # HOST np constants (never eager device arrays: an eager
+            # device constant closed over by an outer jit makes every
+            # first lowering fetch it device->host — see pallas_chain)
+            self.w0 = _split_bf16_np(w0_np)
+            self.w1 = _split_bf16_np(w1_np)
+        elif precision == "highest":
+            self.precision = "highest"
+            self.w0, self.w1 = w0_np, w1_np
+        else:
+            raise ValueError(precision)
+        from tsl_sdr_tpu.ops import q14
+
+        self.q_scale = float(1.0 / q14.Q14_ONE)
+        self._dev_cache = None
+
+    @property
+    def row_in(self) -> int:
+        return self.plan.row_in
+
+    def init_carry(self, head=None):
+        """head: the first ROW_IN samples of the resampler's 'total'
+        stream (``spill`` history samples ++ the stream head), or None
+        for a zero history + zero head."""
+        if head is None:
+            return jnp.zeros((1, self.plan.row_in), jnp.int16)
+        head = np.asarray(head, np.int16)
+        assert head.shape == (self.plan.row_in,), head.shape
+        return jnp.asarray(head[None, :])
+
+    def _operands(self, example):
+        from jax.core import Tracer
+
+        if isinstance(example, Tracer):
+            return self.w0, self.w1
+        if self._dev_cache is None:
+            self._dev_cache = (jax.device_put(self.w0),
+                               jax.device_put(self.w1))
+        return self._dev_cache
+
+    def step(self, carry_row, block_vals):
+        """carry [1, ROW_IN] int16; block_vals [m*ROW_IN] flat int16 with
+        ``m`` a multiple of tile_rows. Returns (new_carry, out [m, K_ROW]
+        f32): out row j = outputs of total row (block start row + j - 1).
+        """
+        row_in = self.plan.row_in
+        block_rows = block_vals.reshape(-1, row_in)
+        w0, w1 = self._operands(block_vals)
+        out = _row_call_v2(
+            block_rows, carry_row, w0, w1, tr=self.tr, sp=self.sp,
+            precision=self.precision, q_scale=self.q_scale,
+            interpret=self.interpret,
+        )
+        new_carry = jax.lax.dynamic_slice_in_dim(
+            block_rows, block_rows.shape[0] - 1, 1
+        )
+        return new_carry, out
+
+
 def resample_capture_pallas(plan: ResamplerPlan, pcm, tile_frames: int = 512,
                             interpret: bool | None = None):
     """Whole-capture resample via the fused kernel.
