@@ -587,6 +587,8 @@ def main():
     device_benches = {}
     _prep(device_benches, "multifm_1ch_xla", prep_multifm, 1, "xla")
     _prep(device_benches, "multifm_1ch_pallas", prep_multifm, 1, "pallas")
+    _prep(device_benches, "multifm_1ch_pallas_high", prep_multifm,
+          1, "pallas-high")
     _prep(device_benches, "multifm_8ch_xla", prep_multifm, 8, "xla")
     _prep(device_benches, "multifm_8ch_pallas", prep_multifm, 8, "pallas")
     _prep(device_benches, "multifm_8ch_pallas_high", prep_multifm,
@@ -630,7 +632,8 @@ def main():
         st["winner"] = key
         return st
 
-    r1 = best_of("multifm_1ch_xla", "multifm_1ch_pallas")
+    r1 = best_of("multifm_1ch_xla", "multifm_1ch_pallas",
+                 "multifm_1ch_pallas_high")
     r8 = best_of("multifm_8ch_xla", "multifm_8ch_pallas",
                  "multifm_8ch_pallas_high")
     r64 = best_of("multifm_64ch_xla", "multifm_64ch_pallas",

@@ -106,14 +106,18 @@ class MultifmChain:
         if backend == "auto":
             # measured winners (BENCH_SUITE.md, r4, calibrated medians):
             # the fused Pallas bf16x3 kernel beats the XLA-composed int16
-            # path at BOTH shipped widths on TPU v5e — 13.8 vs 12.5 Gsps
-            # at 8ch and ~8.7 vs 2.4 Gsps at 64ch (the XLA path
-            # materializes the int32 accumulators + baseband between ops;
-            # the kernel keeps the whole tile dataflow in VMEM). On CPU
-            # (tests) Pallas would run in interpret mode — keep xla.
+            # path at 8ch (14.4 vs 12.5 Gsps) and 64ch (11.1 vs 2.4 Gsps)
+            # on TPU v5e (the XLA path materializes the int32 accumulators
+            # + baseband between ops; the kernel keeps the whole tile
+            # dataflow in VMEM) — but LOSES at 1ch (14.4 vs 15.3: with 8
+            # output lanes the kernel's fixed VPU work isn't amortized and
+            # XLA's fusion wins). On CPU (tests) Pallas would run in
+            # interpret mode — keep xla.
             from tsl_sdr_tpu.ops.pallas_chain import _is_tpu
 
-            backend = "pallas-high" if (not exact and _is_tpu()) else "xla"
+            backend = ("pallas-high"
+                       if (not exact and _is_tpu() and len(offsets_hz) > 1)
+                       else "xla")
         self.backend = backend
         self.sample_rate = float(sample_rate)
         self.decimation = int(decimation)
