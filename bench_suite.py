@@ -520,14 +520,25 @@ def _flatten_summary(summary):
 
 def compare_with_previous(flat, prev_path):
     """Flag metrics whose median dropped more than DROP_FLAG_PCT percent
-    vs the previously committed BENCH_SUITE.json."""
-    if not prev_path.exists():
-        return []
+    vs the previously COMMITTED BENCH_SUITE.json (``git show HEAD:...``,
+    not the working tree — an earlier same-day run overwriting the
+    working-tree file silently defeated this gate in round 4)."""
     try:
-        prev = json.loads(prev_path.read_text())
+        committed = subprocess.run(
+            ["git", "-C", str(REPO), "show", f"HEAD:{prev_path.name}"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        prev = json.loads(committed)
         prev_flat = prev.get("flat_summary", {})
     except Exception:
-        return []
+        # not a git checkout / file never committed: fall back to disk
+        if not prev_path.exists():
+            return []
+        try:
+            prev = json.loads(prev_path.read_text())
+            prev_flat = prev.get("flat_summary", {})
+        except Exception:
+            return []
     regressions = []
     for key, st in flat.items():
         p = prev_flat.get(key)
