@@ -232,6 +232,13 @@ def main(argv=None):
               "with a hardware device", file=sys.stderr)
         return 2
 
+    fmt = iq_fmt or "cs16"
+    # 8-bit file/FIFO captures ride the wire-format ingest path: raw bytes
+    # upload at 2 B/sample and widen in the device program's first stage
+    # (hardware sources deliver int16 blocks from the native ingest
+    # runtime and stay cs16)
+    wire_fmt = fmt if iq_path is not None else "cs16"
+
     specs = []
     for ch_raw, ch in zip(raw["channels"], cfg.channels):
         specs.append(
@@ -298,6 +305,7 @@ def main(argv=None):
         inflight_depth=args.inflight_depth,
         mesh=mesh,
         ais_packet_hook=ais_hook,
+        wire_fmt=wire_fmt,
     )
 
     if is_main:
@@ -333,11 +341,21 @@ def main(argv=None):
                 n_msgs += 1
         out.flush()
 
+    def dump_iq(iq):
+        """--iq-dump taps ingested IQ as int16 VALUES (the reference's
+        iqDumpFile semantics) regardless of the wire format."""
+        if wire_fmt == "cs16":
+            np.asarray(iq, np.int16).tofile(iq_dump)
+        else:
+            iqio.widen_iq_bytes(
+                np.ascontiguousarray(iq).reshape(-1).view(np.uint8),
+                wire_fmt,
+            ).tofile(iq_dump)
+
     n_samples = 0
     t0 = time.monotonic()
     try:
         if args.follow:
-            fmt = iq_fmt or "cs16"
             resume_samples = 0
             guard = _SignalGuard()
             # SIGTERM (service-manager stop) and Ctrl-C both take the
@@ -387,6 +405,7 @@ def main(argv=None):
                     iq_path, fmt, idle_exit=args.idle_exit,
                     skip_samples=resume_samples,
                     pace_sps=cfg.sample_rate_hz if args.realtime else 0,
+                    raw_wire=(wire_fmt != "cs16"),
                 )
             # startup mute gate for live hardware (receiver.h:98,
             # multifm/multifm.c:158) — drop the tuner-settling head like
@@ -409,7 +428,7 @@ def main(argv=None):
                             continue
                     n_samples += len(iq)
                     if iq_dump is not None:
-                        iq.astype(np.int16).tofile(iq_dump)
+                        dump_iq(iq)
                     with guard.defer():
                         emit(pipe.push(iq))
                     if guard.pending:
@@ -458,10 +477,17 @@ def main(argv=None):
                     # not a crash: report and fall through to the summary
                     print(f"pipeline-tpu: {e}", file=sys.stderr)
         else:
-            iq = iqio.read_iq_file(iq_path, iq_fmt or "cs16")
-            n_samples = len(iq)
+            if wire_fmt == "cs16":
+                iq = iqio.read_iq_file(iq_path, fmt)
+                n_samples = len(iq)
+            else:
+                # raw wire bytes straight to the pipeline: the widening
+                # runs on device (2 B/sample over the host->device link)
+                raw = np.fromfile(iq_path, np.uint8)
+                iq = raw[: len(raw) // 2 * 2].reshape(-1, 2)
+                n_samples = len(iq)
             if iq_dump is not None:
-                iq.astype(np.int16).tofile(iq_dump)
+                dump_iq(iq)
             emit(pipe.process_capture(iq))
     finally:
         if out is not sys.stdout:
@@ -485,18 +511,21 @@ def main(argv=None):
 def _follow_blocks(path, fmt, chunk_bytes: int = 1 << 20,
                    idle_exit: float | None = None,
                    skip_samples: int = 0,
-                   pace_sps: float = 0):
+                   pace_sps: float = 0,
+                   raw_wire: bool = False):
     """Yield [N, 2] int16 blocks from a FIFO or regular file as data
     arrives. A FIFO ends when every writer has closed; a regular file is
     polled past EOF (it may still be growing — tail -f semantics) until
     Ctrl-C, or until it has not grown for ``idle_exit`` seconds.
     ``pace_sps`` > 0 sleeps so delivery tracks that sample rate (the
-    reference file source's real-time pacing, ``file_if.c:160-203``)."""
+    reference file source's real-time pacing, ``file_if.c:160-203``).
+    ``raw_wire`` skips host widening: blocks are [N, 2] of the wire view
+    dtype and the device program widens (ReceivePipeline wire_fmt)."""
     import os
     import stat
 
     from tsl_sdr_tpu.utils import iq as iqio
-    from tsl_sdr_tpu.utils.iq import unit_bytes
+    from tsl_sdr_tpu.utils.iq import WIRE_DTYPES, unit_bytes
 
     unit = unit_bytes(fmt)
     residue = b""
@@ -529,7 +558,10 @@ def _follow_blocks(path, fmt, chunk_bytes: int = 1 << 20,
             if not usable:
                 continue
             raw = np.frombuffer(data[:usable], np.uint8)
-            block = iqio.widen_iq_bytes(raw, fmt).reshape(-1, 2)
+            if raw_wire:
+                block = raw.view(WIRE_DTYPES[fmt]).reshape(-1, 2)
+            else:
+                block = iqio.widen_iq_bytes(raw, fmt).reshape(-1, 2)
             if pace_sps > 0:
                 delivered += block.shape[0]
                 lag = delivered / pace_sps - (time.monotonic() - t0)

@@ -34,6 +34,7 @@ as the reference's GNURadio script.
 from __future__ import annotations
 
 import math
+import time
 from collections import deque
 from dataclasses import dataclass
 from fractions import Fraction
@@ -159,7 +160,22 @@ class _SizedProgram:
             if spec != PartitionSpec(None, None):
                 ch_sharding = NamedSharding(mesh, spec)
 
+        wire_fmt = pipe.wire_fmt
+
         def dev_step(chain_st, rs, dc, tails, vals):
+            # 8-bit wire ingest: the block arrives as raw wire bytes
+            # (2 B/sample instead of int16's 4) and widens HERE, in the
+            # fused program's first stage — bit-identical to the host
+            # rules in utils.iq.widen_iq_bytes (reference
+            # multifm/rtl_sdr_if.c:118-147, file_if.c:85-157). On a
+            # tunneled/PCIe-bound deployment this doubles the ingest
+            # ceiling of every e2e row for 8-bit sources.
+            if wire_fmt == "cs8":
+                vals = vals.astype(jnp.int16)
+            elif wire_fmt in ("cu8", "cu8_unbiased"):
+                vals = vals.astype(jnp.int16) - 127
+            elif wire_fmt == "rtl_u8":
+                vals = (vals.astype(jnp.int16) - 127) << 7
             chain_st, pcm_flat = chain._step_raw(chain_st, vals)
             pcm = pcm_flat.reshape(-1, c).T  # [C, K]
             if ch_sharding is not None:
@@ -327,7 +343,28 @@ class ReceivePipeline:
         inflight_depth: int = 2,
         mesh=None,
         ais_packet_hook=None,
+        wire_fmt: str = "cs16",
     ):
+        # wire-format ingest (VERDICT r4 #2): with an 8-bit wire_fmt,
+        # push()/process_capture() take RAW WIRE BYTES (flat uint8/bytes
+        # or [N, 2] of the wire view dtype) and the widening runs in the
+        # fused device program's first stage — host->device ships
+        # 2 B/sample instead of 4. cs16 keeps the int16 [N, 2] API.
+        from tsl_sdr_tpu.utils.iq import WIRE_DTYPES, WIRE_ZERO
+
+        if wire_fmt not in WIRE_DTYPES:
+            raise ValueError(f"unknown wire_fmt {wire_fmt!r}; expected one "
+                             f"of {tuple(WIRE_DTYPES)}")
+        self.wire_fmt = wire_fmt
+        self._wire_dtype = WIRE_DTYPES[wire_fmt]
+        self._wire_zero = WIRE_ZERO[wire_fmt]
+        # e2e breakdown instrumentation: set ``pipe.timing = {}`` and the
+        # streaming engines accumulate HOST-BLOCKED seconds per phase
+        # (upload/dispatch/drain-wait/unpack/decode/...). The host loop is
+        # serial, so these phases sum to e2e wall time — the additive
+        # model for the deployment rows (bench/e2e_breakdown.py). Leave
+        # None for zero overhead.
+        self.timing = None
         # optional callable(packet_bytes, center_freq_hz) fired for every
         # CRC-valid AIS packet on any ais channel (survives
         # restore_stream's decoder recreation) — the NMEA AIVDM
@@ -523,7 +560,7 @@ class ReceivePipeline:
         self._programs: dict[int, _SizedProgram] = {}
         self._stream = None
         self._xstream = None
-        self._pending_prefix = np.zeros((0, 2), np.int16)
+        self._pending_prefix = np.zeros((0, 2), self._wire_dtype)
 
     def _program(self, n: int) -> _SizedProgram:
         if n not in self._programs:
@@ -535,7 +572,28 @@ class ReceivePipeline:
         in-flight blocks). Decoder instances persist."""
         self._stream = None
         self._xstream = None
-        self._pending_prefix = np.zeros((0, 2), np.int16)
+        self._pending_prefix = np.zeros((0, 2), self._wire_dtype)
+
+    # -- wire-format helpers -------------------------------------------------
+
+    def _coerce_wire(self, iq) -> np.ndarray:
+        """Raw wire bytes (bytes/flat array/[N, 2]) -> [N, 2] wire-dtype
+        view (reinterpret, never convert)."""
+        if isinstance(iq, (bytes, bytearray, memoryview)):
+            iq = np.frombuffer(iq, np.uint8)
+        flat = np.asarray(iq).reshape(-1)
+        return flat.view(self._wire_dtype).reshape(-1, 2)
+
+    def _widen_host(self, arr) -> np.ndarray:
+        """[N, 2] wire-dtype -> [N, 2] int16 by the host rules
+        (utils.iq.widen_iq_bytes) — the prefix-priming / exact-tier /
+        oracle path; the production device program widens on-chip."""
+        if self.wire_fmt == "cs16":
+            return np.asarray(arr, np.int16)
+        from tsl_sdr_tpu.utils import iq as iqio
+
+        flat = np.ascontiguousarray(arr).reshape(-1).view(np.uint8)
+        return iqio.widen_iq_bytes(flat, self.wire_fmt).reshape(-1, 2)
 
     def _stream_init(self, prefix: np.ndarray | None):
         import jax
@@ -543,6 +601,10 @@ class ReceivePipeline:
 
         from tsl_sdr_tpu.ops import dc_blocker as dcb
 
+        if prefix is not None and self.wire_fmt != "cs16":
+            # the chain's carry prefix is tiny (carry_len samples); widen
+            # it on the host — the bulk blocks widen on device
+            prefix = self._widen_host(prefix)
         prog = self._program(self.block_size)
         st = {
             "chain": self.chain.init_state(prefix=prefix),
@@ -601,6 +663,9 @@ class ReceivePipeline:
             # ingest (multi-process time meshes upload only the local
             # 1/P span; replicated fallback uploads the whole block)
             "upload_elems": 0,
+            # wire bytes THIS process moved host->device (2 B/sample for
+            # 8-bit wire formats, 4 for cs16 — the tunnel/PCIe cost)
+            "upload_bytes": 0,
             # speculative-prefetch state: a pack group that fetched rows
             # last block is "hot" — its next packed array is streamed to
             # the host asynchronously while the device computes, so the
@@ -619,9 +684,10 @@ class ReceivePipeline:
                 return dict(self._last_stream_stats)
             return {"blocks": 0,
                     "fetched": np.zeros(len(self.channels), np.int64),
-                    "upload_elems": 0}
+                    "upload_elems": 0, "upload_bytes": 0}
         return {"blocks": s["blocks"], "fetched": s["fetched"].copy(),
-                "upload_elems": s["upload_elems"]}
+                "upload_elems": s["upload_elems"],
+                "upload_bytes": s["upload_bytes"]}
 
     def push(self, iq) -> list:
         """Feed wideband IQ (any length); decode what completes.
@@ -648,7 +714,10 @@ class ReceivePipeline:
         """Shared input path of the production and bit-exact streaming
         engines: hold data until the chain prefix is covered, prime the
         stream (``init_fn``), buffer, and yield full block_size blocks."""
-        iq = np.asarray(iq, np.int16).reshape(-1, 2)
+        if self.wire_fmt == "cs16":
+            iq = np.asarray(iq, np.int16).reshape(-1, 2)
+        else:
+            iq = self._coerce_wire(iq)
         if getattr(self, attr) is None:
             c_len = self.chain.carry_len
             pend = np.concatenate([self._pending_prefix, iq])
@@ -679,9 +748,18 @@ class ReceivePipeline:
             )
         return [[] for _ in self.channels]
 
+    def _tick(self, key: str, t0: float) -> float:
+        """Accumulate host-blocked seconds into ``self.timing[key]``."""
+        t1 = time.perf_counter()
+        self.timing[key] = self.timing.get(key, 0.0) + (t1 - t0)
+        return t1
+
     def _dispatch(self, block: np.ndarray, valid_n: int | None = None):
         import jax
 
+        tm = self.timing
+        if tm is not None:
+            t0 = time.perf_counter()
         s = self._stream
         prog = self._program(block.shape[0])
         flat = np.ascontiguousarray(block).reshape(-1)
@@ -699,20 +777,27 @@ class ReceivePipeline:
                 piece = flat[imap[d][0]]
                 pieces.append(jax.device_put(piece, d))
                 s["upload_elems"] += piece.shape[0]
+                s["upload_bytes"] += piece.nbytes
             vals = jax.make_array_from_single_device_arrays(
                 (flat.shape[0],), sh, pieces)
         elif self._mp_repl is not None:
             vals = jax.device_put(flat, self._mp_repl)
             s["upload_elems"] += flat.shape[0]
+            s["upload_bytes"] += flat.nbytes
         else:
             vals = jax.device_put(flat, self._sp_time_sharding) \
                 if self._sp_time_sharding is not None \
                 else jax.device_put(flat)
             s["upload_elems"] += flat.shape[0]
+            s["upload_bytes"] += flat.nbytes
+        if tm is not None:
+            t0 = self._tick("upload_s", t0)
         st = s["st"]
         chain_st, rs, dc, tails, outs = prog.fn(
             st["chain"], st["rs"], st["dc"], st["tails"], vals
         )
+        if tm is not None:
+            t0 = self._tick("dispatch_s", t0)
         s["st"] = {"chain": chain_st, "rs": rs, "dc": dc, "tails": tails}
         # start device->host copies now so they overlap the next block's
         # compute; by drain time np.asarray is (nearly) free. Hot groups
@@ -730,6 +815,8 @@ class ReceivePipeline:
                 pre[pgid] = ("head", head)
         for rows in raw_out.values():
             rows.copy_to_host_async()
+        if tm is not None:
+            self._tick("egress_start_s", t0)
         s["inflight"].append((prog, outs, pre, valid_n))
 
     def _valid_k(self, prog, i: int, valid_n: int | None) -> int:
@@ -745,15 +832,24 @@ class ReceivePipeline:
         return min(k_chain * i_ // d_, prog.k_out[i])
 
     def _drain(self, entry, new: list):
+        tm = self.timing
+        if tm is not None:
+            t0 = time.perf_counter()
         prog, (pack_out, raw_out), pre, valid_n = entry
         raws = {rgid: np.asarray(rows) for rgid, rows in raw_out.items()}
+        if tm is not None:
+            t0 = self._tick("drain_wait_s", t0)
 
         s = self._stream
         s["blocks"] += 1
         for pgid, pg in self._pack_groups.items():
             mb = prog.meta_bytes[pgid]
             kind, arr = pre[pgid]
+            if tm is not None:
+                t0 = time.perf_counter()
             host = np.asarray(arr)
+            if tm is not None:
+                t0 = self._tick("drain_wait_s", t0)
             meta = host[:, :mb]
             flags = meta[:, 0].astype(bool)
             tail_cols = meta[:, 1:mb]
@@ -772,9 +868,13 @@ class ReceivePipeline:
                     packed = host[np.asarray(need_rows), mb:]
                 else:
                     # cold group turning active: gather just those rows
+                    if tm is not None:
+                        t0 = time.perf_counter()
                     packed = np.asarray(
                         pack_out[pgid][np.asarray(need_rows), mb:]
                     )
+                    if tm is not None:
+                        t0 = self._tick("drain_wait_s", t0)
             s["hot"][pgid] = bool(need_rows)
             # zero-history resampler transient (lead_drop) is consumed by
             # EVERY block's outputs, fetched or gated: a skipped block's
@@ -785,6 +885,8 @@ class ReceivePipeline:
                 if ld0[i]:
                     vk = self._valid_k(prog, i, valid_n)
                     s["lead_drop"][i] = max(ld0[i] - vk, 0)
+            if tm is not None:
+                t0 = time.perf_counter()
             for j, row in enumerate(need_rows):
                 i = pg["idx"][row]
                 s["fetched"][i] += 1
@@ -804,7 +906,11 @@ class ReceivePipeline:
                     if tp is not None:
                         pcm = np.concatenate([tp, pcm])
                     s["gap"][i] = False
+                if tm is not None:
+                    t0 = self._tick("unpack_s", t0)
                 new[i].extend(dec.scan(pcm))
+                if tm is not None:
+                    t0 = self._tick("decode_s", t0)
             for row, i in enumerate(pg["idx"]):
                 if row not in need_rows:
                     s["gap"][i] = True
@@ -836,10 +942,14 @@ class ReceivePipeline:
                     audio = audio[take:]
                     s["lead_drop"][i] = ld - take
                 dec = self._decoders[i]
+                if tm is not None:
+                    t0 = time.perf_counter()
                 if dec is None:
                     new[i].append(audio)
                 else:
                     new[i].extend(dec.scan(audio))
+                if tm is not None:
+                    t0 = self._tick("decode_s", t0)
 
     # -- bit-exact streaming engine ----------------------------------------
     #
@@ -857,6 +967,8 @@ class ReceivePipeline:
     def _xstream_init(self, prefix):
         from tsl_sdr_tpu.ops import dc_blocker as dcb
 
+        if prefix is not None and self.wire_fmt != "cs16":
+            prefix = self._widen_host(prefix)
         c = self.chain.nr_channels
         self._xstream = {
             "st": self.chain.init_state(prefix=prefix),
@@ -881,10 +993,18 @@ class ReceivePipeline:
 
     def _push_exact(self, iq) -> list:
         new = [[] for _ in self.channels]
+        tm = self.timing
         for block in self._pump_blocks(iq, "_xstream", self._xstream_init):
             x = self._xstream
+            if tm is not None:
+                t0 = time.perf_counter()
+            # exact tier widens 8-bit wire blocks on the HOST (integer
+            # widening is bit-identical either way; this tier is the
+            # parity oracle, so it keeps the reference-shaped path)
             x["st"], pending = self.chain.step_exact_packed_begin(
-                x["st"], block)
+                x["st"], self._widen_host(block))
+            if tm is not None:
+                self._tick("dispatch_s", t0)
             x["fir_inflight"].append(pending)
             while len(x["fir_inflight"]) > self.inflight_depth:
                 self._drain_exact_fir(x["fir_inflight"].popleft(), new)
@@ -894,8 +1014,13 @@ class ReceivePipeline:
         """Finish one in-flight exact FIR block (host derotate/round/FM,
         FM carry threaded in dispatch order) and run the back half."""
         x = self._xstream
+        tm = self.timing
+        if tm is not None:
+            t0 = time.perf_counter()
         x["fm_last"], pcm = self.chain.step_exact_packed_end(
             x["fm_last"], pending)
+        if tm is not None:
+            self._tick("fir_end_s", t0)
         self._drain_exact(pcm, new)
 
     def _gid_chain(self, gid):
@@ -956,6 +1081,9 @@ class ReceivePipeline:
             n_in = rs.plan.block_in
             chunks = buf.shape[1] // n_in
             if chunks:
+                tm = self.timing
+                if tm is not None:
+                    t0 = time.perf_counter()
                 st, out = self._exact_gscan(gid)(
                     x["g_rs_st"][gid],
                     jnp.asarray(buf[:, : chunks * n_in]
@@ -964,6 +1092,8 @@ class ReceivePipeline:
                 x["g_rs_st"][gid] = st
                 outs = np.asarray(out).reshape(len(idxs), -1)
                 buf = buf[:, chunks * n_in:]
+                if tm is not None:
+                    self._tick("rs_s", t0)
             else:
                 outs = np.zeros((len(idxs), 0), np.int16)
             x["g_abuf"][gid] = buf
@@ -987,11 +1117,16 @@ class ReceivePipeline:
                 x["dc_st"][i], audio, p
             )
             audio = np.asarray(audio)
+        tm = self.timing
+        if tm is not None:
+            t0 = time.perf_counter()
         dec = self._decoders[i]
         if dec is None:
             new[i].append(np.asarray(audio, np.int16))
         else:
             new[i].extend(dec.scan(np.asarray(audio)))
+        if tm is not None:
+            self._tick("decode_s", t0)
 
     def _flush_exact(self) -> list:
         import jax
@@ -1010,7 +1145,7 @@ class ReceivePipeline:
             usable = buf.shape[0] // q * q
             if usable:
                 x["st"], pending = self.chain.step_exact_packed_begin(
-                    x["st"], buf[:usable])
+                    x["st"], self._widen_host(buf[:usable]))
                 self._drain_exact_fir(pending, new)
             x["buf"] = []
             x["buf_len"] = 0
@@ -1060,7 +1195,11 @@ class ReceivePipeline:
         if s["buf_len"]:
             valid = s["buf_len"]
             buf = np.concatenate(s["buf"]) if len(s["buf"]) > 1 else s["buf"][0]
-            block = np.zeros((self.block_size, 2), np.int16)
+            # pad with the wire format's zero-level value (127 for the
+            # unsigned 8-bit formats: it widens to PCM 0 on device, so a
+            # truncated capture ends in silence exactly like cs16's 0s)
+            block = np.full((self.block_size, 2), self._wire_zero,
+                            self._wire_dtype)
             block[:valid] = buf
             s["buf"] = []
             s["buf_len"] = 0
@@ -1112,7 +1251,7 @@ class ReceivePipeline:
         arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
         arrays["buf"] = (
             np.concatenate(s["buf"]) if s["buf"]
-            else np.zeros((0, 2), np.int16)
+            else np.zeros((0, 2), self._wire_dtype)
         )
         arrays["fetched"] = s["fetched"]
         tail_rows = {}
@@ -1229,6 +1368,9 @@ class ReceivePipeline:
             f"bs={self.block_size};backend={self.chain.backend};"
             f"fc={self._fp_center};fs={self.chain.sample_rate:.6f};"
             f"decim={self.chain.decimation};taps={taps_crc:08x};"
+            # wire format changes the meaning of the buffered input bytes
+            # (cs16 omitted so pre-wire checkpoints stay restorable)
+            + (f"wire={self.wire_fmt};" if self.wire_fmt != "cs16" else "")
             + ";".join(
                 f"{s.center_freq_hz}:{s.protocol}:{int(s.invert)}:"
                 f"{int(s.dc_block)}:{s.dc_block_pole!r}:{s.db_gain!r}"
@@ -1266,6 +1408,8 @@ class ReceivePipeline:
         tier and the reference-shaped oracle for the fused engine."""
         import jax.numpy as jnp
 
+        if self.wire_fmt != "cs16":
+            iq = self._widen_host(self._coerce_wire(iq))
         if device_decode:
             pcm = self.chain.process_array_device(np.asarray(iq, np.int16))
         else:

@@ -20,6 +20,24 @@ import numpy as np
 
 IQ_FORMATS = ("cs16", "cs8", "cu8", "cu8_unbiased", "rtl_u8")
 
+# Wire-ingest view dtypes: the dtype raw wire bytes are REINTERPRETED as
+# (never converted) so an 8-bit stream can ride host->device at
+# 2 B/sample and widen on the chip. cs8/cu8 view through *signed* int8 —
+# cu8's reference quirk (file_if.c:140-146 reads into an int8_t bounce
+# buffer) then subtracts 127, so int8 + (-127) reproduces it exactly.
+WIRE_DTYPES = {
+    "cs16": np.int16,
+    "cs8": np.int8,
+    "cu8": np.int8,
+    "cu8_unbiased": np.uint8,
+    "rtl_u8": np.uint8,
+}
+
+# The wire byte value that widens to PCM zero — what zero-padding a
+# truncated tail block must be filled with per format.
+WIRE_ZERO = {"cs16": 0, "cs8": 0, "cu8": 127, "cu8_unbiased": 127,
+             "rtl_u8": 127}
+
 
 def unit_bytes(fmt: str) -> int:
     """Bytes per complex IQ sample (I+Q pair) in format ``fmt`` — the
