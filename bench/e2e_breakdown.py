@@ -83,7 +83,7 @@ def _iq_8ch(seed, caps_base):
 
 
 def _mk_pipe(fs, decim, offsets, caps_base, *, exact=False, wire="cs16",
-             tiles=8, inflight_depth=4):
+             tiles=8, inflight_depth=4, drain_async=False):
     from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
     from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
 
@@ -92,11 +92,13 @@ def _mk_pipe(fs, decim, offsets, caps_base, *, exact=False, wire="cs16",
         firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
         [ChannelSpec(center + o, "pocsag") for o in offsets],
         exact=exact, wire_fmt=wire, inflight_depth=inflight_depth,
+        drain_async=drain_async,
         block_size=4_194_304 if exact else None)
 
 
 def run_pipeline_config(name, *, exact=False, wire="cs16", tiles=8,
-                        inflight_depth=4, caps_base=500000):
+                        inflight_depth=4, caps_base=500000,
+                        drain_async=False):
     x, fs, decim, offsets = _iq_8ch(6, caps_base)
     iq16 = x.astype(np.int16)
     iq16 = np.concatenate([iq16] * tiles)
@@ -110,7 +112,7 @@ def run_pipeline_config(name, *, exact=False, wire="cs16", tiles=8,
         n_samples = len(feed)
 
     pipe = _mk_pipe(fs, decim, offsets, caps_base, exact=exact, wire=wire,
-                    inflight_depth=inflight_depth)
+                    inflight_depth=inflight_depth, drain_async=drain_async)
 
     def run():
         # the exact tier's process_capture routes through the host-path
@@ -226,8 +228,16 @@ def main():
     for name, best in [
         run_pocsag_chain(),
         run_pipeline_config("pipeline_8ch_e2e", caps_base=100000),
+        # async drain (the deployment CLI default): drain/decode overlaps
+        # the next block's upload — phases then OVERLAP wall time, so the
+        # sync rows above carry the additive model and these two carry
+        # the shipped speed
+        run_pipeline_config("pipeline_8ch_async_e2e", caps_base=100000,
+                            drain_async=True),
         run_pipeline_config("pipeline_8ch_u8_e2e", wire="rtl_u8",
                             caps_base=200000),
+        run_pipeline_config("pipeline_8ch_u8_async_e2e", wire="rtl_u8",
+                            caps_base=200000, drain_async=True),
         run_pipeline_config("exact_pipeline_8ch_e2e", exact=True, tiles=4,
                             inflight_depth=2, caps_base=300000),
     ]:

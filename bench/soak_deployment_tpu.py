@@ -45,6 +45,12 @@ CENTER = 929_500_000
 OFFSETS = [-450_000, -320_000, -190_000, -60_000,
            60_000, 190_000, 320_000, 450_000]
 BAUD = 1200
+# live-latency tuning (soak v2): ~1 s blocks + a single in-flight block.
+# The device is ~10x faster than the 1.2288 Msps stream, so depth gives
+# no throughput here and only adds decode latency; p50 e2e latency drops
+# from ~3.3 block times (4 M blocks, depth 2, r4) to <~2 block times.
+BLOCK_TARGET = 1_228_800
+INFLIGHT_DEPTH = 1
 
 
 class PacedWriter(threading.Thread):
@@ -133,6 +139,8 @@ def launch_pipeline(cfg_path, fifo, out_path, state_file):
         [sys.executable, "-m", "tsl_sdr_tpu.cli.pipeline", str(cfg_path),
          "--iq-file", str(fifo), "--iq-format", "cs16", "--follow",
          "--idle-exit", "30", "--stats", "15",
+         "--block-size", str(BLOCK_TARGET),
+         "--inflight-depth", str(INFLIGHT_DEPTH),
          "--state-file", str(state_file),
          "-o", str(out_path)],
         env=env, stderr=subprocess.PIPE, text=True,
@@ -174,6 +182,19 @@ def main():
     cfg_path = wd / "soak.json"
     cfg_path.write_text(json.dumps(cfg))
 
+    # the library rounds block_size to the pipeline quantum — ask it for
+    # the ACTUAL block length so latency-in-block-times is honest
+    from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+
+    block_samples = ReceivePipeline(
+        np.asarray(cfg["lpfTaps"]), CENTER, FS, DECIM,
+        [ChannelSpec(CENTER + o, "pocsag") for o in OFFSETS],
+        block_size=BLOCK_TARGET,
+    ).block_size
+    print(f"soak: block = {block_samples} samples "
+          f"({block_samples / FS:.2f} s), inflight depth "
+          f"{INFLIGHT_DEPTH}", flush=True)
+
     # ---- warmup: populate the persistent compile cache BEFORE going live.
     # First compile of the deployment program takes minutes on this
     # tunneled chip; without this, a short soak measures the compiler, not
@@ -188,8 +209,12 @@ def main():
         [sys.executable, "-m", "tsl_sdr_tpu.cli.pipeline", str(cfg_path),
          "--iq-file", str(warm_file), "--iq-format", "cs16",
          # --follow so the warmup compiles the SAME streaming programs
-         # (push + flush) the live legs run, not the capture path
+         # (push + flush) the live legs run, not the capture path — and
+         # the SAME block shape (a different block size would compile a
+         # different program and the first live block would stall)
          "--follow", "--idle-exit", "2",
+         "--block-size", str(BLOCK_TARGET),
+         "--inflight-depth", str(INFLIGHT_DEPTH),
          "-o", os.devnull],
         capture_output=True, text=True, timeout=1800,
     )
@@ -214,7 +239,7 @@ def main():
     writer.start()
     events.append(("start", time.time()))
 
-    latencies = []
+    decode_times = {}              # seq -> wall time first seen decoded
     seen = set()
     seq_re = re.compile(r"SOAK (\d+)")
 
@@ -225,6 +250,7 @@ def main():
                 lines += p.read_text().splitlines()
             except FileNotFoundError:
                 pass
+        now = time.time()
         for line in lines:
             m = seq_re.search(line)
             if not m:
@@ -233,18 +259,18 @@ def main():
             if seq in seen:
                 continue
             seen.add(seq)
-            wt = writer.write_times.get(seq)
-            if wt is not None:
-                latencies.append(time.time() - wt)
+            decode_times[seq] = now
 
     kill_t = time.monotonic() + total_s * args.kill_at
     end_t = time.monotonic() + total_s
     killed = False
+    t_sigterm = t_restarted = None
     while time.monotonic() < end_t:
-        time.sleep(5)
-        scan_output()
+        time.sleep(0.5)  # 0.5 s decode-time resolution for the latency
+        scan_output()    # samples and the outage window
         if not killed and time.monotonic() >= kill_t:
             events.append(("sigterm", time.time()))
+            t_sigterm = time.time()
             proc.send_signal(signal.SIGTERM)
             rc = proc.wait(timeout=300)
             events.append(("checkpointed", time.time(), rc,
@@ -255,6 +281,7 @@ def main():
             proc = launch_pipeline(cfg_path, fifo, out_paths[-1], state_file)
             drain = threading.Thread(target=_drain, args=(proc,), daemon=True)
             drain.start()
+            t_restarted = time.time()
             events.append(("resumed", time.time()))
             killed = True
         if proc.poll() is not None and time.monotonic() < end_t - 35:
@@ -277,21 +304,61 @@ def main():
 
     achieved = writer.bytes_written / 4 / max(
         (writer.t_end or time.monotonic()) - writer.t_start, 1e-9)
+
+    # ---- outage accounting (VERDICT r4 #3): the recovery window is
+    # [sigterm, first decode from the resumed leg]; every written burst
+    # is classified lost-in-outage / lost-outside / decoded, and the
+    # outage is reported as its own first-class number
+    outage_end = None
+    if t_restarted is not None:
+        post = [t for s, t in decode_times.items() if t >= t_restarted]
+        outage_end = min(post) if post else None
+    outage = (round(outage_end - t_sigterm, 1)
+              if (t_sigterm and outage_end) else None)
+
+    def in_window(wt):
+        # a burst mid-flight when SIGTERM lands is also outage loss
+        # (decoders restart in SEARCH): pad the window 2 s backwards
+        return (t_sigterm is not None and outage_end is not None
+                and t_sigterm - 2.0 <= wt <= outage_end)
+
+    lost_in = lost_out = dec_in = dec_out = 0
+    for seq, wt in writer.write_times.items():
+        if seq in seen:
+            dec_in, dec_out = (dec_in + 1, dec_out) if in_window(wt) \
+                else (dec_in, dec_out + 1)
+        else:
+            lost_in, lost_out = (lost_in + 1, lost_out) if in_window(wt) \
+                else (lost_in, lost_out + 1)
+
+    latencies = [decode_times[s] - writer.write_times[s]
+                 for s in decode_times if s in writer.write_times]
     lat = sorted(latencies)
 
     def pct(p):
         return round(lat[min(len(lat) - 1, int(p * len(lat)))], 2) if lat else None
 
     n_written = len(writer.write_times)
+    block_s = block_samples / FS
     result = {
         "minutes": args.minutes,
         "offered_msps": FS / 1e6,
         "achieved_msps": round(achieved / 1e6, 4),
         "bursts_written": n_written,
         "bursts_decoded": len(seen),
+        "outage_s": outage,
+        "bursts_lost_in_outage": lost_in,
+        "bursts_lost_outside": lost_out,
+        "decode_pct_outside_outage": round(
+            100.0 * dec_out / max(dec_out + lost_out, 1), 2),
         "fifo_reopens": writer.reopens,
+        "block_s": round(block_s, 2),
         "latency_s": {"p50": pct(0.5), "p90": pct(0.9), "max": pct(1.0),
                       "n": len(lat)},
+        "latency_block_times": {
+            "p50": round(pct(0.5) / block_s, 2) if lat else None,
+            "p90": round(pct(0.9) / block_s, 2) if lat else None,
+        },
         "events": [e[0] for e in events],
         "warmup_s": warm_s,
         "kill_resume_ok": killed and state_file.exists(),

@@ -262,7 +262,7 @@ def prep_pipeline_8ch():
     pipe = ReceivePipeline(
         firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
         [ChannelSpec(center + o, "pocsag") for o in offsets], exact=False,
-        inflight_depth=4)
+        inflight_depth=4, drain_async=True)  # the deployment CLI default
     pipe.process_capture(iq)  # warm the exact measurement shape
 
     def trial():
@@ -313,7 +313,7 @@ def prep_pipeline_8ch_u8():
     pipe = ReceivePipeline(
         firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
         [ChannelSpec(center + o, "pocsag") for o in offsets], exact=False,
-        inflight_depth=4, wire_fmt="rtl_u8")
+        inflight_depth=4, wire_fmt="rtl_u8", drain_async=True)
     pipe.process_capture(raw)  # warm the exact measurement shape
 
     def trial():
@@ -701,6 +701,17 @@ def main():
     summary = {k: _summarize(v) for k, v in trials.items()}
     flat = _flatten_summary(summary)
 
+    # e2e rows: the fraction of the SAME-RUN measured ingest ceiling is
+    # the code-quality number (the raw Msps tracks the day's tunnel);
+    # the regression gate keys off it
+    E2E_BYTES = {"pocsag_chain_e2e": 4, "pipeline_8ch_e2e": 4,
+                 "pipeline_8ch_u8_e2e": 2, "exact_pipeline_8ch_e2e": 4}
+    for key, bps in E2E_BYTES.items():
+        if key in flat:
+            bound = ingest_bound * 4.0 / bps
+            flat[key]["pct_of_ingest"] = round(
+                100.0 * flat[key]["median"] / bound, 1)
+
     regressions = compare_with_previous(flat, REPO / "BENCH_SUITE.json")
 
     # ---- derived row values (winner-by-MEDIAN; VERDICT r3 weak #2) ----
@@ -723,28 +734,51 @@ def main():
     b64 = roofline.channelizer(64, 128, 40)
     br = roofline.resampler(821, 16, 25)
 
+    # dual roofline reporting (VERDICT r4 #5): spec-sheet SoL AND the
+    # slice-admitted bound from this chip slice's MEASURED ceilings
+    ceilings = roofline.load_measured_ceilings()
+
+    def _dual(bound, st, alg, args, backend_hint=None):
+        """'x% of spec SoL; y% of the slice-admitted bound' column."""
+        txt = bound.describe(st["median"])
+        if not ceilings:
+            return txt
+        backend = backend_hint or (
+            "pallas" if "pallas" in st.get("winner", "") else "xla")
+        adm = (roofline.admitted_channelizer(*args, ceilings,
+                                             backend=backend)
+               if alg == "chan" else
+               roofline.admitted_resampler(*args, ceilings,
+                                           backend=backend))
+        return (txt + f"; {100 * st['median'] / adm.sol_msps:.0f}% of "
+                f"the {adm.sol_msps / 1e3:,.1f} Gsps slice-ADMITTED "
+                f"bound (measured {backend} ceilings)")
+
     rows = [
         (f"multifm 1-channel NBFM (128 taps, decim 40) [{r1['winner']}]",
-         _fmt(r1), b1.describe(r1["median"])),
+         _fmt(r1), _dual(b1, r1, "chan", (1, 128, 40))),
         (f"multifm 8-channel channelizer (etc/multifm.json shape) "
          f"[{r8['winner']}]",
          _fmt(r8) + f" = {r8['median'] / cpu8:,.0f}x the scalar C baseline "
-         f"at {cpu8:.1f} Msps", b8.describe(r8["median"])),
+         f"at {cpu8:.1f} Msps", _dual(b8, r8, "chan", (8, 128, 40))),
         (f"multifm 64-channel channelizer (8x the reference's flagship "
          f"width) [{r64['winner']}]",
          _fmt(r64) + f" = {r64['median'] * 64 / 1e3:,.1f} G channel-samples/s",
-         b64.describe(r64["median"])),
+         _dual(b64, r64, "chan", (64, 128, 40))),
         ("BIT-EXACT integer FIR bank (== C arithmetic, 8ch/128tap)",
          _fmt(flat["exact_fir_8ch"]),
-         b8.describe(flat["exact_fir_8ch"]["median"])),
+         _dual(b8, flat["exact_fir_8ch"], "chan", (8, 128, 40),
+               backend_hint="xla")),
         ("rational resampler 16/25 (821 taps), XLA packed-row tier",
          _fmt(flat["resampler_16_25"]),
-         br.describe(flat["resampler_16_25"]["median"])),
+         _dual(br, flat["resampler_16_25"], "rs", (821, 16, 25),
+               backend_hint="xla")),
         ("rational resampler 16/25, FUSED Pallas packed-row kernel "
          "(bf16x4, hardware-exact to 0.003 PCM units; the fast tier's "
          "TPU capture path) [resampler_16_25_pallas]",
          _fmt(flat["resampler_16_25_pallas"]),
-         br.describe(flat["resampler_16_25_pallas"]["median"])),
+         _dual(br, flat["resampler_16_25_pallas"], "rs", (821, 16, 25),
+               backend_hint="pallas")),
         ("POCSAG chain: wideband 1.2288 Msps -> channelize+demod (TPU) -> "
          "scan decode (host)",
          _fmt(flat["pocsag_chain_e2e"]) + ", messages verified",
@@ -753,6 +787,11 @@ def main():
          "channels in one call",
          _fmt(flat["pipeline_8ch_e2e"]) + ", all 8 messages verified",
          _ingest_pct(flat["pipeline_8ch_e2e"], ingest_bound)),
+        ("pipeline, 8-BIT WIRE ingest (rtl_u8 raw bytes, widened on "
+         "device): same 8-channel deployment at 2 B/sample h2d",
+         _fmt(flat["pipeline_8ch_u8_e2e"]) + ", all 8 messages verified",
+         _ingest_pct(flat["pipeline_8ch_u8_e2e"], ingest_bound,
+                     bytes_per_sample=2)),
         ("pipeline, BIT-EXACT tier: same 8-channel deployment, output == "
          "the C arithmetic",
          _fmt(flat["exact_pipeline_8ch_e2e"]) + ", all 8 messages verified",
@@ -779,11 +818,12 @@ def main():
         md.append(f"| {name} | {result} | {sol} |")
     md.append("")
     if regressions:
-        md.append(f"**REGRESSION FLAGS (>30% median drop vs previous "
-                  f"committed snapshot):**")
+        md.append(f"**REGRESSION FLAGS (>30% drop vs previous committed "
+                  f"snapshot; e2e rows gate on % of the same-run ingest "
+                  f"ceiling, device rows on median Msps):**")
         for r in regressions:
-            md.append(f"* {r['metric']}: median {r['prev_median']} -> "
-                      f"{r['median']} ({r['drop_pct']}% drop)")
+            md.append(f"* {r['metric']} [{r['basis']}]: {r['prev']} -> "
+                      f"{r['now']} ({r['drop_pct']}% drop)")
         md.append("")
     else:
         md.append("No metric's median dropped >30% vs the previous "

@@ -103,6 +103,11 @@ def build_argparser():
                    help="device blocks kept in flight before the oldest "
                         "is decoded: higher hides device->host latency "
                         "(throughput), lower tightens live decode latency")
+    p.add_argument("--no-drain-async", action="store_true",
+                   help="keep the drain (device fetch + bit unpack + "
+                        "decoder scan) on the dispatch thread instead of "
+                        "overlapping it with the next block's upload "
+                        "(production tier defaults to overlapped)")
     p.add_argument("--state-file", default=None,
                    help="with --follow: restore streaming state from this "
                         ".npz if it exists (regular-file inputs resume at "
@@ -306,6 +311,7 @@ def main(argv=None):
         mesh=mesh,
         ais_packet_hook=ais_hook,
         wire_fmt=wire_fmt,
+        drain_async=not args.no_drain_async and not args.exact,
     )
 
     if is_main:

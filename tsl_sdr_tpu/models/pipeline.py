@@ -344,7 +344,19 @@ class ReceivePipeline:
         mesh=None,
         ais_packet_hook=None,
         wire_fmt: str = "cs16",
+        drain_async: bool = False,
     ):
+        # drain_async: run _drain (device->host fetch wait + bit unpack +
+        # decoder scans) on a dedicated worker thread, so block k's drain
+        # overlaps block k+1's host->device upload instead of serializing
+        # with it. On a link where h2d is the binding resource this
+        # recovers the decode/unpack/fetch-wait share of wall time
+        # (bench/E2E_BREAKDOWN.json: ~35% of the cs16 deployment row).
+        # Messages then surface on a LATER push() call (flush() always
+        # joins and returns everything); per-channel order is unchanged
+        # (single worker, FIFO). The deployment CLI enables it in
+        # --follow mode; default off keeps push() fully synchronous.
+        self.drain_async = bool(drain_async)
         # wire-format ingest (VERDICT r4 #2): with an 8-bit wire_fmt,
         # push()/process_capture() take RAW WIRE BYTES (flat uint8/bytes
         # or [N, 2] of the wire view dtype) and the widening runs in the
@@ -570,6 +582,7 @@ class ReceivePipeline:
     def stream_reset(self):
         """Forget all streaming state (device carries, input buffer,
         in-flight blocks). Decoder instances persist."""
+        self._drain_shutdown()
         self._stream = None
         self._xstream = None
         self._pending_prefix = np.zeros((0, 2), self._wire_dtype)
@@ -673,6 +686,82 @@ class ReceivePipeline:
             # their ~0.5 KB meta row (egress gating)
             "hot": {pgid: True for pgid in self._pack_groups},
         }
+        if self.drain_async:
+            import queue as _queue
+            import threading
+
+            s = self._stream
+            # bounded: a lagging worker backpressures push() instead of
+            # letting undrained device buffers pile up in HBM
+            s["dq"] = _queue.Queue(maxsize=max(2, self.inflight_depth))
+            s["dres"] = [[] for _ in self.channels]
+            s["dlock"] = threading.Lock()
+            s["derr"] = None
+
+            def _worker(s=s):
+                while True:
+                    entry = s["dq"].get()
+                    if entry is None:
+                        return
+                    if isinstance(entry, threading.Event):
+                        entry.set()  # barrier: everything before is done
+                        continue
+                    if s["derr"] is not None:
+                        continue  # poisoned: discard, surface on push
+                    try:
+                        tmp = [[] for _ in self.channels]
+                        self._drain(entry, tmp)
+                        with s["dlock"]:
+                            for c, part in enumerate(tmp):
+                                s["dres"][c].extend(part)
+                    except BaseException as e:  # noqa: BLE001
+                        s["derr"] = e
+
+            s["dthread"] = threading.Thread(
+                target=_worker, daemon=True, name="tsl-drain")
+            s["dthread"].start()
+
+    def _drain_entry(self, entry, new: list):
+        """Route one in-flight block to the drain worker (async) or drain
+        it inline; async results decoded SO FAR are folded into ``new``."""
+        s = self._stream
+        if not self.drain_async:
+            self._drain(entry, new)
+            return
+        if s["derr"] is not None:
+            raise s["derr"]
+        s["dq"].put(entry)
+        with s["dlock"]:
+            if any(s["dres"]):
+                for c in range(len(self.channels)):
+                    if s["dres"][c]:
+                        new[c].extend(s["dres"][c])
+                        s["dres"][c] = []
+
+    def _drain_barrier(self, new: list):
+        """Wait until every enqueued block is drained; collect results."""
+        import threading
+
+        s = self._stream
+        if not self.drain_async:
+            return
+        ev = threading.Event()
+        s["dq"].put(ev)
+        ev.wait()
+        if s["derr"] is not None:
+            raise s["derr"]
+        with s["dlock"]:
+            for c in range(len(self.channels)):
+                if s["dres"][c]:
+                    new[c].extend(s["dres"][c])
+                    s["dres"][c] = []
+
+    def _drain_shutdown(self):
+        """Stop the drain worker (stream teardown)."""
+        s = self._stream
+        if s and s.get("dthread") is not None:
+            s["dq"].put(None)
+            s["dthread"] = None
 
     @property
     def stream_stats(self) -> dict:
@@ -707,7 +796,7 @@ class ReceivePipeline:
             # ones host-decode
             s = self._stream
             while len(s["inflight"]) > self.inflight_depth:
-                self._drain(s["inflight"].popleft(), new)
+                self._drain_entry(s["inflight"].popleft(), new)
         return new
 
     def _pump_blocks(self, iq, attr: str, init_fn):
@@ -725,7 +814,7 @@ class ReceivePipeline:
                 self._pending_prefix = pend
                 return
             init_fn(pend[:c_len] if c_len else None)
-            self._pending_prefix = np.zeros((0, 2), np.int16)
+            self._pending_prefix = np.zeros((0, 2), self._wire_dtype)
             iq = pend[c_len:]
         s = getattr(self, attr)
         s["buf"].append(iq)
@@ -1206,7 +1295,8 @@ class ReceivePipeline:
             self._dispatch(block, valid_n=valid)
             padded = True
         while s["inflight"]:
-            self._drain(s["inflight"].popleft(), new)
+            self._drain_entry(s["inflight"].popleft(), new)
+        self._drain_barrier(new)
         if padded:
             # the device carries have consumed fabricated pad zeros; a
             # later push() must not splice real samples onto that history
@@ -1246,7 +1336,8 @@ class ReceivePipeline:
             raise ValueError("no streaming state yet (push something first)")
         new = [[] for _ in self.channels]
         while s["inflight"]:
-            self._drain(s["inflight"].popleft(), new)
+            self._drain_entry(s["inflight"].popleft(), new)
+        self._drain_barrier(new)
         leaves, treedef = jax.tree.flatten(s["st"])
         arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
         arrays["buf"] = (
