@@ -240,6 +240,9 @@ def main():
                             caps_base=200000, drain_async=True),
         run_pipeline_config("exact_pipeline_8ch_e2e", exact=True, tiles=4,
                             inflight_depth=2, caps_base=300000),
+        run_pipeline_config("exact_pipeline_8ch_async_e2e", exact=True,
+                            tiles=4, inflight_depth=2, caps_base=300000,
+                            drain_async=True),
     ]:
         bps = 4 if best["wire_fmt"] == "cs16" else 2
         best["predicted_upload_s"] = round(

@@ -359,7 +359,9 @@ def prep_exact_pipeline():
     pipe = ReceivePipeline(
         firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
         [ChannelSpec(center + o, "pocsag") for o in offsets], exact=True,
-        block_size=4_194_304, inflight_depth=2)
+        block_size=4_194_304, inflight_depth=2,
+        drain_async=True)  # the deployment CLI default (END half overlaps
+                           # the next block's upload + MXU dispatch)
     got = pipe.push(iq)
     for c, part in enumerate(pipe.flush()):
         got[c].extend(part)
@@ -675,6 +677,9 @@ def main():
     _prep(device_benches, "multifm_64ch_pallas", prep_multifm, 64, "pallas")
     _prep(device_benches, "multifm_64ch_pallas_high", prep_multifm,
           64, "pallas-high")
+    _prep(device_benches, "multifm_256ch_xla", prep_multifm, 256, "xla")
+    _prep(device_benches, "multifm_256ch_pallas_high", prep_multifm,
+          256, "pallas-high")
     _prep(device_benches, "exact_fir_8ch", prep_exact_fir)
     _prep(device_benches, "resampler_16_25", prep_resampler)
     _prep(device_benches, "resampler_16_25_pallas", prep_resampler_pallas)
@@ -728,10 +733,12 @@ def main():
                  "multifm_8ch_pallas_high")
     r64 = best_of("multifm_64ch_xla", "multifm_64ch_pallas",
                   "multifm_64ch_pallas_high")
+    r256 = best_of("multifm_256ch_xla", "multifm_256ch_pallas_high")
     cpu8 = cpu_baseline(8, 128, 40)
     b1 = roofline.channelizer(1, 128, 40)
     b8 = roofline.channelizer(8, 128, 40)
     b64 = roofline.channelizer(64, 128, 40)
+    b256 = roofline.channelizer(256, 128, 40)
     br = roofline.resampler(821, 16, 25)
 
     # dual roofline reporting (VERDICT r4 #5): spec-sheet SoL AND the
@@ -765,6 +772,11 @@ def main():
          f"width) [{r64['winner']}]",
          _fmt(r64) + f" = {r64['median'] * 64 / 1e3:,.1f} G channel-samples/s",
          _dual(b64, r64, "chan", (64, 128, 40))),
+        (f"multifm 256-channel channelizer (32x the reference's flagship "
+         f"width; halfcols=2048 VMEM regime) [{r256['winner']}]",
+         _fmt(r256) + f" = {r256['median'] * 256 / 1e3:,.1f} G "
+         "channel-samples/s",
+         _dual(b256, r256, "chan", (256, 128, 40))),
         ("BIT-EXACT integer FIR bank (== C arithmetic, 8ch/128tap)",
          _fmt(flat["exact_fir_8ch"]),
          _dual(b8, flat["exact_fir_8ch"], "chan", (8, 128, 40),

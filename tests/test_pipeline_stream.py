@@ -1136,3 +1136,38 @@ def test_drain_async_equals_sync():
     assert keys2[0].count(want[0][0]) == 1, keys2[0]
     for c in range(nch):
         assert len(keys2[c]) == len(set(map(repr, keys2[c]))), keys2[c]
+
+
+def test_drain_async_exact_tier_equals_sync():
+    """The exact tier's async END-half worker (plane fetch + host FM +
+    resampler + decode) is output-identical to the inline drain: the FIFO
+    worker preserves the fm-carry dispatch order."""
+    from tests.test_pipeline import _fm_mod
+    from tsl_sdr_tpu.testing import pocsag_gen
+
+    bb = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=555001, function=1, kind="alpha",
+                                content="EXACT ASYNC")],
+        baud=1200, amplitude=4096, tail_bits=256)
+    sig = _fm_mod(bb, 38400, 250_000, FS)
+    iq = np.zeros((len(sig) + 300_000, 2))
+    iq[150_000:150_000 + len(sig)] += sig
+    rng = np.random.default_rng(7)
+    iq = (iq + rng.normal(scale=90, size=iq.shape)).astype(np.int16)
+    specs = [ChannelSpec(CENTER + 250_000, "pocsag"),
+             ChannelSpec(CENTER - 150_000, "pcm")]
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+
+    outs = {}
+    for asy in (False, True):
+        pipe = ReceivePipeline(lpf, CENTER, FS, DECIM, specs, exact=True,
+                               block_size=262_144, drain_async=asy)
+        got = [list(ch) for ch in pipe.push(iq)]
+        for c, part in enumerate(pipe.flush()):
+            got[c].extend(part)
+        outs[asy] = ([(m.capcode, bytes(m.data)) for m in got[0]],
+                     np.concatenate(got[1]) if got[1]
+                     else np.zeros(0, np.int16))
+    assert outs[True][0] == outs[False][0]
+    assert any(c == 555001 for c, _ in outs[True][0])
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])

@@ -311,7 +311,7 @@ def main(argv=None):
         mesh=mesh,
         ais_packet_hook=ais_hook,
         wire_fmt=wire_fmt,
-        drain_async=not args.no_drain_async and not args.exact,
+        drain_async=not args.no_drain_async,
     )
 
     if is_main:

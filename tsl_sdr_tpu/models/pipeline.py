@@ -687,46 +687,52 @@ class ReceivePipeline:
             "hot": {pgid: True for pgid in self._pack_groups},
         }
         if self.drain_async:
-            import queue as _queue
-            import threading
+            self._start_drain_worker(self._stream, self._drain)
 
-            s = self._stream
-            # bounded: a lagging worker backpressures push() instead of
-            # letting undrained device buffers pile up in HBM
-            s["dq"] = _queue.Queue(maxsize=max(2, self.inflight_depth))
-            s["dres"] = [[] for _ in self.channels]
-            s["dlock"] = threading.Lock()
-            s["derr"] = None
+    # -- drain worker (shared by the production and exact engines) ----------
 
-            def _worker(s=s):
-                while True:
-                    entry = s["dq"].get()
-                    if entry is None:
-                        return
-                    if isinstance(entry, threading.Event):
-                        entry.set()  # barrier: everything before is done
-                        continue
-                    if s["derr"] is not None:
-                        continue  # poisoned: discard, surface on push
-                    try:
-                        tmp = [[] for _ in self.channels]
-                        self._drain(entry, tmp)
-                        with s["dlock"]:
-                            for c, part in enumerate(tmp):
-                                s["dres"][c].extend(part)
-                    except BaseException as e:  # noqa: BLE001
-                        s["derr"] = e
+    def _start_drain_worker(self, s: dict, drain_one):
+        """Attach a drain worker to stream dict ``s``: entries enqueued by
+        :meth:`_drain_entry` are drained by ``drain_one(entry, new)`` on a
+        dedicated thread, overlapping the dispatch thread's next upload."""
+        import queue as _queue
+        import threading
 
-            s["dthread"] = threading.Thread(
-                target=_worker, daemon=True, name="tsl-drain")
-            s["dthread"].start()
+        # bounded: a lagging worker backpressures push() instead of
+        # letting undrained device buffers pile up in HBM
+        s["dq"] = _queue.Queue(maxsize=max(2, self.inflight_depth))
+        s["dres"] = [[] for _ in self.channels]
+        s["dlock"] = threading.Lock()
+        s["derr"] = None
 
-    def _drain_entry(self, entry, new: list):
-        """Route one in-flight block to the drain worker (async) or drain
-        it inline; async results decoded SO FAR are folded into ``new``."""
-        s = self._stream
-        if not self.drain_async:
-            self._drain(entry, new)
+        def _worker():
+            while True:
+                entry = s["dq"].get()
+                if entry is None:
+                    return
+                if isinstance(entry, threading.Event):
+                    entry.set()  # barrier: everything before is done
+                    continue
+                if s["derr"] is not None:
+                    continue  # poisoned: discard, surface on push
+                try:
+                    tmp = [[] for _ in self.channels]
+                    drain_one(entry, tmp)
+                    with s["dlock"]:
+                        for c, part in enumerate(tmp):
+                            s["dres"][c].extend(part)
+                except BaseException as e:  # noqa: BLE001
+                    s["derr"] = e
+
+        s["dthread"] = threading.Thread(
+            target=_worker, daemon=True, name="tsl-drain")
+        s["dthread"].start()
+
+    def _drain_entry(self, s: dict, entry, new: list, drain_one):
+        """Route one in-flight block to ``s``'s drain worker (async) or
+        drain it inline; async results ready SO FAR fold into ``new``."""
+        if s.get("dthread") is None:
+            drain_one(entry, new)
             return
         if s["derr"] is not None:
             raise s["derr"]
@@ -738,12 +744,11 @@ class ReceivePipeline:
                         new[c].extend(s["dres"][c])
                         s["dres"][c] = []
 
-    def _drain_barrier(self, new: list):
+    def _drain_barrier(self, s: dict, new: list):
         """Wait until every enqueued block is drained; collect results."""
         import threading
 
-        s = self._stream
-        if not self.drain_async:
+        if s is None or s.get("dthread") is None:
             return
         ev = threading.Event()
         s["dq"].put(ev)
@@ -757,11 +762,12 @@ class ReceivePipeline:
                     s["dres"][c] = []
 
     def _drain_shutdown(self):
-        """Stop the drain worker (stream teardown)."""
-        s = self._stream
-        if s and s.get("dthread") is not None:
-            s["dq"].put(None)
-            s["dthread"] = None
+        """Stop the drain workers (stream teardown)."""
+        for s in (getattr(self, "_stream", None),
+                  getattr(self, "_xstream", None)):
+            if s and s.get("dthread") is not None:
+                s["dq"].put(None)
+                s["dthread"] = None
 
     @property
     def stream_stats(self) -> dict:
@@ -796,7 +802,8 @@ class ReceivePipeline:
             # ones host-decode
             s = self._stream
             while len(s["inflight"]) > self.inflight_depth:
-                self._drain_entry(s["inflight"].popleft(), new)
+                self._drain_entry(s, s["inflight"].popleft(), new,
+                                  self._drain)
         return new
 
     def _pump_blocks(self, iq, attr: str, init_fn):
@@ -1079,6 +1086,13 @@ class ReceivePipeline:
             "dc_st": {i: dcb.init_dc_blocker_state()
                       for i, _ in self._dc_items},
         }
+        if self.drain_async:
+            # overlap the exact tier's END half (plane fetch wait + host
+            # derotate/LUT-FM + resampler scans + decode) with the next
+            # block's upload+MXU dispatch — fir_end_s is ~85% of this
+            # tier's wall time (bench/E2E_BREAKDOWN.json); FIFO worker
+            # preserves the fm carry's dispatch-order threading
+            self._start_drain_worker(self._xstream, self._drain_exact_fir)
 
     def _push_exact(self, iq) -> list:
         new = [[] for _ in self.channels]
@@ -1096,7 +1110,8 @@ class ReceivePipeline:
                 self._tick("dispatch_s", t0)
             x["fir_inflight"].append(pending)
             while len(x["fir_inflight"]) > self.inflight_depth:
-                self._drain_exact_fir(x["fir_inflight"].popleft(), new)
+                self._drain_entry(x, x["fir_inflight"].popleft(), new,
+                                  self._drain_exact_fir)
         return new
 
     def _drain_exact_fir(self, pending, new: list):
@@ -1225,9 +1240,13 @@ class ReceivePipeline:
             return self._flush_unprimed()
         new = [[] for _ in self.channels]
         # drain the in-flight FIR blocks first: the tail block's END needs
-        # the current FM carry, which only advances at drain time
+        # the current FM carry, which only advances at drain time (the
+        # barrier also quiesces the async worker before the tail legs
+        # touch fm_last / the resampler group state)
         while x["fir_inflight"]:
-            self._drain_exact_fir(x["fir_inflight"].popleft(), new)
+            self._drain_entry(x, x["fir_inflight"].popleft(), new,
+                              self._drain_exact_fir)
+        self._drain_barrier(x, new)
         if x["buf_len"]:
             buf = np.concatenate(x["buf"]) if len(x["buf"]) > 1 else x["buf"][0]
             q = self.chain.block_quantum
@@ -1295,8 +1314,8 @@ class ReceivePipeline:
             self._dispatch(block, valid_n=valid)
             padded = True
         while s["inflight"]:
-            self._drain_entry(s["inflight"].popleft(), new)
-        self._drain_barrier(new)
+            self._drain_entry(s, s["inflight"].popleft(), new, self._drain)
+        self._drain_barrier(s, new)
         if padded:
             # the device carries have consumed fabricated pad zeros; a
             # later push() must not splice real samples onto that history
@@ -1336,8 +1355,8 @@ class ReceivePipeline:
             raise ValueError("no streaming state yet (push something first)")
         new = [[] for _ in self.channels]
         while s["inflight"]:
-            self._drain_entry(s["inflight"].popleft(), new)
-        self._drain_barrier(new)
+            self._drain_entry(s, s["inflight"].popleft(), new, self._drain)
+        self._drain_barrier(s, new)
         leaves, treedef = jax.tree.flatten(s["st"])
         arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
         arrays["buf"] = (
