@@ -203,8 +203,18 @@ def main():
     # standard "prime the jit cache on rollout" step.
     t_warm0 = time.monotonic()
     warm_file = wd / "warmup.cs16"
-    n_warm = int(FS * 8) * 4  # 8 stream-seconds of zeros (>=1 full block)
-    warm_file.write_bytes(b"\x00" * n_warm)
+    # BURST-BEARING warmup (soak v2): zeros-only warmup left the burst
+    # paths (decoder activation, hot<->cold gating transitions) cold, so
+    # the first live bursts paid them at stream time. 10 stream-seconds
+    # with one stamped burst per channel, then 2 noise-only seconds so
+    # the hot->cold edge is exercised too.
+    warm_writer = PacedWriter(str(fifo), 0)  # generator only, never started
+    with open(warm_file, "wb") as wf:
+        for wseq in range(10):
+            wf.write(warm_writer._second(wseq).tobytes())
+        noise = warm_writer._rng.normal(scale=90, size=(FS, 2))
+        for _ in range(2):
+            wf.write(noise.astype(np.int16).tobytes())
     warm = subprocess.run(
         [sys.executable, "-m", "tsl_sdr_tpu.cli.pipeline", str(cfg_path),
          "--iq-file", str(warm_file), "--iq-format", "cs16",
@@ -272,7 +282,13 @@ def main():
             events.append(("sigterm", time.time()))
             t_sigterm = time.time()
             proc.send_signal(signal.SIGTERM)
-            rc = proc.wait(timeout=300)
+            try:
+                rc = proc.wait(timeout=300)
+            except subprocess.TimeoutExpired:
+                # must not abort the soak: escalate, record, resume anyway
+                events.append(("sigterm-timeout-kill", time.time()))
+                proc.kill()
+                rc = proc.wait(timeout=30)
             events.append(("checkpointed", time.time(), rc,
                            state_file.exists()))
             drain.join(timeout=10)

@@ -1171,3 +1171,31 @@ def test_drain_async_exact_tier_equals_sync():
     assert outs[True][0] == outs[False][0]
     assert any(c == 555001 for c, _ in outs[True][0])
     np.testing.assert_array_equal(outs[True][1], outs[False][1])
+
+
+def test_warm_device_leaves_stream_output_unchanged():
+    """warm_device() before streaming is output-invisible: identical
+    messages to a cold pipeline, and a no-op once the stream is primed."""
+    iq = _capture()
+    lpf = firdes_low_pass(1.0, FS, 12_000, 8_000)
+
+    cold = ReceivePipeline(lpf, CENTER, FS, DECIM, _specs(), exact=False,
+                           block_size=262_144)
+    want = _keys(cold.process_capture(iq))
+
+    warm = ReceivePipeline(lpf, CENTER, FS, DECIM, _specs(), exact=False,
+                           block_size=262_144)
+    spent = warm.warm_device()
+    assert spent > 0.0
+    assert warm._stream is None  # stream reset: real data starts fresh
+    got = [list(ch) for ch in warm.push(iq)]
+    for c, part in enumerate(warm.flush()):
+        got[c].extend(part)
+    assert _keys(got) == want
+    # warm stats never leak into the live stream's accounting
+    assert warm.stream_stats["blocks"] >= 1
+
+    primed = ReceivePipeline(lpf, CENTER, FS, DECIM, _specs(), exact=False,
+                             block_size=262_144)
+    primed.push(iq[:300_000])
+    assert primed.warm_device() == 0.0

@@ -140,6 +140,11 @@ def build_argparser():
                    help="print a live stats line to stderr every SECS "
                         "seconds in --follow mode: samples, rate, "
                         "messages, device blocks and egress-gated fetches")
+    p.add_argument("--no-warm", action="store_true",
+                   help="skip the device warm block before a --follow "
+                        "stream (default: run one throwaway zeros block "
+                        "first so per-session device startup stalls land "
+                        "in startup, not on live traffic)")
     p.add_argument("--idle-exit", type=float, default=1.0,
                    help="with --follow on a regular file: stop after the "
                         "file has not grown for this many seconds "
@@ -374,6 +379,13 @@ def main(argv=None):
                 _signal.signal(_signal.SIGINT, guard.handler)
             except ValueError:
                 pass  # not the main thread: keep default handlers
+            if not args.no_warm:
+                # before restore: warming needs a pristine stream, and a
+                # resume leg benefits most (its session startup stall
+                # would otherwise land on the backlog behind the FIFO)
+                warm_s = pipe.warm_device()
+                print(f"pipeline-tpu: device warm in {warm_s:.1f}s",
+                      file=sys.stderr)
             if args.state_file is not None:
                 import os as _os
 

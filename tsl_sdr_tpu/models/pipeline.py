@@ -963,12 +963,18 @@ class ReceivePipeline:
                 if kind == "full":
                     packed = host[np.asarray(need_rows), mb:]
                 else:
-                    # cold group turning active: gather just those rows
+                    # cold group turning active: fetch the WHOLE payload
+                    # once and index on the host. A device-side gather
+                    # (arr[rows, mb:]) compiles a fresh XLA executable per
+                    # distinct row-count, and on this tunneled chip each
+                    # uncached compile is tens of seconds — a live soak
+                    # once stalled ~8 min crossing hot/cold transitions.
+                    # The full d2h fetch is a few hundred KB and happens
+                    # only on the (rare) cold->hot edge.
                     if tm is not None:
                         t0 = time.perf_counter()
-                    packed = np.asarray(
-                        pack_out[pgid][np.asarray(need_rows), mb:]
-                    )
+                    full = np.asarray(pack_out[pgid])
+                    packed = full[np.asarray(need_rows), mb:]
                     if tm is not None:
                         t0 = self._tick("drain_wait_s", t0)
             s["hot"][pgid] = bool(need_rows)
@@ -1322,6 +1328,32 @@ class ReceivePipeline:
             self._last_stream_stats = self.stream_stats
             self.stream_reset()
         return new
+
+    def warm_device(self) -> float:
+        """Pre-pay this process's device startup costs on throwaway zeros.
+
+        A fresh process's first interactions with a tunneled TPU slice
+        can stall from tens of seconds to minutes regardless of data
+        content or compile-cache state (measured here: first block
+        uploads of 100-500 s against a ~0.1 s steady state, hitting any
+        of the first few transfers). Run one full streaming block —
+        dispatch, padded-tail flush (the checkpoint path's program) and
+        fetch — BEFORE live data flows, so that cost lands in startup,
+        not on live traffic queued behind it. Stream state and decoders
+        end untouched (the zeros block is silence: every decoder stays
+        in SEARCH and the stream is reset afterwards). No-op on an
+        already-primed stream. Returns wall seconds spent."""
+        if (self._stream is not None or self._xstream is not None
+                or self._pending_prefix.shape[0]):
+            return 0.0
+        t0 = time.monotonic()
+        n = self.chain.carry_len + self.block_size + 1024
+        zeros = np.full((n, 2), self._wire_zero, self._wire_dtype)
+        self.push(zeros)
+        self.flush()  # drains in-flight AND compiles the padded-tail path
+        self.stream_reset()
+        self._last_stream_stats = None
+        return time.monotonic() - t0
 
     # -- streaming checkpoint/resume ----------------------------------------
 
