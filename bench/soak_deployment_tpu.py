@@ -45,12 +45,13 @@ CENTER = 929_500_000
 OFFSETS = [-450_000, -320_000, -190_000, -60_000,
            60_000, 190_000, 320_000, 450_000]
 BAUD = 1200
-# live-latency tuning (soak v2): ~1 s blocks + a single in-flight block.
-# The device is ~10x faster than the 1.2288 Msps stream, so depth gives
-# no throughput here and only adds decode latency; p50 e2e latency drops
-# from ~3.3 block times (4 M blocks, depth 2, r4) to <~2 block times.
+# live-latency tuning (soak v2): ~1 s blocks, ZERO in-flight depth, and
+# the synchronous drain. The device is ~10x faster than the 1.2288 Msps
+# stream, so depth/async give no throughput here and each costs a block
+# time of decode latency (drained-on-next-push / collected-on-next-push);
+# depth 0 + sync drain decodes each block inside its own push.
 BLOCK_TARGET = 1_228_800
-INFLIGHT_DEPTH = 1
+INFLIGHT_DEPTH = 0
 
 
 class PacedWriter(threading.Thread):
@@ -76,12 +77,23 @@ class PacedWriter(threading.Thread):
 
     def _second(self, seq: int) -> np.ndarray:
         """One second of wideband IQ: noise + one stamped burst on
-        channel seq % 8."""
+        channel seq % 8.
+
+        Capcodes are FRAME-0 aligned (capcode % 8 == 0): a frame-7
+        address lands in the batch's last codeword pair, the message
+        codewords spill into a SECOND batch, and the burst grows to
+        1728 bits = 1.44 s at 1200 baud — longer than this 1 s slot, so
+        the generator's slot cut would truncate it mid-message. (That
+        truncation, not the kill/resume, was the bulk of the r4 soak's
+        12% "lost" bursts: every 8th burst used capcode 100_007 ->
+        frame 7; the compiled reference decoder can't decode a
+        truncated burst either.) Frame-0 bursts are 1184 bits = 0.99 s
+        and fit."""
         n = FS
         ch = seq % len(OFFSETS)
         off = OFFSETS[ch]
         bb = self._gen.generate(
-            [self._gen.PocsagBurst(capcode=100_000 + ch, function=1,
+            [self._gen.PocsagBurst(capcode=100_000 + 16 * ch, function=1,
                                    kind="alpha", content=f"SOAK {seq}")],
             baud=BAUD, amplitude=6000, tail_bits=64)
         dev = bb.astype(np.float64) / 16384.0 * (CHANNEL_RATE / 2)
@@ -131,18 +143,24 @@ class PacedWriter(threading.Thread):
         self.n_seq = seq
 
 
-def launch_pipeline(cfg_path, fifo, out_path, state_file):
+def launch_pipeline(cfg_path, fifo, out_path, state_file, standby=False):
     """One pipeline leg. ``out_path`` must be unique per leg: ``-o`` opens
-    with "w" and would truncate the previous leg's messages on resume."""
+    with "w" and would truncate the previous leg's messages on resume.
+    ``standby=True`` launches a hot-standby resume leg: it warms its
+    device session immediately but only attaches to the FIFO once the
+    primary's checkpoint file appears (failover in seconds instead of
+    paying per-session device startup — 100-600 s on this tunnel — under
+    live traffic)."""
     env = dict(os.environ)
     return subprocess.Popen(
         [sys.executable, "-m", "tsl_sdr_tpu.cli.pipeline", str(cfg_path),
          "--iq-file", str(fifo), "--iq-format", "cs16", "--follow",
          "--idle-exit", "30", "--stats", "15",
          "--block-size", str(BLOCK_TARGET),
-         "--inflight-depth", str(INFLIGHT_DEPTH),
-         "--state-file", str(state_file),
-         "-o", str(out_path)],
+         "--inflight-depth", str(INFLIGHT_DEPTH), "--no-drain-async",
+         "--state-file", str(state_file)]
+        + (["--standby"] if standby else [])
+        + ["-o", str(out_path)],
         env=env, stderr=subprocess.PIPE, text=True,
     )
 
@@ -166,6 +184,9 @@ def main():
     state_file = wd / "pipe.state.npz"
     if state_file.exists():
         state_file.unlink()
+    tk = Path(str(state_file) + ".takeover")
+    if tk.exists():
+        tk.unlink()
 
     from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
 
@@ -246,6 +267,21 @@ def main():
 
     drain = threading.Thread(target=_drain, args=(proc,), daemon=True)
     drain.start()
+    # hot standby (soak v2): the resume leg starts early and warms its own
+    # device session while the primary serves; at kill time it attaches
+    # within seconds of the checkpoint appearing. Launch STAGGERED (45 s)
+    # so the two fresh sessions don't contend for device startup.
+    out_paths.append(wd / "messages_1.jsonl")
+    sb = {}
+
+    def _launch_standby():
+        sb["proc"] = launch_pipeline(cfg_path, fifo, out_paths[1],
+                                     state_file, standby=True)
+        sb["drain"] = threading.Thread(
+            target=_drain, args=(sb["proc"],), daemon=True)
+        sb["drain"].start()
+
+    threading.Timer(45.0, _launch_standby).start()
     writer.start()
     events.append(("start", time.time()))
 
@@ -293,10 +329,16 @@ def main():
                            state_file.exists()))
             drain.join(timeout=10)
             scan_output()
-            out_paths.append(wd / f"messages_{len(out_paths)}.jsonl")
-            proc = launch_pipeline(cfg_path, fifo, out_paths[-1], state_file)
-            drain = threading.Thread(target=_drain, args=(proc,), daemon=True)
-            drain.start()
+            if not state_file.exists():
+                # primary died before it could checkpoint: trigger a
+                # fresh takeover (the standby's crash-supervision path)
+                Path(str(state_file) + ".takeover").touch()
+                events.append(("takeover-fresh", time.time()))
+            # failover: the pre-warmed standby sees the trigger and takes
+            # over on its own — just make it the tracked proc
+            while "proc" not in sb:
+                time.sleep(0.5)
+            proc, drain = sb["proc"], sb["drain"]
             t_restarted = time.time()
             events.append(("resumed", time.time()))
             killed = True
@@ -307,15 +349,21 @@ def main():
     writer.stop_flag.set()
     writer.join(timeout=30)
     # let the pipeline drain the tail then stop it cleanly
-    time.sleep(max(5.0, args.minutes))  # generous drain for the last blocks
+    time.sleep(max(15.0, args.minutes))  # generous drain for the last blocks
     scan_output()
-    if proc.poll() is None:
-        proc.send_signal(signal.SIGTERM)
-        try:
-            proc.wait(timeout=300)
-        except subprocess.TimeoutExpired:
-            proc.kill()
+    procs = {id(proc): proc}
+    if "proc" in sb:
+        procs.setdefault(id(sb["proc"]), sb["proc"])
+    for p in procs.values():
+        if p.poll() is None:
+            p.send_signal(signal.SIGTERM)
+            try:
+                p.wait(timeout=300)
+            except subprocess.TimeoutExpired:
+                p.kill()
     drain.join(timeout=10)
+    if "drain" in sb:
+        sb["drain"].join(timeout=10)
     scan_output()
 
     achieved = writer.bytes_written / 4 / max(
@@ -377,7 +425,12 @@ def main():
         },
         "events": [e[0] for e in events],
         "warmup_s": warm_s,
+        "leg_device_warm_s": [
+            float(m.group(1)) for m in
+            (re.search(r"device warm in ([0-9.]+)s", ln)
+             for ln in stderr_lines) if m],
         "kill_resume_ok": killed and state_file.exists(),
+        "takeover_fresh": any(e[0] == "takeover-fresh" for e in events),
         "stats_tail": stderr_lines[-6:],
     }
     print(json.dumps(result))

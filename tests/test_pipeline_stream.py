@@ -6,6 +6,8 @@ run forever on live streams (/root/reference/multifm/multifm.c:163-165,
 decoder/decoder.c:581-656); push() is that contract in one process.
 """
 
+import time
+
 import numpy as np
 
 from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
@@ -1199,3 +1201,139 @@ def test_warm_device_leaves_stream_output_unchanged():
                              block_size=262_144)
     primed.push(iq[:300_000])
     assert primed.warm_device() == 0.0
+
+
+def test_pipeline_cli_standby_failover(tmp_path):
+    """--standby: a hot-standby leg waits for the primary's checkpoint
+    file, then restores and continues the stream; the two legs' messages
+    together equal one uninterrupted run (the soak driver's failover
+    shape — per-session device warm paid before takeover)."""
+    import json as jsonlib
+    import threading
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+    from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+
+    decim, fs, center = 32, 38400 * 32, 929_500_000
+
+    def burst(cap, txt):
+        bb = pocsag_gen.generate(
+            [pocsag_gen.PocsagBurst(capcode=cap, function=1, kind="alpha",
+                                    content=txt)],
+            baud=1200, amplitude=4096, tail_bits=256)
+        return _fm_mod(bb, 38400, 250_000, fs)
+
+    rng = np.random.default_rng(11)
+    pad = rng.integers(-300, 300, size=(900_000, 2)).astype(np.int16)
+    iq = np.concatenate([pad, burst(311, "BEFORE FAILOVER").astype(np.int16),
+                         pad, burst(322, "AFTER FAILOVER").astype(np.int16),
+                         pad])
+    iq = (iq + rng.normal(scale=90, size=iq.shape)).astype(np.int16)
+    lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+
+    want = [(m.capcode, m.data) for m in ReceivePipeline(
+        lpf, center, fs, decim,
+        [ChannelSpec(center + 250_000, "pocsag")],
+        exact=False, block_size=393_216).process_capture(iq)[0]]
+    assert [c for c, _ in want] == [311, 322]
+
+    half = len(iq) // 2
+    iq_path = tmp_path / "cap.cs16"
+    iq[:half].reshape(-1).tofile(iq_path)
+    cfg = {
+        "device": {"type": "file", "filename": str(iq_path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": fs, "centerFreqHz": center,
+        "decimationFactor": decim,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [{"chanCenterFreq": center + 250_000,
+                      "protocol": "pocsag"}],
+    }
+    cfg_path = tmp_path / "p.json"
+    cfg_path.write_text(jsonlib.dumps(cfg))
+    state = tmp_path / "state.npz"
+    out1, out2 = tmp_path / "m1.json", tmp_path / "m2.json"
+
+    # standby leg starts FIRST (like the soak's hot standby): warms, then
+    # blocks until the state file exists
+    sb_rc = []
+    standby = threading.Thread(
+        target=lambda: sb_rc.append(pipeline_cli.main(
+            [str(cfg_path), "--follow", "--idle-exit", "0.5",
+             "--block-size", "393216", "--state-file", str(state),
+             "--standby", "-o", str(out2)])),
+        daemon=True)
+    standby.start()
+    time.sleep(0.3)
+    assert not state.exists()
+
+    rc = pipeline_cli.main([str(cfg_path), "--follow", "--idle-exit",
+                            "0.3", "--block-size", "393216",
+                            "--state-file", str(state),
+                            "-o", str(out1)])
+    assert rc == 0 and state.exists()
+    with open(iq_path, "ab") as f:
+        iq[half:].reshape(-1).tofile(f)
+    standby.join(timeout=300)
+    assert not standby.is_alive() and sb_rc == [0]
+
+    got = [(m["capCode"], m["message"])
+           for p in (out1, out2)
+           for m in map(jsonlib.loads, p.read_text().splitlines())]
+    assert got == [(c, d.decode()) for c, d in want]
+
+
+def test_pipeline_cli_standby_fresh_takeover(tmp_path):
+    """A supervisor that saw the primary die WITHOUT a checkpoint touches
+    <state-file>.takeover; the standby starts fresh from the live stream
+    (self-synchronizing protocols) instead of waiting forever."""
+    import json as jsonlib
+    import threading
+
+    from tsl_sdr_tpu.cli import pipeline as pipeline_cli
+
+    decim, fs, center = 32, 38400 * 32, 929_500_000
+    bb = pocsag_gen.generate(
+        [pocsag_gen.PocsagBurst(capcode=444, function=1, kind="alpha",
+                                content="FRESH TAKEOVER")],
+        baud=1200, amplitude=4096, tail_bits=256)
+    sig = _fm_mod(bb, 38400, 250_000, fs)
+    rng = np.random.default_rng(13)
+    pad = rng.integers(-300, 300, size=(900_000, 2)).astype(np.int16)
+    iq = np.concatenate([pad, sig.astype(np.int16), pad])
+    iq = (iq + rng.normal(scale=90, size=iq.shape)).astype(np.int16)
+    lpf = firdes_low_pass(1.0, fs, 9_600, 7_000)
+
+    iq_path = tmp_path / "cap.cs16"
+    iq.reshape(-1).tofile(iq_path)
+    cfg = {
+        "device": {"type": "file", "filename": str(iq_path),
+                   "fileFormat": "cs16"},
+        "sampleRateHz": fs, "centerFreqHz": center,
+        "decimationFactor": decim,
+        "lpfTaps": list(map(float, lpf)),
+        "channels": [{"chanCenterFreq": center + 250_000,
+                      "protocol": "pocsag"}],
+    }
+    cfg_path = tmp_path / "p.json"
+    cfg_path.write_text(jsonlib.dumps(cfg))
+    state = tmp_path / "state.npz"
+    out = tmp_path / "m.json"
+
+    sb_rc = []
+    standby = threading.Thread(
+        target=lambda: sb_rc.append(pipeline_cli.main(
+            [str(cfg_path), "--follow", "--idle-exit", "0.5",
+             "--block-size", "393216", "--state-file", str(state),
+             "--standby", "--no-warm", "-o", str(out)])),
+        daemon=True)
+    standby.start()
+    time.sleep(1.0)
+    assert standby.is_alive()  # still waiting: no trigger yet
+    (tmp_path / "state.npz.takeover").touch()
+    standby.join(timeout=300)
+    assert not standby.is_alive() and sb_rc == [0]
+    assert not (tmp_path / "state.npz.takeover").exists()  # consumed
+    msgs = [jsonlib.loads(ln) for ln in out.read_text().splitlines()]
+    assert [(m["capCode"], m["message"]) for m in msgs] == \
+        [(444, "FRESH TAKEOVER")]

@@ -140,6 +140,15 @@ def build_argparser():
                    help="print a live stats line to stderr every SECS "
                         "seconds in --follow mode: samples, rate, "
                         "messages, device blocks and egress-gated fetches")
+    p.add_argument("--standby", action="store_true",
+                   help="hot-standby resume (requires --follow and "
+                        "--state-file): warm the device, then WAIT for the "
+                        "state file to appear — written by a terminating "
+                        "primary — before restoring and attaching to the "
+                        "stream. Per-session device startup (seconds to "
+                        "minutes on shared/tunneled slices) is paid while "
+                        "the primary still serves, so failover costs "
+                        "seconds")
     p.add_argument("--no-warm", action="store_true",
                    help="skip the device warm block before a --follow "
                         "stream (default: run one throwaway zeros block "
@@ -383,9 +392,49 @@ def main(argv=None):
                 # before restore: warming needs a pristine stream, and a
                 # resume leg benefits most (its session startup stall
                 # would otherwise land on the backlog behind the FIFO)
-                warm_s = pipe.warm_device()
+                try:
+                    warm_s = pipe.warm_device()
+                except KeyboardInterrupt:
+                    # a stop request while absorbing the session startup
+                    # stall: nothing streamed yet, nothing to save
+                    print("pipeline-tpu: interrupted during device warm",
+                          file=sys.stderr)
+                    return 0
                 print(f"pipeline-tpu: device warm in {warm_s:.1f}s",
                       file=sys.stderr)
+            if args.standby:
+                import os as _os
+
+                if args.state_file is None:
+                    print("pipeline-tpu: --standby requires --state-file",
+                          file=sys.stderr)
+                    return 2
+                print(f"pipeline-tpu: standby — warmed, waiting for "
+                      f"{args.state_file}", file=sys.stderr)
+                # the primary writes the state file as its last act; its
+                # appearance is the failover trigger (the .npz replace is
+                # atomic, so a partially-written file is never observed).
+                # A supervisor that saw the primary die WITHOUT a
+                # checkpoint (crash before/while streaming) touches
+                # <state-file>.takeover instead: take over fresh — the
+                # protocols self-synchronize
+                takeover = args.state_file + ".takeover"
+                try:
+                    while not (_os.path.exists(args.state_file)
+                               or _os.path.exists(takeover)):
+                        if guard.pending:
+                            raise KeyboardInterrupt
+                        time.sleep(0.1)
+                except KeyboardInterrupt:
+                    print("pipeline-tpu: standby cancelled",
+                          file=sys.stderr)
+                    return 0
+                if _os.path.exists(takeover):
+                    try:
+                        _os.unlink(takeover)
+                    except OSError:
+                        pass
+                print("pipeline-tpu: standby taking over", file=sys.stderr)
             if args.state_file is not None:
                 import os as _os
 
