@@ -377,6 +377,61 @@ def prep_exact_pipeline():
     return trial
 
 
+def prep_exact_pipeline_u8():
+    """The BIT-EXACT deployment on the 8-BIT WIRE: raw rtl_u8 bytes ship
+    at 2 B/sample and widen `(s-127)<<7` in the jitted MXU FIR dispatch's
+    first stage (channelizer._exact_packed_fir_wire) — integer widening
+    is bit-identical on-device, so the tier's == C contract holds while
+    the h2d ceiling doubles (reference wire format of the RTL path,
+    multifm/rtl_sdr_if.c:118-147)."""
+    from tsl_sdr_tpu.models.pipeline import ChannelSpec, ReceivePipeline
+    from tsl_sdr_tpu.testing import pocsag_gen
+    from tsl_sdr_tpu.utils.filter_design import firdes_low_pass
+
+    decim = 32
+    fs = 38400 * decim
+    center = 929_500_000
+    offsets = [-450_000, -320_000, -190_000, -60_000,
+               60_000, 190_000, 320_000, 450_000]
+    rng = np.random.default_rng(9)
+    parts = None
+    for k, off in enumerate(offsets):
+        bb = pocsag_gen.generate(
+            [pocsag_gen.PocsagBurst(capcode=400000 + k, function=1,
+                                    kind="alpha", content=f"XU{k}")],
+            baud=1200, tail_bits=256)
+        dev = bb.astype(np.float64) / 16384.0 * 19200
+        ph = np.cumsum(np.repeat(2 * np.pi * (off + dev) / fs, decim))
+        sig = np.stack([np.cos(ph), np.sin(ph)], -1) * 4000
+        if parts is None:
+            parts = np.zeros((len(sig) + 2_000_000, 2))
+        parts[200_000:200_000 + len(sig)] += sig
+    x = parts + rng.normal(scale=80, size=parts.shape)
+    raw = np.clip(np.round(x / 128.0) + 127, 0, 255) \
+        .astype(np.uint8).reshape(-1)
+    raw = np.concatenate([raw] * 4)
+    n_samples = raw.size // 2
+
+    pipe = ReceivePipeline(
+        firdes_low_pass(1.0, fs, 9_600, 7_000), center, fs, decim,
+        [ChannelSpec(center + o, "pocsag") for o in offsets], exact=True,
+        block_size=4_194_304, inflight_depth=2,
+        wire_fmt="rtl_u8", drain_async=True)
+    got = pipe.push(raw)
+    for c, part in enumerate(pipe.flush()):
+        got[c].extend(part)
+    caps = sorted(set(m.capcode for msgs in got for m in msgs))
+    assert caps == [400000 + k for k in range(8)], caps
+
+    def trial():
+        t0 = time.perf_counter()
+        pipe.push(raw)
+        pipe.flush()
+        return n_samples / (time.perf_counter() - t0) / 1e6
+
+    return trial
+
+
 def prep_decoder_scans():
     from tsl_sdr_tpu.models.ais import AisDecoder
     from tsl_sdr_tpu.models.flex import FlexDecoder
@@ -690,6 +745,7 @@ def main():
     _prep(host_benches, "pipeline_8ch_e2e", prep_pipeline_8ch)
     _prep(host_benches, "pipeline_8ch_u8_e2e", prep_pipeline_8ch_u8)
     _prep(host_benches, "exact_pipeline_8ch_e2e", prep_exact_pipeline)
+    _prep(host_benches, "exact_pipeline_8ch_u8_e2e", prep_exact_pipeline_u8)
     _prep(host_benches, "decoder_scans", prep_decoder_scans)
     _prep(host_benches, "decoder_dense", prep_decoder_dense)
     _prep(host_benches, "costas_native", prep_costas)
@@ -710,7 +766,8 @@ def main():
     # the code-quality number (the raw Msps tracks the day's tunnel);
     # the regression gate keys off it
     E2E_BYTES = {"pocsag_chain_e2e": 4, "pipeline_8ch_e2e": 4,
-                 "pipeline_8ch_u8_e2e": 2, "exact_pipeline_8ch_e2e": 4}
+                 "pipeline_8ch_u8_e2e": 2, "exact_pipeline_8ch_e2e": 4,
+                 "exact_pipeline_8ch_u8_e2e": 2}
     for key, bps in E2E_BYTES.items():
         if key in flat:
             bound = ingest_bound * 4.0 / bps
@@ -808,6 +865,12 @@ def main():
          "the C arithmetic",
          _fmt(flat["exact_pipeline_8ch_e2e"]) + ", all 8 messages verified",
          _ingest_pct(flat["exact_pipeline_8ch_e2e"], ingest_bound)),
+        ("pipeline, BIT-EXACT tier on the 8-BIT WIRE (rtl_u8, widened "
+         "on device inside the exact MXU dispatch): 2 B/sample h2d",
+         _fmt(flat["exact_pipeline_8ch_u8_e2e"])
+         + ", all 8 messages verified",
+         _ingest_pct(flat["exact_pipeline_8ch_u8_e2e"], ingest_bound,
+                     bytes_per_sample=2)),
         ("decoder batch scans on sync-free PCM (host)",
          f"POCSAG {flat['decoder_scans/pocsag']['median']:.1f} / "
          f"FLEX {flat['decoder_scans/flex']['median']:.0f} / "

@@ -110,6 +110,36 @@ def test_wire_exact_tier_rtl_u8():
     np.testing.assert_array_equal(pcm_wire, pcm_ref)
 
 
+@pytest.mark.parametrize("fmt", ALL_8BIT)
+def test_wire_exact_streaming_on_device_widen(fmt):
+    """The bit-exact STREAMING engine ships raw wire blocks and widens in
+    the jitted MXU dispatch's first stage (channelizer
+    ``_exact_packed_fir_wire``); output must equal the same stream pushed
+    as host-widened cs16, bit-for-bit, including the wire-zero padded
+    flush tail."""
+    raw = _wire_bytes(_analog(), fmt)
+    widened = iqio.widen_iq_bytes(raw, fmt).reshape(-1, 2)
+
+    def _stream(pipe, data):
+        msgs, pcm_parts = [], []
+        got = pipe.push(data)
+        msgs += [(m.capcode, bytes(m.data)) for m in got[0]]
+        pcm_parts += got[1]
+        got = pipe.flush()
+        msgs += [(m.capcode, bytes(m.data)) for m in got[0]]
+        pcm_parts += got[1]
+        return msgs, (np.concatenate(pcm_parts) if pcm_parts
+                      else np.zeros(0, np.int16))
+
+    msgs_ref, pcm_ref = _stream(_pipe("cs16", exact=True), widened)
+    msgs_wire, pcm_wire = _stream(_pipe(fmt, exact=True), raw)
+
+    assert msgs_wire == msgs_ref
+    np.testing.assert_array_equal(pcm_wire, pcm_ref)
+    if fmt != "cu8":
+        assert any(c == 777001 for c, _ in msgs_wire), msgs_wire
+
+
 def test_wire_push_split_invariance():
     """Raw bytes fed in arbitrary-size push() slices (always whole
     samples = even byte counts) decode identically to one call."""

@@ -211,18 +211,40 @@ class MultifmChain:
 
     @functools.cached_property
     def _exact_packed_fir_fn(self):
-        plan = self.packed_plan
-        gplan = self.grouped_plan
+        return self._exact_packed_fir_wire("cs16")
 
-        @jax.jit
-        def f(carry, block):
-            return packed_fir.packed_fir_step_exact(
-                plan, carry, block, gplan=gplan
-            )
+    def _exact_packed_fir_wire(self, wire_fmt: str):
+        """Jitted exact MXU FIR dispatch, parameterized by WIRE format:
+        with an 8-bit ``wire_fmt`` the block arrives as raw wire values
+        and widens in the jitted program's first stage (2 B/sample on
+        the host->device link instead of int16's 4). Integer widening is
+        bit-identical on either side of the link — same rules as
+        ``utils.iq.widen_iq_bytes`` / the production engine's
+        ``dev_step`` (reference ``multifm/rtl_sdr_if.c:118-147``,
+        ``file_if.c:85-157``) — so the tier's bit-exact contract is
+        unchanged."""
+        fns = self.__dict__.setdefault("_exact_packed_fir_wire_fns", {})
+        if wire_fmt not in fns:
+            plan = self.packed_plan
+            gplan = self.grouped_plan
 
-        return f
+            @jax.jit
+            def f(carry, block):
+                if wire_fmt == "cs8":
+                    block = block.astype(jnp.int16)
+                elif wire_fmt in ("cu8", "cu8_unbiased"):
+                    block = block.astype(jnp.int16) - 127
+                elif wire_fmt == "rtl_u8":
+                    block = (block.astype(jnp.int16) - 127) << 7
+                return packed_fir.packed_fir_step_exact(
+                    plan, carry, block, gplan=gplan
+                )
 
-    def step_exact_packed_begin(self, state: ExactPackedState, block):
+            fns[wire_fmt] = f
+        return fns[wire_fmt]
+
+    def step_exact_packed_begin(self, state: ExactPackedState, block,
+                                wire_fmt: str = "cs16"):
         """Dispatch half of the bit-exact step: device MXU FIR + async
         plane fetches + host rotator advance. Returns ``(state2,
         pending)`` where ``state2`` threads the carry/rotator to the NEXT
@@ -236,8 +258,13 @@ class MultifmChain:
 
         from tsl_sdr_tpu.runtime.native import rotator_seq
 
-        block = np.asarray(block, np.int16).reshape(-1)
-        carry, a_re, a_im = self._exact_packed_fir_fn(
+        if wire_fmt == "cs16":
+            block = np.asarray(block, np.int16).reshape(-1)
+        else:
+            from tsl_sdr_tpu.utils.iq import WIRE_DTYPES
+
+            block = np.asarray(block, WIRE_DTYPES[wire_fmt]).reshape(-1)
+        carry, a_re, a_im = self._exact_packed_fir_wire(wire_fmt)(
             state.carry, jnp.asarray(block))
         a_re.copy_to_host_async()
         a_im.copy_to_host_async()

@@ -1107,11 +1107,12 @@ class ReceivePipeline:
             x = self._xstream
             if tm is not None:
                 t0 = time.perf_counter()
-            # exact tier widens 8-bit wire blocks on the HOST (integer
-            # widening is bit-identical either way; this tier is the
-            # parity oracle, so it keeps the reference-shaped path)
+            # 8-bit wire blocks ship raw (2 B/sample) and widen in the
+            # jitted dispatch's first stage — bit-identical to the host
+            # rules (utils.iq.widen_iq_bytes), so the tier's parity
+            # contract holds; only the tiny stream prefix widens on host
             x["st"], pending = self.chain.step_exact_packed_begin(
-                x["st"], self._widen_host(block))
+                x["st"], block, wire_fmt=self.wire_fmt)
             if tm is not None:
                 self._tick("dispatch_s", t0)
             x["fir_inflight"].append(pending)
